@@ -1,0 +1,88 @@
+"""Attention backend dispatch.
+
+The reference exposes ~20 CUDA attention backends through a global controller
+(reference: helpers/training/attention_backend.py:143-153, 1076-1152).  On TPU one
+Pallas kernel covers them all; the dispatcher keeps the same "select a backend by
+name" surface (``auto`` / ``pallas_flash`` / ``xla`` / ``splash``) so configs carry
+over, and falls back to pure-XLA attention on CPU (tests) or when shapes don't fit
+the kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention, mha_reference
+
+_VALID_BACKENDS = ("auto", "pallas_flash", "xla", "splash")
+_state = {"backend": os.environ.get("SIMPLETUNER_ATTENTION_BACKEND", "auto")}
+
+# Aliases so reference config values map onto TPU backends.
+_ALIASES = {
+    "flash": "pallas_flash",
+    "flash_attn": "pallas_flash",
+    "flash-attn": "pallas_flash",
+    "sageattention": "pallas_flash",
+    "xformers": "pallas_flash",
+    "sdpa": "xla",
+    "native": "xla",
+    "native-xla": "xla",
+    "math": "xla",
+    "diffusers": "auto",
+}
+
+
+def set_attention_backend(name: str) -> None:
+    name = _ALIASES.get(name, name)
+    if name not in _VALID_BACKENDS:
+        raise ValueError(f"unknown attention backend {name!r}; valid: {_VALID_BACKENDS}")
+    _state["backend"] = name
+
+
+def get_attention_backend() -> str:
+    return _state["backend"]
+
+
+def _resolve(backend: Optional[str]) -> str:
+    name = _ALIASES.get(backend, backend) if backend else _state["backend"]
+    if name == "auto":
+        return "pallas_flash" if jax.default_backend() == "tpu" else "xla"
+    return name
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """Multi-head attention over ``(batch, seq, heads, head_dim)`` tensors.
+
+    The (B, S, H, D) layout matches flax convention; kernels run in (B, H, S, D).
+    """
+    name = _resolve(backend)
+    q_t = jnp.swapaxes(q, 1, 2)
+    k_t = jnp.swapaxes(k, 1, 2)
+    v_t = jnp.swapaxes(v, 1, 2)
+    if name in ("pallas_flash", "splash"):
+        out = flash_attention(
+            q_t, k_t, v_t,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            sm_scale=scale,
+        )
+    else:
+        out = mha_reference(
+            q_t, k_t, v_t,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            sm_scale=scale,
+        )
+    return jnp.swapaxes(out, 1, 2)

@@ -1,10 +1,19 @@
 """Test bootstrap: force an 8-device virtual CPU mesh so sharding logic is exercised
-without TPU hardware (SURVEY.md §4 'distributed without a cluster')."""
+without TPU hardware (SURVEY.md §4 'distributed without a cluster').
+
+The container's sitecustomize registers the TPU ('axon') PJRT plugin at interpreter
+startup and sets jax_platforms itself, so we must override the config after import —
+env vars alone are not enough.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
