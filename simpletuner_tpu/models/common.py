@@ -1,0 +1,251 @@
+"""ModelFoundation — the per-family contract for the model zoo.
+
+Mirrors the reference's foundation surface (reference: helpers/models/common.py:414
+``ModelFoundation``; per-family contract documented in SURVEY.md §2.3: NAME,
+PREDICTION_TYPE, MODEL_TYPE, LATENT_CHANNEL_COUNT, HUGGINGFACE_PATHS,
+TEXT_ENCODER_CONFIGURATION, DEFAULT_LORA_TARGET, ``model_predict``,
+``_encode_prompts``, flavour choices) — but re-shaped for JAX: a family object
+carries static metadata plus *pure* functions over explicit param pytrees, so the
+whole train step jits and shards under pjit.
+
+Split of responsibilities:
+* ``prepare_batch``  — jit-safe: sample noise/timesteps, build model inputs;
+* ``model_predict``  — jit-safe: run the network;
+* ``compute_loss``   — jit-safe: target + weighting;
+* ``encode_text`` / ``encode_image`` — host-side (cache-filling) encoders;
+* ``load_pretrained`` / export — host-side IO.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..training.losses import (
+    DDPMScheduleConfig,
+    FlowScheduleConfig,
+    LossConfig,
+    TimestepSamplingConfig,
+    add_noise,
+    diffusion_loss,
+    flow_interpolate,
+    flow_target,
+    make_alphas_cumprod,
+    sample_flow_sigmas,
+    sample_timesteps,
+    velocity_target,
+)
+
+PredictionType = str  # "epsilon" | "v_prediction" | "flow_matching" | "sample"
+
+
+@dataclasses.dataclass
+class TextEncoderSpec:
+    name: str
+    family: str  # clip-l | clip-g | t5-xxl | llama | glm | mistral ...
+    subfolder: Optional[str] = None
+    tokenizer_subfolder: Optional[str] = None
+    max_length: int = 77
+    output: str = "last_hidden_state"  # or "pooled" / "penultimate"
+
+
+class ModelFoundation:
+    """Base class. Subclasses define the static contract and the pure fns."""
+
+    NAME: str = "base"
+    PREDICTION_TYPE: PredictionType = "flow_matching"
+    MODEL_TYPE: str = "transformer"  # transformer | unet
+    LATENT_CHANNEL_COUNT: int = 4
+    DEFAULT_RESOLUTION: int = 1024
+    HUGGINGFACE_PATHS: Dict[str, str] = {}
+    DEFAULT_FLAVOUR: Optional[str] = None
+    TEXT_ENCODER_CONFIGURATION: Sequence[TextEncoderSpec] = ()
+    # key-path prefixes (regexes over flattened param paths) targeted by LoRA
+    DEFAULT_LORA_TARGET: Sequence[str] = ("to_q", "to_k", "to_v", "to_out")
+    VAE_SCALING_FACTOR: float = 1.0
+    VAE_SHIFT_FACTOR: float = 0.0
+
+    def __init__(self, config: Any):
+        self.config = config
+        self.flavour = getattr(config, "model_flavour", None) or self.DEFAULT_FLAVOUR
+        self._module: Optional[nn.Module] = None
+        self._alphas_cumprod: Optional[jax.Array] = None
+
+    # ---- construction ----------------------------------------------------------------
+    def create_module(self) -> nn.Module:
+        raise NotImplementedError
+
+    @property
+    def module(self) -> nn.Module:
+        if self._module is None:
+            self._module = self.create_module()
+        return self._module
+
+    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
+        """Tiny synthetic batch for init / compile checks."""
+        raise NotImplementedError
+
+    def init_params(self, rng: jax.Array, batch: Optional[Dict[str, jax.Array]] = None):
+        batch = batch or self.example_batch()
+        prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
+        variables = self.module.init(
+            {"params": rng}, **self.get_model_inputs(prepared)
+        )
+        return variables
+
+    # ---- schedules ----------------------------------------------------------------------
+    @property
+    def is_flow(self) -> bool:
+        prediction = getattr(self.config, "prediction_type", None) or self.PREDICTION_TYPE
+        return prediction == "flow_matching"
+
+    @property
+    def prediction_type(self) -> PredictionType:
+        return getattr(self.config, "prediction_type", None) or self.PREDICTION_TYPE
+
+    def flow_schedule_config(self) -> FlowScheduleConfig:
+        c = self.config
+        return FlowScheduleConfig(
+            sigmoid_scale=getattr(c, "flow_sigmoid_scale", 1.0) or 1.0,
+            schedule_shift=getattr(c, "flow_schedule_shift", None),
+            auto_shift=bool(getattr(c, "flow_schedule_auto_shift", False)),
+            use_uniform_schedule=bool(getattr(c, "flow_use_uniform_schedule", False)),
+            use_beta_schedule=bool(getattr(c, "flow_use_beta_schedule", False)),
+            beta_alpha=getattr(c, "flow_beta_schedule_alpha", 2.0) or 2.0,
+            beta_beta=getattr(c, "flow_beta_schedule_beta", 2.0) or 2.0,
+        )
+
+    def ddpm_schedule_config(self) -> DDPMScheduleConfig:
+        return DDPMScheduleConfig(
+            rescale_betas_zero_snr=bool(getattr(self.config, "rescale_betas_zero_snr", False))
+        )
+
+    def timestep_sampling_config(self) -> TimestepSamplingConfig:
+        c = self.config
+        return TimestepSamplingConfig(
+            bias_strategy=getattr(c, "timestep_bias_strategy", "none") or "none",
+            bias_multiplier=getattr(c, "timestep_bias_multiplier", 1.0) or 1.0,
+            bias_begin=getattr(c, "timestep_bias_begin", 0) or 0,
+            bias_end=getattr(c, "timestep_bias_end", 1000) or 1000,
+            bias_portion=getattr(c, "timestep_bias_portion", 0.25) or 0.25,
+        )
+
+    def loss_config(self) -> LossConfig:
+        c = self.config
+        return LossConfig(
+            loss_type=getattr(c, "loss_type", "l2") or "l2",
+            huber_schedule=getattr(c, "huber_schedule", "snr") or "snr",
+            huber_c=getattr(c, "huber_c", 0.1) or 0.1,
+            snr_gamma=getattr(c, "snr_gamma", None),
+            soft_min_snr_gamma=getattr(c, "soft_min_snr_gamma", None),
+            prediction_type=self.prediction_type,
+        )
+
+    @property
+    def alphas_cumprod(self) -> jax.Array:
+        if self._alphas_cumprod is None:
+            self._alphas_cumprod = make_alphas_cumprod(self.ddpm_schedule_config())
+        return self._alphas_cumprod
+
+    # ---- jit-safe training path -------------------------------------------------------------
+    def prepare_batch(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Sample noise + timesteps/sigmas and build the noisy model input.
+
+        ``batch`` must contain ``latents`` (B, H, W, C) plus the family's
+        conditioning tensors (text embeds etc.).  Returns the prepared batch with
+        ``noisy_latents``, ``noise``, ``timesteps``/``sigmas`` and ``target`` added.
+        """
+        latents = batch["latents"]
+        rng_noise, rng_t = jax.random.split(rng)
+        noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
+        prepared = dict(batch)
+        batch_size = latents.shape[0]
+        if self.is_flow:
+            seq_len = (latents.shape[1] // 2) * (latents.shape[2] // 2) if latents.ndim == 4 else None
+            sigmas = sample_flow_sigmas(rng_t, batch_size, self.flow_schedule_config(), seq_len)
+            prepared["sigmas"] = sigmas
+            prepared["timesteps"] = sigmas  # flow models take σ∈(0,1) as the timestep
+            prepared["noisy_latents"] = flow_interpolate(latents.astype(jnp.float32), noise, sigmas)
+            prepared["target"] = flow_target(latents.astype(jnp.float32), noise)
+        else:
+            timesteps = sample_timesteps(rng_t, batch_size, self.timestep_sampling_config())
+            prepared["timesteps"] = timesteps
+            prepared["noisy_latents"] = add_noise(
+                latents.astype(jnp.float32), noise, timesteps, self.alphas_cumprod
+            )
+            if self.prediction_type == "v_prediction":
+                prepared["target"] = velocity_target(
+                    latents.astype(jnp.float32), noise, timesteps, self.alphas_cumprod
+                )
+            elif self.prediction_type == "sample":
+                prepared["target"] = latents.astype(jnp.float32)
+            else:
+                prepared["target"] = noise
+        prepared["noise"] = noise
+        return prepared
+
+    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Map the prepared batch onto the module's __call__ kwargs."""
+        raise NotImplementedError
+
+    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
+        """Run the network; returns the prediction in *latent space* layout
+        (same shape as ``latents``)."""
+        raise NotImplementedError
+
+    def compute_loss(
+        self,
+        model_pred: jax.Array,
+        prepared: Dict[str, jax.Array],
+    ) -> jax.Array:
+        timesteps = prepared.get("timesteps")
+        return diffusion_loss(
+            model_pred,
+            prepared["target"],
+            self.loss_config(),
+            timesteps=None if self.is_flow else timesteps,
+            alphas_cumprod=None if self.is_flow else self.alphas_cumprod,
+            sigmas=prepared.get("sigmas"),
+            mask=prepared.get("loss_mask"),
+            loss_weight=prepared.get("loss_weight"),
+        )
+
+    def loss_fn(self, variables, rng: jax.Array, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Single fused prepare→predict→loss, the body of the train step."""
+        prepared = self.prepare_batch(rng, batch)
+        pred = self.model_predict(variables, prepared)
+        loss = self.compute_loss(pred, prepared)
+        aux = {"timesteps": prepared["timesteps"]}
+        return loss, aux
+
+    # ---- host-side --------------------------------------------------------------------------
+    def encode_text(self, prompts: Sequence[str]) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def check_user_config(self) -> None:
+        """Family-specific config validation; raise ValueError on bad combos."""
+
+    # ---- misc -----------------------------------------------------------------------------
+    @property
+    def lora_rank(self) -> int:
+        if getattr(self.config, "model_type", "lora") == "lora":
+            return int(getattr(self.config, "lora_rank", 16) or 16)
+        return 0
+
+    @property
+    def lora_alpha(self) -> Optional[float]:
+        return getattr(self.config, "lora_alpha", None)
+
+    def huggingface_path(self) -> Optional[str]:
+        explicit = getattr(self.config, "pretrained_model_name_or_path", None)
+        if explicit:
+            return explicit
+        if self.flavour and self.flavour in self.HUGGINGFACE_PATHS:
+            return self.HUGGINGFACE_PATHS[self.flavour]
+        if self.HUGGINGFACE_PATHS:
+            return next(iter(self.HUGGINGFACE_PATHS.values()))
+        return None

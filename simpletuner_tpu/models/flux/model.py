@@ -1,0 +1,115 @@
+"""Flux family (reference: helpers/models/flux/model.py:49-128 class contract,
+:625-793 ``model_predict`` — pack latents → RoPE ids → guidance vector →
+transformer → unpack)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..common import ModelFoundation, TextEncoderSpec
+from .transformer import (
+    FluxConfig,
+    FluxTransformer,
+    make_img_ids,
+    make_txt_ids,
+    pack_latents,
+    unpack_latents,
+)
+
+
+class Flux(ModelFoundation):
+    NAME = "flux"
+    PREDICTION_TYPE = "flow_matching"
+    MODEL_TYPE = "transformer"
+    LATENT_CHANNEL_COUNT = 16
+    DEFAULT_RESOLUTION = 1024
+    DEFAULT_FLAVOUR = "dev"
+    HUGGINGFACE_PATHS = {
+        "dev": "black-forest-labs/FLUX.1-dev",
+        "schnell": "black-forest-labs/FLUX.1-schnell",
+        "krea": "black-forest-labs/FLUX.1-Krea-dev",
+        "kontext": "black-forest-labs/FLUX.1-Kontext-dev",
+    }
+    TEXT_ENCODER_CONFIGURATION = (
+        TextEncoderSpec(name="clip-l", family="clip-l", subfolder="text_encoder", max_length=77, output="pooled"),
+        TextEncoderSpec(name="t5-xxl", family="t5-xxl", subfolder="text_encoder_2", max_length=512),
+    )
+    DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj", "linear1", "linear2")
+    VAE_SCALING_FACTOR = 0.3611
+    VAE_SHIFT_FACTOR = 0.1159
+
+    def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
+        super().__init__(config)
+        if arch is not None:
+            self.arch = arch
+        elif getattr(config, "model_arch_preset", None) == "tiny":
+            self.arch = FluxConfig.tiny()
+        else:
+            self.arch = FluxConfig(
+                guidance_embed=self.flavour in (None, "dev", "krea", "kontext")
+            )
+
+    # ---- construction -----------------------------------------------------------------
+    def create_module(self):
+        return FluxTransformer(
+            config=self.arch,
+            dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+        )
+
+    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
+        latent = resolution // 8
+        txt_len = 16 if self.arch.txt_in_features < 512 else 512
+        channels = self.arch.in_channels // 4  # 2x2 packing
+        return {
+            "latents": jnp.zeros((batch_size, latent, latent, channels), jnp.float32),
+            "t5_embeds": jnp.zeros((batch_size, txt_len, self.arch.txt_in_features), jnp.float32),
+            "pooled_embeds": jnp.zeros((batch_size, self.arch.vec_in_features), jnp.float32),
+        }
+
+    # ---- jit path -----------------------------------------------------------------------
+    def prepare_batch(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        prepared = super().prepare_batch(rng, batch)
+        latents = batch["latents"]
+        batch_size, height, width = latents.shape[0], latents.shape[1], latents.shape[2]
+        prepared["img_ids"] = make_img_ids(batch_size, height, width)
+        prepared["txt_ids"] = make_txt_ids(batch_size, batch["t5_embeds"].shape[1])
+        # guidance vector for the distilled (dev) flavour; reference flux/model.py guidance modes
+        mode = getattr(self.config, "flux_guidance_mode", "constant") or "constant"
+        if mode == "random-range":
+            low = getattr(self.config, "flux_guidance_min", 0.0) or 0.0
+            high = getattr(self.config, "flux_guidance_max", 4.0) or 4.0
+            rng_g = jax.random.fold_in(rng, 7)
+            prepared["guidance"] = jax.random.uniform(rng_g, (batch_size,), minval=low, maxval=high)
+        else:
+            value = getattr(self.config, "flux_guidance_value", 1.0)
+            value = 1.0 if value is None else value
+            prepared["guidance"] = jnp.full((batch_size,), value, jnp.float32)
+        return prepared
+
+    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        noisy = prepared["noisy_latents"]
+        return {
+            "img": pack_latents(noisy),
+            "img_ids": prepared["img_ids"],
+            "txt": prepared["t5_embeds"],
+            "txt_ids": prepared["txt_ids"],
+            "timesteps": prepared["timesteps"],
+            "vec": prepared["pooled_embeds"],
+            "guidance": prepared.get("guidance"),
+        }
+
+    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
+        tokens = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        height, width = prepared["noisy_latents"].shape[1:3]
+        return unpack_latents(tokens, height, width)
+
+    # ---- config validation -------------------------------------------------------------
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
+            raise ValueError("flux is a flow-matching family; prediction_type override unsupported")

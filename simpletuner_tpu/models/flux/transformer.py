@@ -1,0 +1,293 @@
+"""Flux-architecture rectified-flow DiT in flax.linen (TPU-native re-design).
+
+Capability parity with the reference's vendored Flux transformer
+(reference: helpers/models/flux/ — 12B double/single-stream MMDiT with joint
+text+image attention, axial RoPE over (t, h, w) ids, AdaLN-zero modulation,
+guidance embedding for the distilled flavours).  The implementation here is
+original JAX code built for XLA: one fused token stream per block, Pallas flash
+attention via the dispatcher, static shapes, and fp32 parameters with bf16
+compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import axial_rope
+from ..layers import (
+    AdaLayerNormZero,
+    Attention,
+    FeedForward,
+    LayerNorm,
+    LoRADense,
+    MLPEmbedder,
+    RMSNorm,
+    modulate,
+    timestep_embedding,
+)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64  # packed 2x2 patches of 16-channel latents
+    hidden_size: int = 3072
+    num_heads: int = 24
+    head_dim: int = 128
+    mlp_ratio: float = 4.0
+    depth_double: int = 19
+    depth_single: int = 38
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    theta: float = 10000.0
+    txt_in_features: int = 4096  # T5-XXL hidden
+    vec_in_features: int = 768  # pooled CLIP-L
+    guidance_embed: bool = True
+    qkv_bias: bool = True
+
+    @classmethod
+    def tiny(cls) -> "FluxConfig":
+        """Small config for tests."""
+        return cls(
+            in_channels=16,
+            hidden_size=64,
+            num_heads=2,
+            head_dim=32,
+            depth_double=2,
+            depth_single=2,
+            axes_dim=(8, 12, 12),
+            txt_in_features=32,
+            vec_in_features=16,
+        )
+
+
+class DoubleStreamBlock(nn.Module):
+    """MMDiT block: separate img/txt params, joint attention over the fused stream."""
+
+    config: FluxConfig
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, img, txt, vec, rope, segment_ids=None):
+        cfg = self.config
+        dim = cfg.hidden_size
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        img_mods = AdaLayerNormZero(6, name="img_mod", **common)(vec, dim)
+        txt_mods = AdaLayerNormZero(6, name="txt_mod", **common)(vec, dim)
+
+        # --- joint attention ---------------------------------------------------------
+        img_n = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(img), img_mods[0], img_mods[1])
+        txt_n = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(txt), txt_mods[0], txt_mods[1])
+
+        def qkv(prefix, x):
+            q = LoRADense(dim, use_bias=cfg.qkv_bias, name=f"{prefix}_attn_q", **common, **lora)(x)
+            k = LoRADense(dim, use_bias=cfg.qkv_bias, name=f"{prefix}_attn_k", **common, **lora)(x)
+            v = LoRADense(dim, use_bias=cfg.qkv_bias, name=f"{prefix}_attn_v", **common, **lora)(x)
+            batch, seq = x.shape[:2]
+            shape = (batch, seq, cfg.num_heads, cfg.head_dim)
+            q, k, v = q.reshape(shape), k.reshape(shape), v.reshape(shape)
+            q = RMSNorm(name=f"{prefix}_attn_norm_q", **common)(q)
+            k = RMSNorm(name=f"{prefix}_attn_norm_k", **common)(k)
+            return q, k, v
+
+        img_q, img_k, img_v = qkv("img", img_n)
+        txt_q, txt_k, txt_v = qkv("txt", txt_n)
+
+        # fused stream: text tokens first (Flux ordering), then image tokens
+        q = jnp.concatenate([txt_q, img_q], axis=1)
+        k = jnp.concatenate([txt_k, img_k], axis=1)
+        v = jnp.concatenate([txt_v, img_v], axis=1)
+
+        from ...ops import apply_rope, dot_product_attention
+
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = dot_product_attention(
+            q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
+        )
+        batch = img.shape[0]
+        attn = attn.reshape(batch, -1, dim)
+        txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
+
+        img = img + img_mods[2] [:, None, :] * LoRADense(dim, name="img_attn_proj", **common, **lora)(img_attn)
+        txt = txt + txt_mods[2][:, None, :] * LoRADense(dim, name="txt_attn_proj", **common, **lora)(txt_attn)
+
+        # --- per-stream MLP ------------------------------------------------------------
+        img_m = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(img), img_mods[3], img_mods[4])
+        img = img + img_mods[5][:, None, :] * FeedForward(
+            dim, cfg.mlp_ratio, name="img_mlp", **common, **lora
+        )(img_m)
+        txt_m = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(txt), txt_mods[3], txt_mods[4])
+        txt = txt + txt_mods[5][:, None, :] * FeedForward(
+            dim, cfg.mlp_ratio, name="txt_mlp", **common, **lora
+        )(txt_m)
+        return img, txt
+
+
+class SingleStreamBlock(nn.Module):
+    """DiT block over the fused (txt+img) stream with a fused qkv+mlp projection."""
+
+    config: FluxConfig
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, vec, rope, segment_ids=None):
+        cfg = self.config
+        dim = cfg.hidden_size
+        mlp_dim = int(dim * cfg.mlp_ratio)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        shift, scale, gate = AdaLayerNormZero(3, name="modulation", **common)(vec, dim)
+        x_n = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)
+
+        fused = LoRADense(dim * 3 + mlp_dim, name="linear1", **common, **lora)(x_n)
+        qkv, mlp = fused[..., : dim * 3], fused[..., dim * 3:]
+        batch, seq = x.shape[:2]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (batch, seq, cfg.num_heads, cfg.head_dim)
+        q, k, v = q.reshape(shape), k.reshape(shape), v.reshape(shape)
+        q = RMSNorm(name="norm_q", **common)(q)
+        k = RMSNorm(name="norm_k", **common)(k)
+
+        from ...ops import apply_rope, dot_product_attention
+
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = dot_product_attention(
+            q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
+        ).reshape(batch, seq, dim)
+
+        out = LoRADense(dim, name="linear2", **common, **lora)(
+            jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1)
+        )
+        return x + gate[:, None, :] * out
+
+
+class FluxTransformer(nn.Module):
+    """Full Flux DiT.  Inputs are pre-packed token sequences:
+
+    img: (B, S_img, in_channels) packed latent patches
+    img_ids / txt_ids: (B, S, 3) axial position ids
+    txt: (B, S_txt, txt_in_features) T5 features
+    vec: (B, vec_in_features) pooled CLIP features
+    timesteps: (B,) in [0, 1]
+    guidance: (B,) guidance scale (distilled flavours)
+    """
+
+    config: FluxConfig = FluxConfig()
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jax.Array,
+        img_ids: jax.Array,
+        txt: jax.Array,
+        txt_ids: jax.Array,
+        timesteps: jax.Array,
+        vec: jax.Array,
+        guidance: Optional[jax.Array] = None,
+        segment_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        dim = cfg.hidden_size
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+
+        img_tok = LoRADense(dim, name="img_in", **common, **lora)(img)
+        txt_tok = LoRADense(dim, name="txt_in", **common, **lora)(txt)
+
+        time_vec = MLPEmbedder(dim, name="time_in", **common)(
+            timestep_embedding(timesteps, 256).astype(self.dtype)
+        )
+        vec_cond = MLPEmbedder(dim, name="vector_in", **common)(vec.astype(self.dtype))
+        cond = time_vec + vec_cond
+        if cfg.guidance_embed:
+            if guidance is None:
+                guidance = jnp.ones_like(timesteps)
+            cond = cond + MLPEmbedder(dim, name="guidance_in", **common)(
+                timestep_embedding(guidance, 256).astype(self.dtype)
+            )
+
+        ids = jnp.concatenate([txt_ids, img_ids], axis=1)
+        rope = axial_rope(cfg.axes_dim, ids, cfg.theta)
+
+        double_cls = DoubleStreamBlock
+        single_cls = SingleStreamBlock
+        if self.remat:
+            double_cls = nn.remat(DoubleStreamBlock, static_argnums=())
+            single_cls = nn.remat(SingleStreamBlock, static_argnums=())
+
+        for layer in range(cfg.depth_double):
+            img_tok, txt_tok = double_cls(
+                cfg, name=f"double_{layer}", **common, **lora
+            )(img_tok, txt_tok, cond, rope, segment_ids)
+
+        stream = jnp.concatenate([txt_tok, img_tok], axis=1)
+        for layer in range(cfg.depth_single):
+            stream = single_cls(
+                cfg, name=f"single_{layer}", **common, **lora
+            )(stream, cond, rope, segment_ids)
+        img_tok = stream[:, txt_tok.shape[1]:]
+
+        shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(cond, dim)
+        img_tok = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(img_tok), shift, scale)
+        return LoRADense(
+            cfg.in_channels, name="final_proj", **common,
+        )(img_tok).astype(jnp.float32)
+
+
+def pack_latents(latents: jax.Array, patch: int = 2) -> jax.Array:
+    """(B, H, W, C) -> (B, H/p * W/p, C*p*p) token packing."""
+    batch, height, width, channels = latents.shape
+    x = latents.reshape(batch, height // patch, patch, width // patch, patch, channels)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(batch, (height // patch) * (width // patch), channels * patch * patch)
+
+
+def unpack_latents(tokens: jax.Array, height: int, width: int, patch: int = 2) -> jax.Array:
+    """Inverse of :func:`pack_latents`; height/width are the latent dims."""
+    batch = tokens.shape[0]
+    channels = tokens.shape[-1] // (patch * patch)
+    x = tokens.reshape(batch, height // patch, width // patch, patch, patch, channels)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(batch, height, width, channels)
+
+
+def make_img_ids(batch: int, height: int, width: int, patch: int = 2) -> jax.Array:
+    """Axial (t, h, w) position ids for packed latent tokens."""
+    h_ids = jnp.arange(height // patch)
+    w_ids = jnp.arange(width // patch)
+    grid = jnp.stack(
+        [
+            jnp.zeros((height // patch, width // patch), jnp.int32),
+            jnp.broadcast_to(h_ids[:, None], (height // patch, width // patch)),
+            jnp.broadcast_to(w_ids[None, :], (height // patch, width // patch)),
+        ],
+        axis=-1,
+    ).reshape(1, -1, 3)
+    return jnp.broadcast_to(grid, (batch, grid.shape[1], 3))
+
+
+def make_txt_ids(batch: int, seq: int) -> jax.Array:
+    return jnp.zeros((batch, seq, 3), jnp.int32)

@@ -1,0 +1,276 @@
+"""Shared flax.linen building blocks for the model zoo.
+
+LoRA is first-class here instead of the reference's module-surgery approach
+(reference: helpers/models/common.py:982 ``add_lora_adapter`` via peft): every
+``LoRADense`` owns optional low-rank parameters in a separate ``lora`` variable
+collection, so the trainable pytree for adapter runs is simply the ``lora``
+collection while base weights stay frozen (and quantizable) in ``params``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import apply_rope, dot_product_attention
+
+Dtype = Any
+
+
+class LoRADense(nn.Module):
+    """Dense layer with an optional LoRA branch in the ``lora`` collection.
+
+    y = x W + b + (alpha / rank) * (x A) B  with A ~ N(0, 1/rank), B = 0.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        if self.lora_rank > 0:
+            rank = self.lora_rank
+            alpha = self.lora_alpha if self.lora_alpha is not None else float(rank)
+            lora_a = self.variable(
+                "lora",
+                "lora_A",
+                lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, (in_features, rank), self.param_dtype),
+                self.make_rng("params") if self.is_initializing() else None,
+            )
+            lora_b = self.variable(
+                "lora",
+                "lora_B",
+                lambda rng: jnp.zeros((rank, self.features), self.param_dtype),
+                None,
+            )
+            scale = alpha / rank
+            delta = jnp.dot(
+                jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype)),
+                lora_b.value.astype(self.dtype),
+            )
+            y = y + scale * delta
+        return y
+
+
+class RMSNorm(nn.Module):
+    dim: Optional[int] = None
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_f = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x_f), axis=-1, keepdims=True)
+        y = x_f * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype)
+            y = y * scale.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, max_period: float = 10000.0, time_factor: float = 1000.0
+) -> jax.Array:
+    """Sinusoidal timestep embedding (flow models scale sigma in [0,1] by 1000)."""
+    timesteps = timesteps.astype(jnp.float32) * time_factor
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class MLPEmbedder(nn.Module):
+    """2-layer SiLU MLP used for time/vector/guidance conditioning."""
+
+    hidden_size: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = LoRADense(self.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="in_layer")(x)
+        x = nn.silu(x)
+        return LoRADense(self.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype, name="out_layer")(x)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: float = 4.0
+    activation: str = "gelu_tanh"  # gelu_tanh | geglu | silu
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = int(self.dim * self.mult)
+        dense = lambda features, name: LoRADense(
+            features,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            name=name,
+        )
+        if self.activation == "geglu":
+            h = dense(inner * 2, "proj_in")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate)
+        elif self.activation == "silu":
+            h = nn.silu(dense(inner, "proj_in")(x))
+        else:
+            h = nn.gelu(dense(inner, "proj_in")(x), approximate=True)
+        return dense(self.dim, "proj_out")(h)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional cross-attention context, QK-RMSNorm and RoPE.
+
+    Operates on (B, S, C); uses the framework attention dispatcher (Pallas flash on
+    TPU).  All projections are LoRA-aware.
+    """
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    qk_norm: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    out_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        rope: Optional[Tuple[jax.Array, jax.Array]] = None,
+        q_segment_ids: Optional[jax.Array] = None,
+        kv_segment_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        head_dim = self.head_dim or x.shape[-1] // self.num_heads
+        inner = head_dim * self.num_heads
+        kv_source = x if context is None else context
+
+        dense = lambda features, name, bias=True: LoRADense(
+            features,
+            use_bias=bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            name=name,
+        )
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(kv_source)
+        v = dense(inner, "to_v")(kv_source)
+
+        batch, sq = q.shape[:2]
+        sk = k.shape[1]
+        q = q.reshape(batch, sq, self.num_heads, head_dim)
+        k = k.reshape(batch, sk, self.num_heads, head_dim)
+        v = v.reshape(batch, sk, self.num_heads, head_dim)
+
+        if self.qk_norm:
+            q = RMSNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_q")(q)
+            k = RMSNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_k")(k)
+
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        out = dot_product_attention(
+            q, k, v, q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids
+        )
+        out = out.reshape(batch, sq, inner)
+        return dense(x.shape[-1], "to_out", bias=self.out_bias)(out)
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchifier for DiTs operating on (B, H, W, C) latents."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        batch, height, width, _ = x.shape
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="proj",
+        )(x)
+        return x.reshape(batch, -1, self.embed_dim)
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class AdaLayerNormZero(nn.Module):
+    """AdaLN-Zero: emits (shift, scale, gate) triples from the conditioning vector."""
+
+    num_outputs: int = 6  # 6 for attn+mlp, 3 for single-stream, 2 for final layer
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vec: jax.Array, dim: int) -> Sequence[jax.Array]:
+        vec = nn.silu(vec)
+        out = LoRADense(
+            dim * self.num_outputs,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.zeros,
+            name="lin",
+        )(vec)
+        return jnp.split(out, self.num_outputs, axis=-1)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32 with optional affine params."""
+
+    use_scale: bool = True
+    use_bias: bool = True
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(
+            epsilon=self.eps,
+            use_scale=self.use_scale,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)

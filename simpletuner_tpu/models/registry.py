@@ -1,0 +1,66 @@
+"""Model family registry with lazy imports (reference: helpers/models/registry.py:54
+``ModelRegistry`` backed by model_metadata.json — here a plain lazy table)."""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Dict, List, Optional, Type
+
+# family name -> (module path, class name, metadata)
+_FAMILIES: Dict[str, tuple] = {
+    "flux": ("simpletuner_tpu.models.flux.model", "Flux", {"modality": "image", "prediction": "flow_matching"}),
+    "sd1x": ("simpletuner_tpu.models.sd1x.model", "SD1x", {"modality": "image", "prediction": "epsilon"}),
+    "sd2x": ("simpletuner_tpu.models.sd1x.model", "SD2x", {"modality": "image", "prediction": "v_prediction"}),
+    "sdxl": ("simpletuner_tpu.models.sdxl.model", "SDXL", {"modality": "image", "prediction": "epsilon"}),
+    "sd3": ("simpletuner_tpu.models.sd3.model", "SD3", {"modality": "image", "prediction": "flow_matching"}),
+    "pixart_sigma": ("simpletuner_tpu.models.pixart.model", "PixartSigma", {"modality": "image", "prediction": "epsilon"}),
+    "auraflow": ("simpletuner_tpu.models.auraflow.model", "AuraFlow", {"modality": "image", "prediction": "flow_matching"}),
+    "wan": ("simpletuner_tpu.models.wan.model", "Wan", {"modality": "video", "prediction": "flow_matching"}),
+    "ltxvideo": ("simpletuner_tpu.models.ltxvideo.model", "LTXVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "ace_step": ("simpletuner_tpu.models.ace_step.model", "ACEStep", {"modality": "audio", "prediction": "flow_matching"}),
+}
+
+_ALIASES = {
+    "sd15": "sd1x",
+    "sd21": "sd2x",
+    "pixart": "pixart_sigma",
+}
+
+
+class ModelRegistry:
+    @staticmethod
+    def families() -> List[str]:
+        return list(_FAMILIES)
+
+    @staticmethod
+    def metadata(name: str) -> Dict[str, Any]:
+        name = _ALIASES.get(name, name)
+        if name not in _FAMILIES:
+            raise KeyError(f"unknown model family {name!r}; known: {list(_FAMILIES)}")
+        return dict(_FAMILIES[name][2])
+
+    @staticmethod
+    def get(name: str) -> Type:
+        name = _ALIASES.get(name, name)
+        if name not in _FAMILIES:
+            raise KeyError(f"unknown model family {name!r}; known: {list(_FAMILIES)}")
+        module_path, class_name, _ = _FAMILIES[name]
+        module = importlib.import_module(module_path)
+        return getattr(module, class_name)
+
+    @staticmethod
+    def create(name: str, config: Any):
+        return ModelRegistry.get(name)(config)
+
+    @staticmethod
+    def register(name: str, module_path: str, class_name: str, metadata: Optional[Dict] = None) -> None:
+        _FAMILIES[name] = (module_path, class_name, metadata or {})
+
+
+def get_model_family(config: Any):
+    family = getattr(config, "model_family", None)
+    if not family:
+        raise ValueError("config.model_family is required")
+    model = ModelRegistry.create(family, config)
+    model.check_user_config()
+    return model

@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import (
+    FluxConfig,
+    make_img_ids,
+    pack_latents,
+    unpack_latents,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_flux():
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "model_arch_preset": "tiny",
+            "max_train_steps": 10,
+        }
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=2, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def test_pack_unpack_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 16))
+    packed = pack_latents(x)
+    assert packed.shape == (2, 4 * 6, 64)
+    back = unpack_latents(packed, 8, 12)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_img_ids_grid():
+    ids = make_img_ids(1, 8, 8)
+    assert ids.shape == (1, 16, 3)
+    assert int(ids[0, 0, 1]) == 0 and int(ids[0, -1, 1]) == 3
+    assert int(ids[0, -1, 2]) == 3
+
+
+def test_flux_forward_shapes(tiny_flux):
+    model, variables, batch = tiny_flux
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+    assert jnp.isfinite(pred).all()
+
+
+def test_flux_has_lora_collection(tiny_flux):
+    model, variables, _ = tiny_flux
+    assert "lora" in variables
+    lora_leaves = jax.tree_util.tree_leaves(variables["lora"])
+    assert lora_leaves, "lora params should exist for model_type=lora"
+    # B matrices must start at zero -> adapter is identity at init
+    flat = jax.tree_util.tree_flatten_with_path(variables["lora"])[0]
+    b_leaves = [leaf for path, leaf in flat if "lora_B" in str(path)]
+    assert b_leaves and all(float(jnp.abs(b).max()) == 0.0 for b in b_leaves)
+
+
+def test_flux_loss_and_lora_grads(tiny_flux):
+    model, variables, batch = tiny_flux
+
+    def loss_fn(lora_params):
+        merged = {"params": variables["params"], "lora": lora_params}
+        loss, _ = model.loss_fn(merged, jax.random.PRNGKey(2), batch)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["lora"])
+    assert jnp.isfinite(loss)
+    # LoRA B grads should be nonzero somewhere (A output feeds them),
+    # and every leaf should be finite.
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0.0
+
+
+def test_flux_guidance_modes():
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "flux_guidance_mode": "random-range",
+            "flux_guidance_min": 1.0,
+            "flux_guidance_max": 2.0,
+            "max_train_steps": 10,
+        }
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=4, resolution=64)
+    prepared = model.prepare_batch(jax.random.PRNGKey(3), batch)
+    g = prepared["guidance"]
+    assert g.shape == (4,)
+    assert float(g.min()) >= 1.0 and float(g.max()) <= 2.0
+
+
+def test_registry_resolves_flux():
+    from simpletuner_tpu.models import ModelRegistry
+
+    cls = ModelRegistry.get("flux")
+    assert cls is Flux
