@@ -1,0 +1,131 @@
+"""TrainState and the sharded train-step builder.
+
+This is the functional core the reference's Trainer god-object loop wraps around
+(reference: helpers/training/trainer.py:6355-7320): one donated, jitted step that
+does prepare→forward→loss→grad→clip→optimizer→EMA on-device, sharded over the
+mesh.  Everything host-side (dataloading, checkpoints, logging) lives in
+``training/trainer.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..parallel.mesh import batch_sharding, params_shardings, replicated
+from .ema import EMAConfig, ema_init, ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    frozen: Dict[str, Any]  # non-trainable variable collections (e.g. base params in lora mode)
+    trainable: Dict[str, Any]  # collections being optimized
+    opt_state: optax.OptState
+    ema: Optional[Dict[str, Any]] = None
+
+    def variables(self) -> Dict[str, Any]:
+        return {**self.frozen, **self.trainable}
+
+
+def create_train_state(
+    model,
+    variables: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    ema_config: Optional[EMAConfig] = None,
+) -> TrainState:
+    """Split variables into frozen/trainable by model_type and initialize optimizer."""
+    train_lora = model.lora_rank > 0
+    if train_lora:
+        if "lora" not in variables:
+            raise ValueError("model_type=lora but module has no lora collection")
+        trainable = {"lora": variables["lora"]}
+        frozen = {k: v for k, v in variables.items() if k != "lora"}
+    else:
+        trainable = {"params": variables["params"]}
+        frozen = {k: v for k, v in variables.items() if k != "params"}
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        frozen=frozen,
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+        ema=ema_init(trainable) if ema_config is not None else None,
+    )
+
+
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    lr_schedule: Optional[Callable] = None,
+    ema_config: Optional[EMAConfig] = None,
+) -> Callable:
+    """Returns step_fn(state, batch, rng) -> (state, metrics). Pure; jit outside."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        def loss_fn(trainable):
+            variables = {**state.frozen, **trainable}
+            loss, aux = model.loss_fn(variables, rng, batch)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)
+        grad_norm = optax.global_norm(grads)
+        # Non-finite guard (reference trainer.py:6614): skip the update, keep state.
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = tx.update(safe_grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        new_trainable = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_trainable, state.trainable
+        )
+        new_step = state.step + 1
+
+        new_ema = state.ema
+        if state.ema is not None and ema_config is not None:
+            new_ema = ema_update(ema_config, state.ema, new_trainable, new_step)
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "skipped_nonfinite": 1.0 - finite.astype(jnp.float32),
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        new_state = state.replace(
+            step=new_step,
+            trainable=new_trainable,
+            opt_state=new_opt_state,
+            ema=new_ema,
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def state_shardings(mesh, state: TrainState):
+    """NamedShardings for every leaf: params/opt-state over fsdp, scalars replicated."""
+    return jax.tree_util.tree_map(
+        lambda leaf: params_shardings(mesh, leaf)
+        if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) >= 1
+        else replicated(mesh),
+        state,
+    )
+
+
+def jit_train_step(step_fn: Callable, mesh, state: TrainState):
+    """jit with explicit shardings: state sharded per FSDP rule, batch over
+    data×fsdp, donated state."""
+    s_shard = state_shardings(mesh, state)
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(s_shard, b_shard, r_shard),
+        out_shardings=(s_shard, r_shard),
+        donate_argnums=(0,),
+    )

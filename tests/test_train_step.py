@@ -1,0 +1,138 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import FluxConfig
+from simpletuner_tpu.parallel.mesh import MeshConfig, build_mesh, batch_sharding
+from simpletuner_tpu.training.ema import EMAConfig
+from simpletuner_tpu.training.optimizers import get_optimizer, optimizer_names
+from simpletuner_tpu.training.schedules import get_lr_schedule
+from simpletuner_tpu.training.train_state import (
+    build_train_step,
+    create_train_state,
+    jit_train_step,
+)
+
+
+def _tiny_setup(model_type="lora", use_ema=False, **extra):
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": model_type,
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 100,
+            **extra,
+        }
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=8, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    schedule = get_lr_schedule(cfg, 100)
+    tx = get_optimizer(cfg, schedule)
+    ema_cfg = EMAConfig() if use_ema else None
+    state = create_train_state(model, variables, tx, ema_cfg)
+    step_fn = build_train_step(model, tx, schedule, ema_cfg)
+    return model, state, step_fn, batch
+
+
+def test_train_step_reduces_loss_lora():
+    model, state, step_fn, batch = _tiny_setup()
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))  # fixed noise
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 8
+
+
+def test_train_step_full_model():
+    model, state, step_fn, batch = _tiny_setup(model_type="full")
+    assert "params" in state.trainable and "lora" not in state.trainable
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert jnp.isfinite(metrics["loss"])
+
+
+def test_train_step_ema_tracks():
+    model, state, step_fn, batch = _tiny_setup(use_ema=True)
+    assert state.ema is not None
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    before = jax.tree_util.tree_leaves(state.ema)[0].copy()
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    leaves_ema = jax.tree_util.tree_leaves(state.ema)
+    leaves_train = jax.tree_util.tree_leaves(state.trainable)
+    assert any(bool(jnp.any(e != b)) for e, b in zip(leaves_ema, [before] * len(leaves_ema)))
+    # ema stays finite and near trainable
+    assert all(bool(jnp.isfinite(e).all()) for e in leaves_ema)
+
+
+def test_sharded_train_step_on_virtual_mesh():
+    # 8 virtual CPU devices: data=4, fsdp=2
+    model, state, step_fn, batch = _tiny_setup()
+    mesh = build_mesh(MeshConfig(fsdp_size=2, context_size=1))
+    assert mesh.devices.size == 8
+    step = jit_train_step(step_fn, mesh, state)
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    step_before = int(state.step)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert jnp.isfinite(metrics["loss"])
+    assert int(state2.step) == step_before + 1
+
+
+def test_nonfinite_guard_skips_update():
+    model, state, step_fn, batch = _tiny_setup()
+    bad = dict(batch)
+    bad["latents"] = jnp.full_like(batch["latents"], jnp.nan)
+    step = jax.jit(step_fn)
+    before = jax.tree_util.tree_leaves(state.trainable)
+    state2, metrics = step(state, bad, jax.random.PRNGKey(0))
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    after = jax.tree_util.tree_leaves(state2.trainable)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+@pytest.mark.parametrize("name", ["adamw", "adamw_bf16", "lion", "adafactor", "prodigy", "muon"])
+def test_optimizer_variants_run(name):
+    model, state, step_fn, batch = _tiny_setup(optimizer=name)
+    step = jax.jit(step_fn)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert jnp.isfinite(metrics["loss"])
+
+
+def test_grad_accumulation():
+    model, state, step_fn, batch = _tiny_setup(gradient_accumulation_steps=2)
+    step = jax.jit(step_fn)
+    p0 = jax.tree_util.tree_leaves(state.trainable)[0].copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # first micro-step: no param change yet
+    p1 = jax.tree_util.tree_leaves(state.trainable)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+
+def test_lr_schedules_shapes():
+    cfg = TrainingConfig({"learning_rate": 1e-3, "lr_warmup_steps": 10, "lr_scheduler": "polynomial", "max_train_steps": 100})
+    sched = get_lr_schedule(cfg, 100)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) < 1e-3
+
+    for name in ["constant", "constant_with_warmup", "cosine", "cosine_with_restarts", "cosine_annealing_hard_restarts", "sine", "linear"]:
+        cfg = TrainingConfig({"learning_rate": 1e-3, "lr_scheduler": name, "max_train_steps": 100})
+        sched = get_lr_schedule(cfg, 100)
+        values = [float(sched(i)) for i in (0, 50, 99)]
+        assert all(np.isfinite(values)), (name, values)
+
+
+def test_optimizer_names_exported():
+    names = optimizer_names()
+    for expected in ("adamw", "adamw_bf16", "lion", "prodigy", "muon", "soap", "bnb-lion8bit"):
+        assert expected in names
