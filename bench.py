@@ -1,0 +1,192 @@
+"""Benchmark: Flux-architecture LoRA training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is model FLOPs utilization (MFU) of the full LoRA train step
+(prepare → forward → backward → optimizer → EMA) on a Flux-architecture DiT at
+512px-equivalent sequence lengths, bf16 base weights.  Baseline = the driver
+north star of 40% MFU (BASELINE.json); vs_baseline = MFU / 0.40.
+Extra context (samples/sec, step time, config) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+# v5e bf16 peak per chip
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, flops in PEAK_FLOPS.items():
+        if kind.startswith(name) or name in kind:
+            return flops
+    log(f"unknown device kind {kind!r}; assuming v5e peak")
+    return 197e12
+
+
+def flux_step_flops(arch, batch: int, s_img: int, s_txt: int, remat: bool) -> float:
+    """Analytic *model* matmul FLOPs for one train step (fwd + 2x bwd).
+
+    MFU convention: remat recompute is NOT counted as useful flops (the extra
+    forward is hardware work, not model work).
+    """
+    h = arch.hidden_size
+    s = s_img + s_txt
+    mlp = arch.mlp_ratio
+    # per-token dense flops (2*in*out per matmul); a token passes one stream of a
+    # double block: qkv (6h²) + proj (2h²) + mlp in/out (2·2·mlp·h²)
+    double = 2 * h * h * (3 + 1 + 2 * mlp)
+    single = 2 * h * h * (3 + mlp) + 2 * h * h * (1 + mlp)  # linear1 + linear2
+    attn = 4 * s * h  # QK^T + PV per token
+    fwd = batch * s * (
+        arch.depth_double * (double + attn) + arch.depth_single * (single + attn)
+    )
+    # io projections
+    fwd += batch * (s_img * 2 * arch.in_channels * h * 2 + s_txt * 2 * arch.txt_in_features * h)
+    del remat
+    return fwd * 3.0
+
+
+def main() -> None:
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+    from simpletuner_tpu.training.optimizers import get_optimizer
+    from simpletuner_tpu.training.schedules import get_lr_schedule
+    from simpletuner_tpu.training.train_state import build_train_step, create_train_state
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 8))
+    resolution = int(os.environ.get("BENCH_RES", 512))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+
+    # Flux-architecture model sized to one v5e chip (same h/heads as Flux.1,
+    # reduced depth): ~2.3B params in bf16.
+    arch = FluxConfig(
+        hidden_size=3072,
+        num_heads=24,
+        head_dim=128,
+        depth_double=4,
+        depth_single=8,
+        txt_in_features=4096,
+        vec_in_features=768,
+    )
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 16,
+            "optimizer": "adamw",
+            "learning_rate": 1e-4,
+            "max_train_steps": 1000,
+            "gradient_checkpointing": remat,
+        }
+    )
+    model = Flux(cfg, arch=arch)
+
+    latent = resolution // 8
+    s_img = (latent // 2) * (latent // 2)
+    s_txt = 512
+    batch = {
+        "latents": jnp.zeros((batch_size, latent, latent, 16), jnp.float32),
+        "t5_embeds": jnp.zeros((batch_size, s_txt, arch.txt_in_features), jnp.bfloat16),
+        "pooled_embeds": jnp.zeros((batch_size, arch.vec_in_features), jnp.bfloat16),
+    }
+
+    log(f"initializing params (bs={batch_size}, res={resolution}, s_img={s_img})...")
+    t0 = time.perf_counter()
+    init_batch = {k: v[:1] for k, v in batch.items()}
+    variables = model.init_params(jax.random.PRNGKey(0), init_batch)
+    # bf16 base weights (frozen under LoRA), like the reference's bf16 base training
+    variables = {
+        "params": jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), variables["params"]),
+        "lora": variables["lora"],
+    }
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+    log(f"params: {n_params/1e9:.2f}B, init took {time.perf_counter()-t0:.1f}s")
+
+    schedule = get_lr_schedule(cfg, 1000)
+    tx = get_optimizer(cfg, schedule)
+    state = create_train_state(model, variables, tx)
+    step_fn = build_train_step(model, tx, schedule)
+
+    # K steps fused into one program: block_until_ready is unreliable over the
+    # remote-device tunnel, so sync via one scalar fetch per K steps instead.
+    def k_steps(state, batch, rng, k):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
+            return (st, metrics["loss"])
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+
+    step_k = jax.jit(k_steps, static_argnums=(3,), donate_argnums=(0,))
+
+    log("compiling...")
+    t0 = time.perf_counter()
+    state, loss = step_k(state, batch, jax.random.PRNGKey(1), 1)
+    loss_val = float(loss)
+    log(f"compile+first step: {time.perf_counter()-t0:.1f}s  loss={loss_val:.4f}")
+
+    # measure scalar-fetch (tunnel) overhead on a ready value
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(loss)
+    fetch_overhead = (time.perf_counter() - t0) / 3
+    log(f"scalar fetch overhead: {fetch_overhead*1e3:.1f} ms")
+
+    state, loss = step_k(state, batch, jax.random.PRNGKey(2), steps)  # warm cache for K
+    _ = float(loss)
+    t0 = time.perf_counter()
+    state, loss = step_k(state, batch, jax.random.PRNGKey(3), steps)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0 - fetch_overhead) / steps
+
+    step_flops = flux_step_flops(arch, batch_size, s_img, s_txt, remat)
+    mfu = step_flops / dt / peak_flops()
+    samples_per_sec = batch_size / dt
+    log(
+        f"step: {dt*1e3:.1f} ms  samples/s/chip: {samples_per_sec:.2f}  "
+        f"model TFLOP/step: {step_flops/1e12:.1f}  MFU: {mfu*100:.1f}%"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "flux_lora_train_mfu_v5e",
+                "value": round(mfu, 4),
+                "unit": "MFU (fraction of bf16 peak)",
+                "vs_baseline": round(mfu / 0.40, 3),
+                "extra": {
+                    "samples_per_sec_per_chip": round(samples_per_sec, 3),
+                    "step_ms": round(dt * 1e3, 1),
+                    "params_b": round(n_params / 1e9, 2),
+                    "batch": batch_size,
+                    "resolution": resolution,
+                    "remat": remat,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

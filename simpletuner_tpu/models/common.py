@@ -92,10 +92,11 @@ class ModelFoundation:
     def init_params(self, rng: jax.Array, batch: Optional[Dict[str, jax.Array]] = None):
         batch = batch or self.example_batch()
         prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
-        variables = self.module.init(
-            {"params": rng}, **self.get_model_inputs(prepared)
-        )
-        return variables
+        inputs = self.get_model_inputs(prepared)
+        # jit the init: eager init dispatches thousands of tiny ops (very slow
+        # over a remote-device tunnel); one compiled program instead
+        init_fn = jax.jit(lambda r: self.module.init({"params": r}, **inputs))
+        return init_fn(rng)
 
     # ---- schedules ----------------------------------------------------------------------
     @property
