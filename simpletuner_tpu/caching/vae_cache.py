@@ -1,0 +1,195 @@
+"""VAE latent cache.
+
+Disk layout matches the reference (reference: helpers/caching/vae.py:118
+``VAECache``; filenames ``sha256(stem).pt`` preserving subfolders, :678-703) so
+caches interoperate both ways.  The encode pipeline is restructured TPU-first:
+host threads decode+crop/resize (TrainingSample), batches are stacked per bucket
+shape and pushed through one jitted ``vae.encode``; writer threads persist .pt
+files — decode and encode overlap like the reference's queue pipeline
+(vae.py:2037 process_buckets) but with XLA doing the math.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import queue
+import random
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.backends.base import BaseDataBackend
+from ..data.buckets import BucketConfig
+from ..data.metadata import MetadataBackend
+from ..data.training_sample import image_to_array, prepare_image
+
+
+class VAECache:
+    def __init__(
+        self,
+        id: str,
+        data_backend: BaseDataBackend,
+        metadata_backend: MetadataBackend,
+        cache_dir: str,
+        encode_fn: Optional[Callable[[np.ndarray, int], np.ndarray]] = None,
+        bucket_config: Optional[BucketConfig] = None,
+        cache_data_backend: Optional[BaseDataBackend] = None,
+        instance_data_dir: Optional[str] = None,
+        batch_size: int = 4,
+        crop_style: str = "random",
+        hash_filenames: bool = True,
+        ondemand: bool = False,
+        max_workers: int = 8,
+        seed: int = 42,
+    ):
+        self.id = id
+        self.data_backend = data_backend
+        self.cache_data_backend = cache_data_backend or data_backend
+        self.metadata_backend = metadata_backend
+        self.cache_dir = cache_dir
+        self.encode_fn = encode_fn
+        self.bucket_config = bucket_config or metadata_backend.bucket_config
+        self.instance_data_dir = instance_data_dir or metadata_backend.instance_data_dir
+        self.batch_size = batch_size
+        self.crop_style = crop_style
+        self.hash_filenames = hash_filenames
+        self.ondemand = ondemand
+        self.max_workers = max_workers
+        self.seed = seed
+
+    # ---- filenames (reference vae.py:678-703) ------------------------------------------------
+    def generate_vae_cache_filename(self, filepath: str) -> Tuple[str, str]:
+        if filepath.endswith(".pt"):
+            return filepath, os.path.basename(filepath)
+        base = os.path.splitext(os.path.basename(filepath))[0]
+        if self.hash_filenames:
+            base = hashlib.sha256(base.encode()).hexdigest()
+        base = base + ".pt"
+        subfolders = ""
+        if self.instance_data_dir:
+            subfolders = os.path.dirname(filepath).replace(self.instance_data_dir, "").lstrip(os.sep)
+        if subfolders:
+            return os.path.join(self.cache_dir, subfolders, base), base
+        return os.path.join(self.cache_dir, base), base
+
+    def exists(self, filepath: str) -> bool:
+        return self.cache_data_backend.exists(self.generate_vae_cache_filename(filepath)[0])
+
+    def load(self, filepath: str) -> np.ndarray:
+        latents = self.cache_data_backend.torch_load(self.generate_vae_cache_filename(filepath)[0])
+        if isinstance(latents, dict):  # some caches store dicts
+            latents = latents.get("latents", latents)
+        return np.asarray(latents)
+
+    def save(self, filepath: str, latents: np.ndarray) -> None:
+        self.cache_data_backend.torch_save(latents, self.generate_vae_cache_filename(filepath)[0])
+
+    # ---- discovery ---------------------------------------------------------------------------
+    def discover_unprocessed_files(self) -> List[str]:
+        all_files: List[str] = []
+        for files in self.metadata_backend.aspect_ratio_bucket_indices.values():
+            all_files.extend(files)
+        return [f for f in all_files if not self.exists(f)]
+
+    # ---- the caching pass --------------------------------------------------------------------
+    def _prepare_one(self, path: str) -> Optional[Tuple[str, np.ndarray, Dict[str, Any]]]:
+        try:
+            from PIL import Image
+
+            image = Image.open(io.BytesIO(self.data_backend.read(path)))
+            rng = random.Random((self.seed, path).__hash__())
+            sample = prepare_image(image, self.bucket_config, self.crop_style, rng)
+            meta = {
+                "original_size": list(sample.original_size),
+                "target_size": list(sample.target_size),
+                "crop_coordinates": list(sample.crop_coordinates),
+                "aspect_ratio": sample.aspect_ratio,
+            }
+            return path, image_to_array(sample.image), meta
+        except Exception:
+            return None
+
+    def process_buckets(
+        self,
+        process_index: int = 0,
+        num_processes: int = 1,
+        progress_callback: Optional[Callable[[int, int], None]] = None,
+    ) -> int:
+        """Encode and store all uncached latents. Returns number processed."""
+        if self.encode_fn is None:
+            raise RuntimeError(f"vae cache {self.id}: no encoder attached")
+        todo = self.discover_unprocessed_files()[process_index::num_processes]
+        if not todo:
+            return 0
+
+        # group by bucket so every encode batch has one shape
+        by_bucket: Dict[str, List[str]] = {}
+        for path in todo:
+            bucket = self.metadata_backend.image_metadata.get(path, {}).get("bucket", "?")
+            by_bucket.setdefault(bucket, []).append(path)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        done = 0
+        total = len(todo)
+        write_pool = ThreadPoolExecutor(max_workers=self.max_workers)
+        writes = []
+        with ThreadPoolExecutor(max_workers=self.max_workers) as read_pool:
+            for bucket, paths in by_bucket.items():
+                prepared_iter = read_pool.map(self._prepare_one, paths)
+                batch_paths: List[str] = []
+                batch_arrays: List[np.ndarray] = []
+                for item in prepared_iter:
+                    if item is None:
+                        continue
+                    path, array, meta = item
+                    self.metadata_backend.image_metadata.setdefault(path, {}).update(meta)
+                    batch_paths.append(path)
+                    batch_arrays.append(array)
+                    if len(batch_paths) == self.batch_size:
+                        self._flush(batch_paths, batch_arrays, write_pool, writes)
+                        done += len(batch_paths)
+                        if progress_callback:
+                            progress_callback(done, total)
+                        batch_paths, batch_arrays = [], []
+                if batch_paths:
+                    self._flush(batch_paths, batch_arrays, write_pool, writes)
+                    done += len(batch_paths)
+                    if progress_callback:
+                        progress_callback(done, total)
+        for w in writes:
+            w.result()
+        write_pool.shutdown()
+        self.metadata_backend.save_cache()
+        return done
+
+    def _flush(self, paths: List[str], arrays: List[np.ndarray], pool, writes) -> None:
+        stacked = np.stack(arrays)  # (B, H, W, 3)
+        latents = np.asarray(self.encode_fn(stacked, len(paths)))
+        for path, latent in zip(paths, latents):
+            writes.append(pool.submit(self.save, path, latent))
+
+    # ---- on-demand ---------------------------------------------------------------------------
+    def get(self, filepath: str) -> np.ndarray:
+        if self.exists(filepath):
+            return self.load(filepath)
+        if not self.ondemand or self.encode_fn is None:
+            raise KeyError(f"no cached latents for {filepath}")
+        item = self._prepare_one(filepath)
+        if item is None:
+            raise IOError(f"cannot read/prepare {filepath}")
+        _, array, meta = item
+        self.metadata_backend.image_metadata.setdefault(filepath, {}).update(meta)
+        latent = np.asarray(self.encode_fn(array[None], 1))[0]
+        self.save(filepath, latent)
+        return latent
+
+    def clear_cache(self) -> None:
+        for files in self.metadata_backend.aspect_ratio_bucket_indices.values():
+            for path in files:
+                cache_path, _ = self.generate_vae_cache_filename(path)
+                if self.cache_data_backend.exists(cache_path):
+                    self.cache_data_backend.delete(cache_path)

@@ -1,0 +1,246 @@
+"""Data-backend factory: multidatabackend.json -> live data plane.
+
+Reference: helpers/data_backend/factory.py:5077 ``configure_multi_databackend``
+(parse+sort configs, build storage/metadata/sampler per dataset, run text-embed
+and VAE caching passes, wire conditioning links).  This is the host-side
+composition root; everything it returns is plain python + numpy, feeding the
+jitted train step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+from ..configuration.dataloader import (
+    DatasetConfig,
+    get_default_text_embed_id,
+    load_dataloader_config,
+)
+from .backends.base import BaseDataBackend
+from .backends.local import LocalDataBackend
+from .backends.memory import MemoryDataBackend
+from .buckets import BucketConfig
+from .dataset import DatasetBundle, MultiDatasetIterator
+from .metadata import MetadataBackend, ParquetMetadataBackend
+from .sampler import MultiAspectSampler
+
+
+def build_storage_backend(config: DatasetConfig, compress_cache: bool = False) -> BaseDataBackend:
+    if config.type == "local":
+        return LocalDataBackend(config.id, config.instance_data_dir, compress_cache)
+    if config.type == "memory":
+        return MemoryDataBackend(config.id, compress_cache)
+    if config.type == "aws":
+        from .backends.aws import S3DataBackend
+
+        return S3DataBackend(config, compress_cache)
+    if config.type == "csv":
+        from .backends.csv_url import CSVDataBackend
+
+        return CSVDataBackend(config, compress_cache)
+    if config.type == "huggingface":
+        from .backends.huggingface import HuggingfaceDatasetsBackend
+
+        return HuggingfaceDatasetsBackend(config, compress_cache)
+    raise ValueError(f"unsupported storage backend type {config.type!r}")
+
+
+def bucket_config_for(config: DatasetConfig, args) -> BucketConfig:
+    return BucketConfig(
+        resolution=config.resolution or args.get("resolution", 1024),
+        resolution_type=config.resolution_type or args.get("resolution_type", "pixel_area"),
+        aspect_bucket_rounding=config.aspect_bucket_rounding or args.get("aspect_bucket_rounding", 2) or 2,
+        aspect_bucket_alignment=config.aspect_bucket_alignment or args.get("aspect_bucket_alignment", 64) or 64,
+        minimum_image_size=config.minimum_image_size,
+        maximum_image_size=config.maximum_image_size,
+        target_downsample_size=config.target_downsample_size,
+        minimum_aspect_ratio=config.minimum_aspect_ratio,
+        maximum_aspect_ratio=config.maximum_aspect_ratio,
+        crop=bool(config.crop),
+        crop_aspect=config.crop_aspect or "square",
+        crop_aspect_buckets=config.crop_aspect_buckets,
+        square_padding=bool(config.square_padding),
+    )
+
+
+class DataPlane:
+    """The assembled data plane: bundles + iterator + caches."""
+
+    def __init__(self, bundles, text_caches, iterator):
+        self.bundles: Dict[str, DatasetBundle] = bundles
+        self.text_caches = text_caches
+        self.iterator: MultiDatasetIterator = iterator
+
+    def save_state(self):
+        return self.iterator.save_state()
+
+    def load_state(self, state):
+        self.iterator.load_state(state)
+
+
+def configure_multi_databackend(
+    args,
+    model,
+    vae_encode_fn: Optional[Callable] = None,
+    process_index: int = 0,
+    num_processes: int = 1,
+    run_caching: bool = True,
+) -> DataPlane:
+    """Build the full data plane from args.data_backend_config.
+
+    ``model`` supplies ``encode_text``/``collate_text_embeds`` and the family name
+    for the text-cache hash suffix. ``vae_encode_fn(images_nhwc, count) ->
+    latents`` feeds the VAE cache (omit to require fully-precached latents).
+    """
+    from ..caching.text_embeds import TextEmbeddingCache
+    from ..caching.vae_cache import VAECache
+
+    raw = args.get("data_backend_config")
+    configs = load_dataloader_config(
+        raw,
+        global_defaults={
+            "resolution": args.get("resolution"),
+            "resolution_type": args.get("resolution_type"),
+            "caption_strategy": args.get("caption_strategy"),
+            "minimum_image_size": args.get("minimum_image_size"),
+            "maximum_image_size": args.get("maximum_image_size"),
+            "target_downsample_size": args.get("target_downsample_size"),
+            "aspect_bucket_rounding": args.get("aspect_bucket_rounding"),
+            "aspect_bucket_alignment": args.get("aspect_bucket_alignment"),
+        },
+    )
+    compress = bool(args.get("compress_disk_cache", False))
+
+    storage: Dict[str, BaseDataBackend] = {}
+    for config in configs:
+        storage[config.id] = build_storage_backend(config, compress)
+
+    # ---- text embed caches ----------------------------------------------------------------
+    text_caches: Dict[str, TextEmbeddingCache] = {}
+    for config in configs:
+        if config.dataset_type != "text_embeds":
+            continue
+        cache_dir = config.cache_dir or os.path.join(args.get("cache_dir", "cache"), "text", config.id)
+        text_caches[config.id] = TextEmbeddingCache(
+            id=config.id,
+            data_backend=storage[config.id],
+            cache_dir=cache_dir,
+            model_type=model.NAME,
+            encode_fn=(lambda prompts: model.encode_text(prompts)) if hasattr(model, "text_encoders") else None,
+            batch_size=config.text_encoder_batch_size or args.get("text_encoder_batch_size", 4) or 4,
+            write_batch_size=config.write_batch_size or args.get("write_batch_size", 128) or 128,
+            ondemand=bool(config.text_cache_ondemand or args.get("text_cache_ondemand", False)),
+            disabled=bool(config.text_cache_disable or args.get("text_cache_disable", False)),
+        )
+    default_text_id = get_default_text_embed_id(configs)
+
+    # ---- primary datasets -------------------------------------------------------------------
+    bundles: Dict[str, DatasetBundle] = {}
+    for config in configs:
+        if config.dataset_type not in ("image", "video", "audio", "conditioning", "eval"):
+            continue
+        backend = storage[config.id]
+        bucket_cfg = bucket_config_for(config, args)
+        metadata_cls = ParquetMetadataBackend if config.caption_strategy == "parquet" and config.parquet else MetadataBackend
+        kwargs = {}
+        if metadata_cls is ParquetMetadataBackend:
+            kwargs["parquet_config"] = config.parquet
+        cache_base = config.instance_data_dir or os.path.join(args.get("cache_dir", "cache"), config.id)
+        metadata = metadata_cls(
+            id=config.id,
+            data_backend=backend,
+            bucket_config=bucket_cfg,
+            instance_data_dir=config.instance_data_dir,
+            cache_file=os.path.join(cache_base, "aspect_ratio_bucket_indices.json"),
+            metadata_file=os.path.join(cache_base, "aspect_ratio_bucket_metadata.json"),
+            repeats=config.repeats,
+            **kwargs,
+        )
+        metadata.refresh(max_workers=int(args.get("max_workers", 16) or 16))
+
+        sampler = MultiAspectSampler(
+            id=config.id,
+            metadata_backend=metadata,
+            batch_size=int(args.get("train_batch_size", 1) or 1),
+            seed=int(args.get("seed", 42) or 42),
+            repeats=config.repeats,
+        )
+
+        vae_cache_dir = config.cache_dir_vae or os.path.join(args.get("cache_dir", "cache"), "vae", config.id)
+        image_embed_backend = storage.get(config.image_embeds) if config.image_embeds else backend
+        vae_cache = VAECache(
+            id=config.id,
+            data_backend=backend,
+            cache_data_backend=image_embed_backend,
+            metadata_backend=metadata,
+            cache_dir=vae_cache_dir,
+            encode_fn=vae_encode_fn,
+            bucket_config=bucket_cfg,
+            instance_data_dir=config.instance_data_dir,
+            batch_size=int(args.get("vae_batch_size", 4) or 4),
+            crop_style=config.crop_style if config.crop else "random",
+            hash_filenames=bool(config.hash_filenames),
+            ondemand=bool(config.vae_cache_ondemand or args.get("vae_cache_ondemand", False)),
+            seed=int(args.get("seed", 42) or 42),
+        )
+
+        text_id = config.text_embeds or default_text_id
+        bundles[config.id] = DatasetBundle(
+            id=config.id,
+            config=config,
+            data_backend=backend,
+            metadata_backend=metadata,
+            sampler=sampler,
+            vae_cache=vae_cache,
+            text_cache=text_caches.get(text_id),
+        )
+
+    # conditioning links
+    for config in configs:
+        if config.conditioning_data and config.id in bundles:
+            targets = config.conditioning_data if isinstance(config.conditioning_data, list) else [config.conditioning_data]
+            bundles[config.id].conditioning_bundles = [bundles[t] for t in targets if t in bundles]
+
+    # ---- caching passes -----------------------------------------------------------------------
+    if run_caching:
+        for bundle in bundles.values():
+            if bundle.config.dataset_type == "conditioning":
+                continue
+            # text embeds for every caption in the dataset
+            if bundle.text_cache is not None and bundle.text_cache.encode_fn is not None:
+                from .captions import get_caption
+
+                captions = []
+                for files in bundle.metadata_backend.aspect_ratio_bucket_indices.values():
+                    for path in files:
+                        captions.append(
+                            get_caption(
+                                path,
+                                bundle.data_backend,
+                                strategy=bundle.config.caption_strategy,
+                                instance_prompt=bundle.config.instance_prompt,
+                                prepend_instance_prompt=bundle.config.prepend_instance_prompt,
+                                only_instance_prompt=bundle.config.only_instance_prompt,
+                                metadata_row=bundle.metadata_backend.image_metadata.get(path, {}).get("row"),
+                                parquet_config=bundle.config.parquet,
+                            )
+                        )
+                if args.get("caption_dropout_probability"):
+                    captions.append("")  # dropout sentinel
+                bundle.text_cache.compute_embeddings_for_prompts(
+                    captions, process_index=process_index, num_processes=num_processes
+                )
+            if vae_encode_fn is not None and not args.get("vae_cache_disable"):
+                bundle.vae_cache.process_buckets(
+                    process_index=process_index, num_processes=num_processes
+                )
+
+    train_bundles = [b for b in bundles.values() if b.config.dataset_type in ("image", "video", "audio")]
+    iterator = MultiDatasetIterator(
+        train_bundles,
+        model,
+        caption_dropout_probability=float(args.get("caption_dropout_probability", 0.0) or 0.0),
+        seed=int(args.get("seed", 42) or 42),
+    )
+    return DataPlane(bundles, text_caches, iterator)

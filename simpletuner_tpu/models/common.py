@@ -224,8 +224,19 @@ class ModelFoundation:
         return loss, aux
 
     # ---- host-side --------------------------------------------------------------------------
-    def encode_text(self, prompts: Sequence[str]) -> Dict[str, Any]:
+    def attach_text_encoders(self, encoders: Sequence[Any]) -> None:
+        self.text_encoders = list(encoders)
+
+    def encode_text(self, prompts: Sequence[str]):
+        """Encode prompts -> list of per-prompt embed dicts (cache payload format)."""
         raise NotImplementedError
+
+    def collate_text_embeds(self, embeds: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        """Stack per-prompt cached embed dicts into batch arrays."""
+        import numpy as np
+
+        keys = [k for k, v in embeds[0].items() if hasattr(v, "shape")]
+        return {k: np.stack([np.asarray(e[k]) for e in embeds]) for k in keys}
 
     def check_user_config(self) -> None:
         """Family-specific config validation; raise ValueError on bad combos."""

@@ -109,6 +109,33 @@ class Flux(ModelFoundation):
         height, width = prepared["noisy_latents"].shape[1:3]
         return unpack_latents(tokens, height, width)
 
+    # ---- host-side text encoding ---------------------------------------------------------
+    def encode_text(self, prompts):
+        """CLIP-L pooled + T5 sequence embeds, one dict per prompt (cache payload)."""
+        import numpy as np
+
+        clip, t5 = self.text_encoders
+        clip_out = clip.encode(prompts)
+        t5_out = t5.encode(prompts)
+        results = []
+        for i in range(len(prompts)):
+            results.append(
+                {
+                    "t5_embeds": np.asarray(t5_out["last_hidden_state"][i], np.float32),
+                    "pooled_embeds": np.asarray(clip_out["pooled"][i], np.float32),
+                    "attention_mask": np.asarray(t5_out["attention_mask"][i]),
+                }
+            )
+        return results
+
+    def collate_text_embeds(self, embeds):
+        import numpy as np
+
+        return {
+            "t5_embeds": np.stack([np.asarray(e["t5_embeds"]) for e in embeds]),
+            "pooled_embeds": np.stack([np.asarray(e["pooled_embeds"]) for e in embeds]),
+        }
+
     # ---- config validation -------------------------------------------------------------
     def check_user_config(self) -> None:
         if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):

@@ -62,7 +62,7 @@ class FluxConfig:
             depth_single=2,
             axes_dim=(8, 12, 12),
             txt_in_features=32,
-            vec_in_features=16,
+            vec_in_features=32,
         )
 
 

@@ -1,0 +1,141 @@
+"""Text encoder wrappers (CLIP-L/G, T5) behind one interface.
+
+The reference loads HF transformers text encoders per family
+(TEXT_ENCODER_CONFIGURATION, reference helpers/models/common.py) and caches
+their outputs.  We use the Flax variants from ``transformers`` (already JAX) and
+jit the encode; families declare which encoders they need via
+``TextEncoderSpec``.  For tests, ``tiny=True`` builds small random models with
+no network access.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import TextEncoderSpec
+
+warnings.filterwarnings("ignore", message=".*deprecated.*")
+
+
+class TextEncoder:
+    """One tokenizer + Flax encoder; ``encode`` returns numpy arrays."""
+
+    def __init__(self, spec: TextEncoderSpec, model, tokenizer):
+        self.spec = spec
+        self.model = model
+        self.tokenizer = tokenizer
+        self._encode_jit = jax.jit(self._encode_raw)
+
+    def _encode_raw(self, input_ids, attention_mask):
+        # the HF wrapper fills position_ids etc. and is jit-traceable
+        return self.model(input_ids=input_ids, attention_mask=attention_mask)
+
+    def tokenize(self, prompts: Sequence[str]):
+        return self.tokenizer(
+            list(prompts),
+            padding="max_length",
+            max_length=self.spec.max_length,
+            truncation=True,
+            return_tensors="np",
+        )
+
+    def encode(self, prompts: Sequence[str]) -> Dict[str, np.ndarray]:
+        tokens = self.tokenize(prompts)
+        out = self._encode_jit(
+            jnp.asarray(tokens["input_ids"]), jnp.asarray(tokens["attention_mask"])
+        )
+        result: Dict[str, np.ndarray] = {
+            "last_hidden_state": np.asarray(out.last_hidden_state, np.float32),
+            "attention_mask": np.asarray(tokens["attention_mask"]),
+        }
+        pooled = getattr(out, "pooler_output", None)
+        if pooled is None and getattr(out, "text_embeds", None) is not None:
+            pooled = out.text_embeds
+        if pooled is not None:
+            result["pooled"] = np.asarray(pooled, np.float32)
+        return result
+
+
+def _build_clip(spec: TextEncoderSpec, path: Optional[str], tiny: bool):
+    from transformers import CLIPTextConfig, CLIPTokenizer, FlaxCLIPTextModel
+
+    if tiny or path is None:
+        config = CLIPTextConfig(
+            vocab_size=1000,
+            hidden_size=32 if spec.family == "clip-l" else 64,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            max_position_embeddings=max(spec.max_length, 77),
+        )
+        model = FlaxCLIPTextModel(config, seed=0)
+        tokenizer = _tiny_tokenizer(spec.max_length)
+    else:
+        model = FlaxCLIPTextModel.from_pretrained(path, subfolder=spec.subfolder or "")
+        tokenizer = CLIPTokenizer.from_pretrained(path, subfolder=spec.tokenizer_subfolder or "tokenizer")
+    return TextEncoder(spec, model, tokenizer)
+
+
+def _build_t5(spec: TextEncoderSpec, path: Optional[str], tiny: bool):
+    from transformers import FlaxT5EncoderModel, T5Config, T5TokenizerFast
+
+    if tiny or path is None:
+        config = T5Config(vocab_size=1000, d_model=32, d_ff=64, num_layers=2, num_heads=2, d_kv=16)
+        model = FlaxT5EncoderModel(config, seed=0)
+        tokenizer = _tiny_tokenizer(spec.max_length)
+    else:
+        model = FlaxT5EncoderModel.from_pretrained(path, subfolder=spec.subfolder or "")
+        tokenizer = T5TokenizerFast.from_pretrained(path, subfolder=spec.tokenizer_subfolder or "tokenizer_2")
+    return TextEncoder(spec, model, tokenizer)
+
+
+class _TinyTokenizer:
+    """Deterministic hash tokenizer for tests (no downloads)."""
+
+    def __init__(self, max_length: int):
+        self.max_length = max_length
+
+    def __call__(self, prompts, padding=None, max_length=None, truncation=True, return_tensors="np"):
+        max_length = max_length or self.max_length
+        ids = np.zeros((len(prompts), max_length), np.int32)
+        mask = np.zeros((len(prompts), max_length), np.int32)
+        for row, prompt in enumerate(prompts):
+            words = str(prompt).split()[: max_length - 1]
+            for col, word in enumerate(words):
+                ids[row, col] = (hash(word) % 900) + 10
+                mask[row, col] = 1
+            ids[row, len(words)] = 1  # eos
+            mask[row, len(words)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def _tiny_tokenizer(max_length: int) -> _TinyTokenizer:
+    return _TinyTokenizer(max_length)
+
+
+_BUILDERS = {
+    "clip-l": _build_clip,
+    "clip-g": _build_clip,
+    "t5-xxl": _build_t5,
+    "t5": _build_t5,
+}
+
+
+def load_text_encoders(
+    specs: Sequence[TextEncoderSpec],
+    pretrained_path: Optional[str] = None,
+    tiny: bool = False,
+) -> List[TextEncoder]:
+    encoders = []
+    for spec in specs:
+        builder = _BUILDERS.get(spec.family)
+        if builder is None:
+            raise ValueError(f"unknown text encoder family {spec.family!r}")
+        encoders.append(builder(spec, pretrained_path, tiny))
+    return encoders
