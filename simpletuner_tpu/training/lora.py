@@ -1,0 +1,263 @@
+"""LoRA safetensors import/export in PEFT (diffusers) and ComfyUI key layouts.
+
+Reference behavior: helpers/training/lora_format.py (auto-detected ComfyUI ↔
+diffusers conversion; ``.lora_A.weight``/``.lora_B.weight`` vs
+``.lora_down.weight``/``.lora_up.weight`` + ``.alpha``) and save_hooks.py LoRA
+export.  Our adapters live in a flax ``lora`` collection of ``{lora_A, lora_B}``
+leaves; exporters map flax module paths onto the reference ecosystem's key
+names so exported files load in diffusers/ComfyUI and vice versa.
+
+Weight orientation: torch saves Linear weights as (out, in); our kernels are
+(in, out).  lora_A.weight = Aᵀ (r, in); lora_B.weight = Bᵀ (out, r).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def flatten_lora(lora_params: Dict[str, Any]) -> Dict[str, Dict[str, np.ndarray]]:
+    """flax lora collection -> {'double_0/img_attn_q': {'lora_A': ..., 'lora_B': ...}}"""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "lora_A" in node and "lora_B" in node:
+                out["/".join(path)] = {
+                    "lora_A": np.asarray(node["lora_A"], np.float32),
+                    "lora_B": np.asarray(node["lora_B"], np.float32),
+                }
+                return
+            for key, value in node.items():
+                walk(value, path + [key])
+
+    walk(lora_params, [])
+    return out
+
+
+def unflatten_lora(flat: Dict[str, Dict[str, np.ndarray]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for path, leaves in flat.items():
+        node = out
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = dict(leaves)
+    return out
+
+
+# ---------------------------------------------------------------------------------
+# Per-family key maps: flax path -> diffusers module path, or a split spec for
+# fused projections: (diffusers_path, start, end) slices of the output dim.
+# ---------------------------------------------------------------------------------
+
+
+def flux_key_map(arch) -> Dict[str, Any]:
+    h = arch.hidden_size
+    mapping: Dict[str, Any] = {
+        "img_in": "x_embedder",
+        "txt_in": "context_embedder",
+    }
+    double = {
+        "img_attn_q": "attn.to_q",
+        "img_attn_k": "attn.to_k",
+        "img_attn_v": "attn.to_v",
+        "img_attn_proj": "attn.to_out.0",
+        "txt_attn_q": "attn.add_q_proj",
+        "txt_attn_k": "attn.add_k_proj",
+        "txt_attn_v": "attn.add_v_proj",
+        "txt_attn_proj": "attn.to_add_out",
+        "img_mlp/proj_in": "ff.net.0.proj",
+        "img_mlp/proj_out": "ff.net.2",
+        "txt_mlp/proj_in": "ff_context.net.0.proj",
+        "txt_mlp/proj_out": "ff_context.net.2",
+    }
+    for layer in range(arch.depth_double):
+        for ours, theirs in double.items():
+            mapping[f"double_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    mlp_dim = int(h * arch.mlp_ratio)
+    for layer in range(arch.depth_single):
+        prefix = f"single_transformer_blocks.{layer}"
+        mapping[f"single_{layer}/linear1"] = [
+            (f"{prefix}.attn.to_q", 0, h),
+            (f"{prefix}.attn.to_k", h, 2 * h),
+            (f"{prefix}.attn.to_v", 2 * h, 3 * h),
+            (f"{prefix}.proj_mlp", 3 * h, 3 * h + mlp_dim),
+        ]
+        mapping[f"single_{layer}/linear2"] = f"{prefix}.proj_out"
+    return mapping
+
+
+def _key_map_for(model) -> Dict[str, Any]:
+    if model.NAME == "flux":
+        return flux_key_map(model.arch)
+    # generic: keep flax path with slashes -> dots
+    return {}
+
+
+# ---------------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------------
+
+
+def lora_state_dict(
+    model,
+    lora_params: Dict[str, Any],
+    format: str = "diffusers",
+    alpha: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Build the torch-layout state dict for safetensors serialization."""
+    flat = flatten_lora(lora_params)
+    key_map = _key_map_for(model)
+    prefix = "transformer." if model.MODEL_TYPE == "transformer" else "unet."
+    alpha = alpha if alpha is not None else float(model.lora_alpha or model.lora_rank)
+
+    tensors: Dict[str, np.ndarray] = {}
+    for path, leaves in flat.items():
+        a = leaves["lora_A"]  # (in, r)
+        b = leaves["lora_B"]  # (r, out)
+        target = key_map.get(path, path.replace("/", "."))
+        if isinstance(target, list):  # fused projection: shared A, sliced B
+            for name, start, end in target:
+                _emit(tensors, prefix + name, a, b[:, start:end], alpha, format)
+        else:
+            _emit(tensors, prefix + target, a, b, alpha, format)
+    return tensors
+
+
+def _emit(tensors, module, a, b, alpha, format):
+    if format == "diffusers":
+        tensors[f"{module}.lora_A.weight"] = np.ascontiguousarray(a.T)  # (r, in)
+        tensors[f"{module}.lora_B.weight"] = np.ascontiguousarray(b.T)  # (out, r)
+    elif format == "comfyui":
+        key = "diffusion_model." + module.removeprefix("transformer.").removeprefix("unet.")
+        tensors[f"{key}.lora_down.weight"] = np.ascontiguousarray(a.T)
+        tensors[f"{key}.lora_up.weight"] = np.ascontiguousarray(b.T)
+        tensors[f"{key}.alpha"] = np.asarray(alpha, np.float32)
+    else:
+        raise ValueError(f"unknown lora export format {format!r}")
+
+
+def save_lora_safetensors(
+    model,
+    lora_params: Dict[str, Any],
+    path: str,
+    format: str = "diffusers",
+    metadata: Optional[Dict[str, str]] = None,
+) -> None:
+    from safetensors.numpy import save_file
+
+    tensors = lora_state_dict(model, lora_params, format=format)
+    meta = {"format": "pt"}
+    if metadata:
+        meta.update({k: str(v) for k, v in metadata.items()})
+    save_file(tensors, path, metadata=meta)
+
+
+# ---------------------------------------------------------------------------------
+# Import
+# ---------------------------------------------------------------------------------
+
+
+def load_lora_safetensors(model, path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a diffusers- or ComfyUI-layout LoRA file into our lora pytree.
+
+    ``template``: an initialized lora collection providing the expected
+    structure/shapes (e.g. from ``model.init_params``).
+    """
+    from safetensors.numpy import load_file
+
+    raw = load_file(path)
+    # normalize ComfyUI naming to diffusers
+    normalized: Dict[str, np.ndarray] = {}
+    for key, value in raw.items():
+        key = key.replace("diffusion_model.", "transformer.")
+        key = key.replace(".lora_down.weight", ".lora_A.weight")
+        key = key.replace(".lora_up.weight", ".lora_B.weight")
+        key = key.replace(".lora.down.weight", ".lora_A.weight")
+        key = key.replace(".lora.up.weight", ".lora_B.weight")
+        normalized[key] = value
+
+    key_map = _key_map_for(model)
+    prefix = "transformer." if model.MODEL_TYPE == "transformer" else "unet."
+    flat_template = flatten_lora(template)
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    missing: List[str] = []
+    for path_key, leaves in flat_template.items():
+        target = key_map.get(path_key, path_key.replace("/", "."))
+        if isinstance(target, list):
+            # fused projection: rebuild shared-A + sliced-B; if the file's parts
+            # have differing A matrices, concatenate ranks (block-diagonal B)
+            parts = []
+            for name, start, end in target:
+                a_key = f"{prefix}{name}.lora_A.weight"
+                b_key = f"{prefix}{name}.lora_B.weight"
+                if a_key not in normalized:
+                    parts = None
+                    break
+                parts.append((normalized[a_key], normalized[b_key], start, end))
+            if not parts:
+                missing.append(path_key)
+                out[path_key] = leaves
+                continue
+            a_first = parts[0][0]
+            same_a = all(p[0].shape == a_first.shape and np.allclose(p[0], a_first) for p in parts)
+            total_out = leaves["lora_B"].shape[1]
+            if same_a:
+                a = a_first.T  # (in, r)
+                b = np.zeros((a.shape[1], total_out), np.float32)
+                for _, b_part, start, end in parts:
+                    b[:, start:end] = b_part.T
+            else:
+                a = np.concatenate([p[0].T for p in parts], axis=1)  # (in, sum_r)
+                b = np.zeros((a.shape[1], total_out), np.float32)
+                offset = 0
+                for a_part, b_part, start, end in parts:
+                    r = a_part.shape[0]
+                    b[offset: offset + r, start:end] = b_part.T
+                    offset += r
+            out[path_key] = {"lora_A": a.astype(np.float32), "lora_B": b.astype(np.float32)}
+        else:
+            a_key = f"{prefix}{target}.lora_A.weight"
+            b_key = f"{prefix}{target}.lora_B.weight"
+            if a_key in normalized:
+                out[path_key] = {
+                    "lora_A": normalized[a_key].T.astype(np.float32),
+                    "lora_B": normalized[b_key].T.astype(np.float32),
+                }
+            else:
+                missing.append(path_key)
+                out[path_key] = leaves
+    return unflatten_lora(out)
+
+
+def merge_lora_into_params(params, lora_params, scale: float = 1.0):
+    """Fold B·A into the base kernels (for full-model export of a LoRA run)."""
+    import jax
+
+    flat = flatten_lora(lora_params)
+
+    def walk(node, lora_node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, value in node.items():
+            sub_lora = lora_node.get(key, {}) if isinstance(lora_node, dict) else {}
+            if (
+                isinstance(value, dict)
+                and "kernel" in value
+                and isinstance(sub_lora, dict)
+                and "lora_A" in sub_lora
+            ):
+                a = np.asarray(sub_lora["lora_A"], np.float32)
+                b = np.asarray(sub_lora["lora_B"], np.float32)
+                kernel = np.asarray(value["kernel"], np.float32) + scale * (a @ b)
+                out[key] = dict(value, kernel=kernel.astype(np.asarray(value["kernel"]).dtype))
+            else:
+                out[key] = walk(value, sub_lora)
+        return out
+
+    return walk(params, lora_params)
