@@ -1,0 +1,93 @@
+"""Scheduler correctness via exact-oracle denoisers: if the model prediction is
+the analytically exact target, the sampler must land on x0 (up to terminal-σ
+truncation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.schedulers import (
+    DDIMScheduler,
+    FlowMatchEulerScheduler,
+    UniPCScheduler,
+    sample_loop,
+)
+from simpletuner_tpu.training.losses import DDPMScheduleConfig
+
+
+def _x0_noise(shape=(2, 8, 8, 4), seed=0):
+    k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
+    return jax.random.normal(k0, shape), jax.random.normal(k1, shape)
+
+
+class TestFlowEuler:
+    def test_exact_velocity_recovers_x0(self):
+        x0, noise = _x0_noise()
+        sched = FlowMatchEulerScheduler.create(num_steps=8, shift=3.0)
+
+        def denoise(latents, sigma):
+            # exact velocity along the straight path through x0: v = (x−x0)/σ
+            return (latents - x0) / jnp.maximum(sigma, 1e-8)
+
+        out = jax.jit(lambda n: sample_loop(sched, denoise, n))(noise)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+    def test_sigma_ladder_monotone(self):
+        sched = FlowMatchEulerScheduler.create(num_steps=20, shift=3.0)
+        s = np.asarray(sched.sigmas)
+        assert s[0] == pytest.approx(1.0, abs=1e-6)
+        assert s[-1] == 0.0
+        assert np.all(np.diff(s) < 0)
+
+    def test_dynamic_shift_pushes_sigmas_up(self):
+        lo = FlowMatchEulerScheduler.create(8, use_dynamic_shifting=True, image_seq_len=256)
+        hi = FlowMatchEulerScheduler.create(8, use_dynamic_shifting=True, image_seq_len=4096)
+        assert np.asarray(hi.sigmas[:-1]).mean() > np.asarray(lo.sigmas[:-1]).mean()
+
+
+class TestDDIM:
+    @pytest.mark.parametrize("pred_type", ["epsilon", "v_prediction"])
+    def test_exact_oracle_recovers_x0(self, pred_type):
+        x0, noise = _x0_noise()
+        sched = DDIMScheduler.create(
+            num_steps=10, schedule=DDPMScheduleConfig(), prediction_type=pred_type
+        )
+
+        def denoise(latents, t):
+            ac = sched.alphas_cumprod[t]
+            a, s = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
+            eps = (latents - a * x0) / s
+            if pred_type == "epsilon":
+                return eps
+            return a * eps - s * x0  # v = √ᾱ·ε − √(1−ᾱ)·x0
+
+        out = jax.jit(lambda n: sample_loop(sched, denoise, n))(noise)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+class TestUniPC:
+    def test_flow_oracle_recovers_x0(self):
+        x0, noise = _x0_noise()
+        sched = UniPCScheduler.create_flow(num_steps=12, shift=3.0)
+
+        def denoise(latents, sigma):
+            return (latents - x0) / jnp.maximum(sigma, 1e-8)
+
+        out = jax.jit(lambda n: sample_loop(sched, denoise, n))(noise)
+        # terminal σ = 1e-3 leaves that much residual noise
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=2e-2)
+
+    def test_ddpm_eps_oracle_recovers_x0(self):
+        x0, noise = _x0_noise()
+        sched = UniPCScheduler.create_ddpm(num_steps=12, prediction_type="epsilon")
+
+        def denoise(latents, t):
+            # recover the step index from the integer timestep to look up (α,σ)
+            ratio = 1000 // sched.num_steps
+            idx = (sched.num_steps - 1) - t // ratio
+            a, s = sched.alphas[idx], sched.sigmas[idx]
+            return (latents - a * x0) / s
+
+        out = jax.jit(lambda n: sample_loop(sched, denoise, n))(noise)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-2)
