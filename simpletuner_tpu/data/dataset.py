@@ -172,7 +172,15 @@ class MultiDatasetIterator:
                     self.caption_dropout_probability,
                     self.rng,
                 )
-        raise RuntimeError("no dataset produced a batch (all empty?)")
+        sizes = {
+            b.id: f"{sum(len(v) for v in b.metadata_backend.aspect_ratio_bucket_indices.values())}"
+            f" files (batch_size {b.sampler.batch_size}, repeats {b.config.repeats})"
+            for b in self.bundles
+        }
+        raise RuntimeError(
+            "no dataset produced a full batch; every bucket must hold at least "
+            f"batch_size files per epoch (raise `repeats` or shrink the batch): {sizes}"
+        )
 
     def save_state(self) -> Dict[str, Any]:
         return {

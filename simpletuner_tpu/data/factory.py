@@ -86,6 +86,7 @@ def configure_multi_databackend(
     process_index: int = 0,
     num_processes: int = 1,
     run_caching: bool = True,
+    global_batch_size: Optional[int] = None,
 ) -> DataPlane:
     """Build the full data plane from args.data_backend_config.
 
@@ -162,7 +163,9 @@ def configure_multi_databackend(
         sampler = MultiAspectSampler(
             id=config.id,
             metadata_backend=metadata,
-            batch_size=int(args.get("train_batch_size", 1) or 1),
+            # train_batch_size is per-device (reference semantics); the global
+            # batch a sampler emits is per-device × batch shards on the mesh
+            batch_size=int(global_batch_size or args.get("train_batch_size", 1) or 1),
             seed=int(args.get("seed", 42) or 42),
             repeats=config.repeats,
         )

@@ -75,6 +75,12 @@ class ModelFoundation:
         self._module: Optional[nn.Module] = None
         self._alphas_cumprod: Optional[jax.Array] = None
 
+    @property
+    def latent_channels(self) -> int:
+        """Latent channel count of the *instantiated* arch (tiny presets may
+        differ from the family default)."""
+        return self.LATENT_CHANNEL_COUNT
+
     # ---- construction ----------------------------------------------------------------
     def create_module(self) -> nn.Module:
         raise NotImplementedError
@@ -222,6 +228,26 @@ class ModelFoundation:
         loss = self.compute_loss(pred, prepared)
         aux = {"timesteps": prepared["timesteps"]}
         return loss, aux
+
+    # ---- inference ----------------------------------------------------------------------------
+    def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Non-noise conditioning tensors for sampling (ids, guidance, embeds).
+
+        ``batch`` holds latents-shaped noise plus text embeds; returns the dict
+        that, merged with {noisy_latents, timesteps}, satisfies
+        ``get_model_inputs``.  Default: everything except latents."""
+        return {k: v for k, v in batch.items() if k != "latents"}
+
+    def denoise_fn(self, variables, conditioning: Dict[str, jax.Array]):
+        """Returns f(latents, t) -> model_pred for the sampling loop."""
+
+        def fn(latents: jax.Array, t: jax.Array) -> jax.Array:
+            prepared = dict(conditioning)
+            prepared["noisy_latents"] = latents
+            prepared["timesteps"] = jnp.broadcast_to(t, (latents.shape[0],))
+            return self.model_predict(variables, prepared)
+
+        return fn
 
     # ---- host-side --------------------------------------------------------------------------
     def attach_text_encoders(self, encoders: Sequence[Any]) -> None:

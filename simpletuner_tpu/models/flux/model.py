@@ -52,6 +52,10 @@ class Flux(ModelFoundation):
                 guidance_embed=self.flavour in (None, "dev", "krea", "kontext")
             )
 
+    @property
+    def latent_channels(self) -> int:
+        return self.arch.in_channels // 4  # 2x2 packing
+
     # ---- construction -----------------------------------------------------------------
     def create_module(self):
         return FluxTransformer(
@@ -103,6 +107,19 @@ class Flux(ModelFoundation):
             "vec": prepared["pooled_embeds"],
             "guidance": prepared.get("guidance"),
         }
+
+    def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        latents = batch["latents"]
+        batch_size, height, width = latents.shape[0], latents.shape[1], latents.shape[2]
+        cond = {
+            "t5_embeds": batch["t5_embeds"],
+            "pooled_embeds": batch["pooled_embeds"],
+            "img_ids": make_img_ids(batch_size, height, width),
+            "txt_ids": make_txt_ids(batch_size, batch["t5_embeds"].shape[1]),
+        }
+        guidance = batch.get("guidance", getattr(self.config, "validation_guidance_real", None) or 3.5)
+        cond["guidance"] = jnp.broadcast_to(jnp.asarray(guidance, jnp.float32), (batch_size,))
+        return cond
 
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
         tokens = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)

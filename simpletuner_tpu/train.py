@@ -1,0 +1,32 @@
+"""Canonical training entry (reference: simpletuner/train.py:42-86 ``_run_training``
++ :207 __main__).  Usage::
+
+    python -m simpletuner_tpu.train --config config/config.json
+    python -m simpletuner_tpu.train  # auto-discovers config/config.{json,toml,env}
+
+On multi-host TPU pods, run the same program on every host; ``jax.distributed``
+initialization happens automatically under a pod runtime.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from .configuration import TrainingConfig
+from .training.trainer import Trainer
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
+    )
+    config = TrainingConfig.from_cli(argv)
+    trainer = Trainer(config=config, exit_on_error=True)
+    trainer.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

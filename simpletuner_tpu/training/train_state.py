@@ -62,16 +62,46 @@ def build_train_step(
     tx: optax.GradientTransformation,
     lr_schedule: Optional[Callable] = None,
     ema_config: Optional[EMAConfig] = None,
+    grad_accum_steps: int = 1,
 ) -> Callable:
-    """Returns step_fn(state, batch, rng) -> (state, metrics). Pure; jit outside."""
+    """Returns step_fn(state, batch, rng) -> (state, metrics). Pure; jit outside.
+
+    With ``grad_accum_steps`` > 1, batch leaves carry a leading micro-batch axis
+    (A, B, ...) and gradients are averaged over a ``lax.scan`` of micro-steps
+    (reference: accelerator.accumulate, trainer.py:6511) — one optimizer update
+    per call either way.
+    """
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
-        def loss_fn(trainable):
+        def loss_fn(trainable, micro_batch, micro_rng):
             variables = {**state.frozen, **trainable}
-            loss, aux = model.loss_fn(variables, rng, batch)
+            loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)
+        value_and_grad = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum_steps <= 1:
+            (loss, aux), grads = value_and_grad(state.trainable, batch, rng)
+        else:
+            rngs = jax.random.split(rng, grad_accum_steps)
+
+            def micro_step(carry, inputs):
+                grad_sum, loss_sum = carry
+                micro_batch, micro_rng = inputs
+                (micro_loss, _), micro_grads = value_and_grad(state.trainable, micro_batch, micro_rng)
+                new_carry = (
+                    jax.tree_util.tree_map(jnp.add, grad_sum, micro_grads),
+                    loss_sum + micro_loss,
+                )
+                return new_carry, None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.trainable)
+            (grads, loss), _ = jax.lax.scan(
+                micro_step, (zero_grads, jnp.zeros([])), (batch, rngs)
+            )
+            scale = 1.0 / grad_accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            loss = loss * scale
+            aux = {}
         grad_norm = optax.global_norm(grads)
         # Non-finite guard (reference trainer.py:6614): skip the update, keep state.
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
@@ -117,11 +147,16 @@ def state_shardings(mesh, state: TrainState):
     )
 
 
-def jit_train_step(step_fn: Callable, mesh, state: TrainState):
+def jit_train_step(step_fn: Callable, mesh, state: TrainState, grad_accum_steps: int = 1):
     """jit with explicit shardings: state sharded per FSDP rule, batch over
-    data×fsdp, donated state."""
+    data×fsdp (axis 1 when a leading grad-accum axis is present), donated state."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     s_shard = state_shardings(mesh, state)
-    b_shard = batch_sharding(mesh)
+    if grad_accum_steps > 1:
+        b_shard = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    else:
+        b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
     return jax.jit(
         step_fn,

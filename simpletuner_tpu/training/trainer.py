@@ -1,0 +1,417 @@
+"""Trainer: the imperative shell around the functional core.
+
+Reference: helpers/training/trainer.py:254 ``Trainer`` — a god-object whose
+ordered ``init_*`` lifecycle is driven by simpletuner/train.py:42-86.  The same
+lifecycle stage names are kept (they are part of the observable surface: each
+emits a lifecycle webhook event) but the internals are TPU-native: one jitted,
+donated train step over a Mesh(data, fsdp, context); host side does only IO —
+dataloading, checkpoints, trackers, webhooks, validation scheduling.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configuration import TrainingConfig
+from ..data.factory import configure_multi_databackend
+from ..models.registry import get_model_family
+from ..parallel.mesh import MeshConfig, batch_sharding, build_mesh
+from ..webhooks import WebhookHandler, lifecycle_stage_event, training_status_event
+from ..webhooks.handler import WebhookConfig
+from ..webhooks.events import checkpoint_event, error_event
+from .checkpoints import CheckpointManager
+from .ema import EMAConfig
+from .iteration_tracker import IterationTracker
+from .optimizers import get_optimizer
+from .schedules import get_lr_schedule
+from .trackers import build_trackers
+from .train_state import build_train_step, create_train_state, jit_train_step
+from .validation import Validation
+
+logger = logging.getLogger(__name__)
+
+LIFECYCLE_STAGES = (
+    "configure_webhook",
+    "init_seed",
+    "init_preprocessing_models",
+    "init_data_backend",
+    "init_validations",
+    "init_unload_text_encoder",
+    "init_load_base_model",
+    "init_trainable_peft_adapter",
+    "init_ema_model",
+    "resume_and_prepare",
+    "init_trackers",
+    "train",
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Optional[TrainingConfig] = None,
+        config_path: Optional[str] = None,
+        job_id: Optional[str] = None,
+        exit_on_error: bool = False,
+    ):
+        self.config = config or TrainingConfig.from_file(config_path)
+        self.job_id = job_id
+        self.exit_on_error = exit_on_error
+        self.webhook_handler = WebhookHandler()
+        self.model = get_model_family(self.config)
+        self.mesh = build_mesh(MeshConfig.from_training_config(self.config))
+        self.global_step = 0
+        self.epoch = 0
+        self.data_plane = None
+        self.vae = None
+        self.vae_params = None
+        self.validation: Optional[Validation] = None
+        self.trackers: List = []
+        self.iteration_tracker = IterationTracker()
+        self.should_abort = False
+        self._state = None
+        self._step_fn = None
+        self._extra_resume_state: Dict[str, Any] = {}
+        self.output_dir = self.config.get("output_dir", "output") or "output"
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.checkpoint_manager = CheckpointManager(
+            self.output_dir,
+            total_limit=self.config.get("checkpoints_total_limit"),
+            rolling_total_limit=int(self.config.get("checkpointing_rolling_total_limit", 1) or 1),
+        )
+
+    # ---- lifecycle plumbing ---------------------------------------------------------------
+    def _stage(self, name: str, status: str = "running", detail: Optional[str] = None):
+        self.webhook_handler.send_raw(lifecycle_stage_event(name, status, self.job_id, detail))
+        logger.info("lifecycle: %s (%s)", name, status)
+
+    def abort(self) -> None:
+        self.should_abort = True
+
+    # ---- lifecycle stages (reference train.py:42-86 ordering) ------------------------------
+    def configure_webhook(self) -> None:
+        raw = self.config.get("webhook_config")
+        if raw:
+            self.webhook_handler = WebhookHandler(WebhookConfig.load(raw), self.job_id)
+        self._stage("configure_webhook", "completed")
+
+    def init_seed(self) -> None:
+        self.seed = int(self.config.get("seed", 42) or 42)
+        self.rng = jax.random.PRNGKey(self.seed)
+
+    def init_preprocessing_models(self) -> None:
+        """Load text encoders + VAE for the caching passes."""
+        self._stage("init_preprocessing_models")
+        from ..models.text_encoders import load_text_encoders
+
+        tiny = self.config.get("model_arch_preset") == "tiny"
+        self.model.attach_text_encoders(
+            load_text_encoders(
+                self.model.TEXT_ENCODER_CONFIGURATION,
+                pretrained_path=self.config.get("pretrained_model_name_or_path"),
+                tiny=tiny,
+            )
+        )
+        self._init_vae(tiny)
+        self._stage("init_preprocessing_models", "completed")
+
+    def _init_vae(self, tiny: bool) -> None:
+        from ..models.vae import AutoencoderKL, VAEConfig
+
+        if tiny:
+            vae_config = VAEConfig.tiny()
+        elif self.model.LATENT_CHANNEL_COUNT >= 16:
+            vae_config = VAEConfig.flux()
+        elif self.model.NAME in ("sdxl", "kolors"):
+            vae_config = VAEConfig.sdxl()
+        else:
+            vae_config = VAEConfig.sd()
+        self.vae = AutoencoderKL(vae_config)
+        vae_path = self.config.get("pretrained_vae_model_name_or_path")
+        if vae_path and os.path.exists(str(vae_path)):
+            from ..models.vae_import import load_vae_params
+
+            self.vae_params = load_vae_params(self.vae, str(vae_path))
+        else:
+            self.vae_params = self.vae.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+            )
+
+    def _vae_encode_fn(self):
+        if self.vae is None:
+            return None
+        vae, params = self.vae, self.vae_params
+        jitted = {}
+
+        def encode(images: np.ndarray, count: int) -> np.ndarray:
+            key = images.shape
+            if key not in jitted:
+                jitted[key] = jax.jit(
+                    lambda p, x: vae.apply(p, x, method=type(vae).encode)
+                )
+            return np.asarray(jitted[key](params, jnp.asarray(images, jnp.float32)))
+
+        return encode
+
+    def vae_decode_fn(self):
+        if self.vae is None:
+            return None
+        vae, params = self.vae, self.vae_params
+        return lambda latents: vae.apply(params, latents, method=type(vae).decode)
+
+    def init_data_backend(self) -> None:
+        self._stage("init_data_backend")
+        process_index = jax.process_index()
+        num_processes = jax.process_count()
+        per_device = int(self.config.get("train_batch_size", 1) or 1)
+        shards = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        self.global_batch_size = per_device * shards
+        self.data_plane = configure_multi_databackend(
+            self.config,
+            self.model,
+            vae_encode_fn=self._vae_encode_fn(),
+            process_index=process_index,
+            num_processes=num_processes,
+            global_batch_size=self.global_batch_size,
+        )
+        self._stage("init_data_backend", "completed")
+
+    def init_validations(self) -> None:
+        """Built BEFORE encoder unload so validation embeds can precompute."""
+        self._stage("init_validations")
+        decode = self.vae_decode_fn()
+        self.validation = Validation(
+            self.model,
+            self.config,
+            decode_fn=decode,
+            output_dir=self.output_dir,
+            webhook_handler=self.webhook_handler,
+        )
+        self.validation.precompute_embeds()
+        self._stage("init_validations", "completed")
+
+    def init_unload_text_encoder(self) -> None:
+        """Free host text-encoder memory after all caching (reference trainer.py:2710)."""
+        if self.config.get("text_cache_ondemand") or self.config.get("vae_cache_ondemand"):
+            return
+        self.model.text_encoders = []
+
+    def init_load_base_model(self) -> None:
+        self._stage("init_load_base_model")
+        batch = self._example_batch()
+        pretrained = self.config.get("pretrained_transformer_path")
+        if pretrained and os.path.exists(str(pretrained)):
+            from ..models.weight_import import load_transformer_params
+
+            self.variables = load_transformer_params(self.model, str(pretrained))
+        else:
+            self.variables = self.model.init_params(jax.random.PRNGKey(self.seed), batch)
+        self._stage("init_load_base_model", "completed")
+
+    def _example_batch(self) -> Dict[str, jax.Array]:
+        if self.data_plane is not None:
+            raw = self.data_plane.iterator.next_batch()
+            return {k: jnp.asarray(v[:1]) for k, v in raw.items() if isinstance(v, np.ndarray)}
+        return self.model.example_batch()
+
+    def init_trainable_peft_adapter(self) -> None:
+        if self.model.lora_rank > 0 and "lora" not in self.variables:
+            raise ValueError("model_type=lora but the module produced no lora collection")
+
+    def init_ema_model(self) -> None:
+        self.ema_config = None
+        if self.config.get("use_ema"):
+            self.ema_config = EMAConfig(
+                decay=float(self.config.get("ema_decay", 0.9999) or 0.9999),
+                update_interval=int(self.config.get("ema_update_interval", 1) or 1),
+            )
+
+    def resume_and_prepare(self) -> None:
+        """init_optimizer + init_lr_scheduler + shard/jit + init_resume_checkpoint
+        (reference trainer.py:4980,3735,3952,4140,4636)."""
+        self._stage("resume_and_prepare")
+        self.max_train_steps = int(self.config.get("max_train_steps", 1000) or 1000)
+        self.lr_schedule = get_lr_schedule(self.config, self.max_train_steps)
+        self.tx = get_optimizer(self.config, self.lr_schedule)
+        self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)
+
+        state = create_train_state(self.model, self.variables, self.tx, self.ema_config)
+        step_fn = build_train_step(
+            self.model, self.tx, self.lr_schedule, self.ema_config, self.grad_accum_steps
+        )
+        self._step_fn = jit_train_step(step_fn, self.mesh, state, self.grad_accum_steps)
+        self._state = state
+
+        resume = self.checkpoint_manager.resolve_resume(
+            self.config.get("resume_from_checkpoint")
+        )
+        if resume:
+            restored, extra = self.checkpoint_manager.restore(resume, self._state)
+            self._state = restored
+            self._extra_resume_state = extra
+            self.global_step = int(extra.get("global_step", int(np.asarray(restored.step))))
+            self.epoch = int(extra.get("epoch", 0))
+            if self.data_plane is not None and extra.get("data_plane"):
+                self.data_plane.load_state(extra["data_plane"])
+            logger.info("resumed from %s at step %d", resume, self.global_step)
+        self._stage("resume_and_prepare", "completed")
+
+    def init_trackers(self) -> None:
+        self.trackers = build_trackers(self.config, self.output_dir)
+
+    # ---- checkpointing ----------------------------------------------------------------------
+    def save_checkpoint(self, rolling: bool = False) -> str:
+        extra = {
+            "global_step": self.global_step,
+            "epoch": self.epoch,
+            "data_plane": self.data_plane.save_state() if self.data_plane else None,
+        }
+        path = self.checkpoint_manager.save(self.global_step, self._state, extra, rolling)
+        self.webhook_handler.send_raw(
+            checkpoint_event(path, self.global_step, rolling, self.job_id)
+        )
+        self._export_lora(path)
+        return path
+
+    def _export_lora(self, checkpoint_path: str) -> None:
+        if self.model.lora_rank <= 0:
+            return
+        try:
+            from .lora import save_lora_safetensors
+
+            lora = jax.device_get(self._state.trainable.get("lora"))
+            if lora is not None:
+                save_lora_safetensors(
+                    self.model,
+                    lora,
+                    os.path.join(checkpoint_path, "pytorch_lora_weights.safetensors"),
+                )
+        except Exception as exc:
+            logger.warning("LoRA export failed: %s", exc)
+
+    # ---- batch transfer ---------------------------------------------------------------------
+    def _device_batch(self, raw: Dict[str, Any]) -> Dict[str, jax.Array]:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.grad_accum_steps > 1:
+            sharding = NamedSharding(self.mesh, P(None, ("data", "fsdp")))
+        else:
+            sharding = batch_sharding(self.mesh)
+        out = {}
+        for key, value in raw.items():
+            if not isinstance(value, np.ndarray) or value.dtype.kind not in "fiub":
+                continue
+            if self.grad_accum_steps > 1:
+                accum = self.grad_accum_steps
+                if value.shape[0] % accum:
+                    raise ValueError(
+                        f"batch dim {value.shape[0]} not divisible by gradient_accumulation_steps {accum}"
+                    )
+                value = value.reshape(accum, value.shape[0] // accum, *value.shape[1:])
+            out[key] = jax.device_put(jnp.asarray(value), sharding)
+        return out
+
+    # ---- the loop ---------------------------------------------------------------------------
+    def train(self) -> None:
+        self._stage("train")
+        checkpoint_interval = self.config.get("checkpointing_steps")
+        rolling_interval = self.config.get("checkpointing_rolling_steps")
+        log_interval = int(self.config.get("logging_steps", 1) or 1)
+        webhook_interval = int(self.config.get("webhook_reporting_interval", 10) or 10)
+
+        train_rng = jax.random.fold_in(self.rng, 0xBEEF)
+        start_step = self.global_step
+        try:
+            while self.global_step < self.max_train_steps and not self.should_abort:
+                raw = self.data_plane.iterator.next_batch(step=self.global_step)
+                self.epoch = self.data_plane.iterator.epoch
+                batch = self._device_batch(raw)
+                step_rng = jax.random.fold_in(train_rng, self.global_step)
+                self._state, metrics = self._step_fn(self._state, batch, step_rng)
+                self.global_step += 1
+                self.iteration_tracker.record_step()
+
+                if self.global_step % log_interval == 0:
+                    host_metrics = {
+                        k: float(np.asarray(v)) for k, v in metrics.items()
+                    }
+                    host_metrics["epoch"] = self.epoch
+                    for tracker in self.trackers:
+                        tracker.log(host_metrics, self.global_step)
+                    if host_metrics.get("skipped_nonfinite", 0):
+                        logger.warning(
+                            "non-finite loss at step %d; update skipped", self.global_step
+                        )
+
+                if self.global_step % webhook_interval == 0:
+                    rate = self.iteration_tracker.rate()
+                    self.webhook_handler.send_raw(
+                        training_status_event(
+                            self.global_step,
+                            self.max_train_steps,
+                            self.epoch,
+                            loss=float(np.asarray(metrics["loss"])),
+                            learning_rate=float(np.asarray(metrics.get("lr", 0.0))),
+                            iterations_per_second=rate,
+                            eta_seconds=self.iteration_tracker.eta_seconds(
+                                self.max_train_steps - self.global_step
+                            ),
+                            job_id=self.job_id,
+                        )
+                    )
+
+                if checkpoint_interval and self.global_step % int(checkpoint_interval) == 0:
+                    self.save_checkpoint()
+                elif rolling_interval and self.global_step % int(rolling_interval) == 0:
+                    self.save_checkpoint(rolling=True)
+
+                if self.validation is not None and self.validation.would_validate(self.global_step):
+                    self.validation.run_validations(self._state.variables(), self.global_step)
+
+            # final checkpoint + validation (reference trainer.py:7274 final export)
+            if self.global_step > start_step:
+                self.save_checkpoint()
+            if self.validation is not None:
+                self.validation.run_validations(self._state.variables(), self.global_step, force=True)
+            self._stage("train", "completed")
+        except Exception as exc:
+            self.webhook_handler.send_raw(error_event("training failed", exc, self.job_id))
+            self._stage("train", "failed", str(exc))
+            if self.exit_on_error:
+                raise SystemExit(1) from exc
+            raise
+        finally:
+            for tracker in self.trackers:
+                tracker.finish()
+            self.webhook_handler.flush()
+
+    # ---- full run -----------------------------------------------------------------------------
+    def run(self) -> None:
+        """Ordered lifecycle, mirroring reference train.py:42-86 ``_run_training``."""
+        self.configure_webhook()
+        self.init_seed()
+        self.init_preprocessing_models()
+        self.init_data_backend()
+        self.init_validations()
+        self.init_unload_text_encoder()
+        self.init_load_base_model()
+        self.init_trainable_peft_adapter()
+        self.init_ema_model()
+        self.resume_and_prepare()
+        self.init_trackers()
+        self.train()
+
+
+def run_trainer_job(config: Dict[str, Any], job_id: Optional[str] = None) -> Trainer:
+    """Programmatic entry (reference trainer.py:7349 run_trainer_job) — no
+    subprocess relaunch needed: JAX is single-program multi-host already."""
+    trainer = Trainer(config=TrainingConfig(dict(config)), job_id=job_id)
+    trainer.run()
+    return trainer

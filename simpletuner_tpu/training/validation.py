@@ -1,0 +1,174 @@
+"""Validation: render sample images from the in-training model.
+
+Reference: helpers/training/validation.py:1839 ``Validation`` /
+``run_validations`` :2458 — per-interval prompt rendering via a diffusers
+pipeline, benchmark stitching, tracker/webhook upload.  TPU-shape: the whole
+denoise loop is one jitted program (schedulers/sampling.py); prompt embeds are
+computed once up front (before text encoders unload) and reused every run.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers import DDIMScheduler, FlowMatchEulerScheduler, UniPCScheduler, sample_loop
+from ..training.losses import DDPMScheduleConfig
+from ..webhooks.events import validation_event
+
+logger = logging.getLogger(__name__)
+
+
+def build_scheduler(model, num_steps: int, image_seq_len: Optional[int] = None):
+    """Per-family inference scheduler (reference validation.py:2778 setup_scheduler)."""
+    if model.is_flow:
+        shift = getattr(model.config, "validation_noise_scheduler_shift", None)
+        use_dyn = bool(getattr(model.config, "flow_schedule_auto_shift", False))
+        return FlowMatchEulerScheduler.create(
+            num_steps,
+            shift=shift if shift is not None else 3.0,
+            use_dynamic_shifting=use_dyn,
+            image_seq_len=image_seq_len,
+        )
+    name = (getattr(model.config, "validation_noise_scheduler", None) or "ddim").lower()
+    schedule = DDPMScheduleConfig(
+        rescale_betas_zero_snr=bool(getattr(model.config, "rescale_betas_zero_snr", False))
+    )
+    if name == "unipc":
+        return UniPCScheduler.create_ddpm(num_steps, schedule, model.prediction_type)
+    return DDIMScheduler.create(num_steps, schedule, model.prediction_type)
+
+
+class Validation:
+    def __init__(
+        self,
+        model,
+        config,
+        decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+        output_dir: str = "output",
+        trackers: Optional[List] = None,
+        webhook_handler=None,
+    ):
+        self.model = model
+        self.config = config
+        self.decode_fn = decode_fn
+        self.output_dir = output_dir
+        self.trackers = trackers or []
+        self.webhook_handler = webhook_handler
+        self.prompts: List[str] = []
+        self._embeds: List[Dict[str, np.ndarray]] = []
+        self._sample_jit = None
+
+        raw = getattr(config, "validation_prompt", None)
+        if raw:
+            self.prompts = [raw] if isinstance(raw, str) else list(raw)
+        library = getattr(config, "user_prompt_library", None)
+        if library and os.path.exists(str(library)):
+            import json
+
+            with open(library) as handle:
+                self.prompts.extend(json.load(handle).values())
+
+        self.num_steps = int(getattr(config, "validation_num_inference_steps", 20) or 20)
+        self.resolution = int(getattr(config, "validation_resolution", None) or getattr(config, "resolution", 512) or 512)
+        self.interval = getattr(config, "validation_steps", None)
+        self.seed = int(getattr(config, "validation_seed", None) or getattr(config, "seed", 42) or 42)
+        self.disabled = bool(getattr(config, "validation_disable", False)) or not self.prompts
+
+    # ---- embed prep (must run while text encoders are alive) ------------------------------
+    def precompute_embeds(self) -> None:
+        if self.disabled:
+            return
+        try:
+            self._embeds = self.model.encode_text(self.prompts)
+        except Exception as exc:
+            logger.warning("validation embed precompute failed (%s); disabling validation", exc)
+            self.disabled = True
+
+    # ---- scheduling ------------------------------------------------------------------------
+    def would_validate(self, step: int, force: bool = False) -> bool:
+        if self.disabled:
+            return False
+        if force:
+            return True
+        return bool(self.interval) and step > 0 and step % int(self.interval) == 0
+
+    # ---- run -------------------------------------------------------------------------------
+    def _latent_shape(self, batch_size: int):
+        factor = 8
+        channels = self.model.latent_channels
+        size = self.resolution // factor
+        return (batch_size, size, size, channels)
+
+    def run_validations(self, variables, step: int, force: bool = False) -> List[str]:
+        """Render every prompt; returns saved file paths."""
+        if not self.would_validate(step, force):
+            return []
+        paths = []
+        images = []
+        for index, (prompt, embeds) in enumerate(zip(self.prompts, self._embeds)):
+            image = self._render(variables, embeds, index)
+            filename = os.path.join(
+                self.output_dir, "validation", f"step_{step}_{index}.png"
+            )
+            os.makedirs(os.path.dirname(filename), exist_ok=True)
+            self._save_png(image, filename)
+            paths.append(filename)
+            images.append(image)
+            if self.webhook_handler is not None:
+                self.webhook_handler.send_raw(validation_event(step, prompt, filename))
+        for tracker in self.trackers:
+            try:
+                tracker.log_images(images, self.prompts, step)
+            except Exception as exc:
+                logger.debug("tracker image log failed: %s", exc)
+        return paths
+
+    def _render(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
+        latent_shape = self._latent_shape(1)
+        seq_len = (latent_shape[1] // 2) * (latent_shape[2] // 2)
+        scheduler = build_scheduler(self.model, self.num_steps, image_seq_len=seq_len)
+        batch = {"latents": jnp.zeros(latent_shape, jnp.float32)}
+        for key, value in embeds.items():
+            if hasattr(value, "shape"):
+                batch[key] = jnp.asarray(value)[None]
+        cond = self.model.inference_conditioning(batch)
+
+        if self._sample_jit is None:
+            model = self.model
+            decode = self.decode_fn
+
+            def sample(variables, cond, noise):
+                denoise = model.denoise_fn(variables, cond)
+                latents = sample_loop(scheduler, denoise, noise)
+                if decode is not None:
+                    scaling = model.VAE_SCALING_FACTOR or 1.0
+                    shift = model.VAE_SHIFT_FACTOR or 0.0
+                    return decode(latents / scaling + shift)
+                return latents
+
+            self._sample_jit = jax.jit(sample)
+
+        noise = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), index), latent_shape, jnp.float32
+        )
+        out = np.asarray(self._sample_jit(variables, cond, noise))[0]
+        if self.decode_fn is not None:
+            out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return out
+
+    @staticmethod
+    def _save_png(image: np.ndarray, path: str) -> None:
+        from PIL import Image
+
+        if image.dtype != np.uint8:
+            lo, hi = float(image.min()), float(image.max())
+            image = ((image - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+        if image.ndim == 3 and image.shape[-1] not in (1, 3, 4):
+            image = image[..., :3]
+        Image.fromarray(image).save(path)

@@ -17,3 +17,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-bound on CPU; warm runs skip XLA.
+_cache_dir = os.environ.get("JAX_TEST_COMPILE_CACHE", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
