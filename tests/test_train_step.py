@@ -108,14 +108,33 @@ def test_optimizer_variants_run(name):
 
 
 def test_grad_accumulation():
-    model, state, step_fn, batch = _tiny_setup(gradient_accumulation_steps=2)
-    step = jax.jit(step_fn)
-    p0 = jax.tree_util.tree_leaves(state.trainable)[0].copy()
-    state, _ = step(state, batch, jax.random.PRNGKey(0))
-    # first micro-step: no param change yet
-    p1 = jax.tree_util.tree_leaves(state.trainable)[0]
-    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
-    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    """GA batches carry a leading micro axis; one call = one optimizer update
+    over averaged micro-grads."""
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 100,
+        }
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=8, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    schedule = get_lr_schedule(cfg, 100)
+    tx = get_optimizer(cfg, schedule)
+    state = create_train_state(model, variables, tx)
+    step_accum = jax.jit(build_train_step(model, tx, schedule, grad_accum_steps=2))
+
+    micro = {k: v.reshape(2, 4, *v.shape[1:]) for k, v in batch.items()}
+    state2, metrics = step_accum(state, micro, jax.random.PRNGKey(0))
+    assert int(state2.step) == int(state.step) + 1
+    assert jnp.isfinite(metrics["loss"])
+    p0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    p1 = jax.tree_util.tree_leaves(state2.trainable)[0]
+    assert bool(jnp.any(p0 != p1))
 
 
 def test_lr_schedules_shapes():
