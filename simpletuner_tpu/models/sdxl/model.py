@@ -1,0 +1,161 @@
+"""SDXL family (+ Kolors variant arch).
+
+Reference: helpers/models/sdxl/model.py (SURVEY.md §2.3: epsilon UNet 3.5B,
+dual CLIP text encoders — L sequence + G sequence/pooled concatenated to a
+2048-dim context — and 6-float micro-conditioning time-ids; refiner support).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..common import ModelFoundation, TextEncoderSpec
+from ..unet import UNet2DCondition, UNetConfig, make_sdxl_added_cond
+
+
+class SDXL(ModelFoundation):
+    NAME = "sdxl"
+    PREDICTION_TYPE = "epsilon"
+    MODEL_TYPE = "unet"
+    LATENT_CHANNEL_COUNT = 4
+    DEFAULT_RESOLUTION = 1024
+    DEFAULT_FLAVOUR = "base-1.0"
+    HUGGINGFACE_PATHS = {
+        "base-1.0": "stabilityai/stable-diffusion-xl-base-1.0",
+        "refiner-1.0": "stabilityai/stable-diffusion-xl-refiner-1.0",
+    }
+    TEXT_ENCODER_CONFIGURATION = (
+        TextEncoderSpec(name="clip-l", family="clip-l", subfolder="text_encoder", max_length=77),
+        TextEncoderSpec(name="clip-g", family="clip-g", subfolder="text_encoder_2", max_length=77, output="penultimate"),
+    )
+    DEFAULT_LORA_TARGET = ("to_q", "to_k", "to_v", "to_out")
+    VAE_SCALING_FACTOR = 0.13025
+
+    def __init__(self, config: Any, arch: Optional[UNetConfig] = None):
+        super().__init__(config)
+        if arch is not None:
+            self.arch = arch
+        elif getattr(config, "model_arch_preset", None) == "tiny":
+            self.arch = UNetConfig.tiny_xl()
+        else:
+            self.arch = UNetConfig.sdxl()
+
+    @property
+    def latent_channels(self) -> int:
+        return self.arch.in_channels
+
+    @property
+    def _pooled_dim(self) -> int:
+        # addition_embed_dim = 6*fourier + pooled
+        return self.arch.addition_embed_dim - 6 * self.arch.addition_time_embed_dim
+
+    def create_module(self):
+        return UNet2DCondition(
+            config=self.arch,
+            dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+        )
+
+    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
+        latent = resolution // 8
+        return {
+            "latents": jnp.zeros((batch_size, latent, latent, self.arch.in_channels), jnp.float32),
+            "text_embeds": jnp.zeros((batch_size, 77, self.arch.cross_attention_dim), jnp.float32),
+            "pooled_embeds": jnp.zeros((batch_size, self._pooled_dim), jnp.float32),
+            "time_ids": jnp.tile(
+                jnp.asarray([[resolution, resolution, 0, 0, resolution, resolution]], jnp.float32),
+                (batch_size, 1),
+            ),
+        }
+
+    def _time_ids(self, prepared: Dict[str, jax.Array], batch_size: int) -> jax.Array:
+        if "time_ids" in prepared:
+            return prepared["time_ids"]
+        # build from collate's size-conditioning metadata (reference collate.py
+        # SDXL time-ids: original H W, crop top left, target H W)
+        if all(k in prepared for k in ("original_sizes", "crop_coordinates", "target_sizes")):
+            return jnp.concatenate(
+                [
+                    prepared["original_sizes"].astype(jnp.float32),
+                    prepared["crop_coordinates"].astype(jnp.float32),
+                    prepared["target_sizes"].astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+        res = float(getattr(self.config, "resolution", 1024) or 1024)
+        return jnp.tile(jnp.asarray([[res, res, 0.0, 0.0, res, res]], jnp.float32), (batch_size, 1))
+
+    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        batch_size = prepared["noisy_latents"].shape[0]
+        time_ids = self._time_ids(prepared, batch_size)
+        added = make_sdxl_added_cond(
+            time_ids, prepared["pooled_embeds"], self.arch.addition_time_embed_dim
+        )
+        return {
+            "sample": prepared["noisy_latents"],
+            "timesteps": prepared["timesteps"],
+            "encoder_hidden_states": prepared["text_embeds"],
+            "added_cond": added,
+        }
+
+    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
+        return self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+
+    def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        batch_size = batch["latents"].shape[0]
+        height = batch["latents"].shape[1] * 8
+        return {
+            "text_embeds": batch["text_embeds"],
+            "pooled_embeds": batch["pooled_embeds"],
+            "time_ids": jnp.tile(
+                jnp.asarray([[height, height, 0.0, 0.0, height, height]], jnp.float32),
+                (batch_size, 1),
+            ),
+        }
+
+    # ---- host-side text encoding -----------------------------------------------------------
+    def encode_text(self, prompts):
+        """CLIP-L seq ++ CLIP-G seq (concat on channels) + G pooled
+        (reference sdxl dual-encoder prompt embedding)."""
+        import numpy as np
+
+        clip_l, clip_g = self.text_encoders
+        out_l = clip_l.encode(prompts)
+        out_g = clip_g.encode(prompts)
+        results = []
+        for i in range(len(prompts)):
+            seq = np.concatenate(
+                [
+                    np.asarray(out_l["last_hidden_state"][i], np.float32),
+                    np.asarray(out_g["last_hidden_state"][i], np.float32),
+                ],
+                axis=-1,
+            )
+            pooled = np.asarray(
+                out_g.get("pooled", out_g["last_hidden_state"][:, 0])[i], np.float32
+            )
+            results.append(
+                {
+                    "text_embeds": seq,
+                    "pooled_embeds": pooled,
+                    "attention_mask": np.asarray(out_l["attention_mask"][i]),
+                }
+            )
+        return results
+
+    def collate_text_embeds(self, embeds):
+        import numpy as np
+
+        return {
+            "text_embeds": np.stack([np.asarray(e["text_embeds"]) for e in embeds]),
+            "pooled_embeds": np.stack([np.asarray(e["pooled_embeds"]) for e in embeds]),
+        }
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) == "flow_matching":
+            raise ValueError("sdxl is an epsilon/v-prediction family")

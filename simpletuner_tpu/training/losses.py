@@ -248,11 +248,9 @@ def diffusion_loss(
     ``mask``: broadcastable to pred (1 = keep); ``loss_weight``: per-sample weight.
     """
     batch = model_pred.shape[0]
-    if timesteps is not None and config.huber_schedule != "constant":
-        huber_c = _huber_c_for(config, timesteps, num_train_timesteps)
+    huber_c = _huber_c_for(config, timesteps, num_train_timesteps)
+    if huber_c.ndim:  # per-timestep schedule → broadcast over spatial dims
         huber_c = huber_c.reshape(batch, *([1] * (model_pred.ndim - 1)))
-    else:
-        huber_c = jnp.asarray(config.huber_c, jnp.float32)
     loss = _pointwise_loss(model_pred, target, config, huber_c)
 
     if mask is not None:
