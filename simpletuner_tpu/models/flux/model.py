@@ -58,12 +58,15 @@ class Flux(ModelFoundation):
 
     # ---- construction -----------------------------------------------------------------
     def create_module(self):
+        tread = getattr(self.config, "tread_config", None) or {}
+        routes = tuple(tread.get("routes", ())) if isinstance(tread, dict) else tuple(tread or ())
         return FluxTransformer(
             config=self.arch,
             dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+            tread_routes=routes,
         )
 
     def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
@@ -94,11 +97,13 @@ class Flux(ModelFoundation):
             value = getattr(self.config, "flux_guidance_value", 1.0)
             value = 1.0 if value is None else value
             prepared["guidance"] = jnp.full((batch_size,), value, jnp.float32)
+        if getattr(self.config, "tread_config", None):
+            prepared["tread_rng"] = jax.random.fold_in(rng, 99)
         return prepared
 
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         noisy = prepared["noisy_latents"]
-        return {
+        inputs = {
             "img": pack_latents(noisy),
             "img_ids": prepared["img_ids"],
             "txt": prepared["t5_embeds"],
@@ -107,6 +112,9 @@ class Flux(ModelFoundation):
             "vec": prepared["pooled_embeds"],
             "guidance": prepared.get("guidance"),
         }
+        if "tread_rng" in prepared:
+            inputs["tread_rng"] = prepared["tread_rng"]
+        return inputs
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         latents = batch["latents"]

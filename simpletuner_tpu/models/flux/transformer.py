@@ -196,6 +196,11 @@ class FluxTransformer(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     remat: bool = False
+    # TREAD routes over single-stream layers: tuple of
+    # {"selection_ratio": r, "start_layer": i, "end_layer": j} (reference
+    # helpers/training/tread.py + flux tread_init; active only when a
+    # ``tread_rng`` is passed, i.e. during training)
+    tread_routes: Tuple[Any, ...] = ()
 
     @nn.compact
     def __call__(
@@ -208,6 +213,7 @@ class FluxTransformer(nn.Module):
         vec: jax.Array,
         guidance: Optional[jax.Array] = None,
         segment_ids: Optional[jax.Array] = None,
+        tread_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         dim = cfg.hidden_size
@@ -244,11 +250,51 @@ class FluxTransformer(nn.Module):
             )(img_tok, txt_tok, cond, rope, segment_ids)
 
         stream = jnp.concatenate([txt_tok, img_tok], axis=1)
+        txt_len = txt_tok.shape[1]
+
+        # normalize TREAD routes to (start, end, ratio) over single-stream layers
+        routes = []
+        if self.tread_routes and tread_rng is not None:
+            from ...training.tread import TREADRouter
+
+            for i, route in enumerate(self.tread_routes):
+                start = int(route.get("start_layer", 0))
+                end = int(route.get("end_layer", cfg.depth_single - 1))
+                if start < 0:
+                    start += cfg.depth_single
+                if end < 0:
+                    end += cfg.depth_single
+                routes.append((start, end, float(route["selection_ratio"]), i))
+
+        cos, sin = rope
+        saved = None  # (full_stream, keep_idx, saved_rope) while inside a route
         for layer in range(cfg.depth_single):
+            for start, end, ratio, ridx in routes:
+                if layer == start and saved is None:
+                    force_keep = jnp.concatenate(
+                        [
+                            jnp.ones((stream.shape[0], txt_len), bool),
+                            jnp.zeros((stream.shape[0], stream.shape[1] - txt_len), bool),
+                        ],
+                        axis=1,
+                    )
+                    router = TREADRouter(ratio, force_keep=force_keep)
+                    keep_idx, _ = router.plan(stream, jax.random.fold_in(tread_rng, ridx))
+                    saved = (stream, keep_idx, (cos, sin), end)
+                    stream = TREADRouter.select(stream, keep_idx)
+                    cos = jnp.take_along_axis(saved[2][0], keep_idx[..., None], axis=1)
+                    sin = jnp.take_along_axis(saved[2][1], keep_idx[..., None], axis=1)
             stream = single_cls(
                 cfg, name=f"single_{layer}", **common, **lora
-            )(stream, cond, rope, segment_ids)
-        img_tok = stream[:, txt_tok.shape[1]:]
+            )(stream, cond, (cos, sin), None if saved is not None else segment_ids)
+            if saved is not None and layer == saved[3]:
+                from ...training.tread import TREADRouter
+
+                full, keep_idx, full_rope, _ = saved
+                stream = TREADRouter.restore(full, stream, keep_idx)
+                cos, sin = full_rope
+                saved = None
+        img_tok = stream[:, txt_len:]
 
         shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(cond, dim)
         img_tok = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(img_tok), shift, scale)
