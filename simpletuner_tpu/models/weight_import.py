@@ -1,0 +1,317 @@
+"""Pretrained-weight import: torch safetensors checkpoints → flax param pytrees.
+
+Reference consumers load base models with diffusers ``from_pretrained``
+(reference: helpers/models/common.py:3143 ``load_model``).  Here we read the
+same artifacts directly — no torch graph needed — supporting both checkpoint
+layouts a SimpleTuner user will have on disk:
+
+* **original/BFL** single-file (``flux1-dev.safetensors``: ``double_blocks.*``,
+  fused ``img_attn.qkv``)
+* **diffusers** model dirs (``transformer/*.safetensors``:
+  ``transformer_blocks.*``, split ``attn.to_q``)
+
+Torch ``nn.Linear`` stores (out, in); flax Dense kernels are (in, out) — every
+matmul weight is transposed on the way in.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------------
+# safetensors reading
+# ---------------------------------------------------------------------------------
+
+
+def read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read one file or every ``*.safetensors`` shard in a directory."""
+    from safetensors import safe_open
+
+    files: List[str]
+    if os.path.isdir(path):
+        # diffusers model dir; prefer a transformer/ or unet/ subfolder if present
+        for sub in ("transformer", "unet"):
+            cand = os.path.join(path, sub)
+            if os.path.isdir(cand):
+                path = cand
+                break
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".safetensors")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no safetensors found under {path}")
+    tensors: Dict[str, np.ndarray] = {}
+    for file in files:
+        with safe_open(file, framework="np") as handle:
+            for key in handle.keys():
+                tensors[key] = handle.get_tensor(key)
+    return tensors
+
+
+def _to_f32(value: np.ndarray) -> np.ndarray:
+    if value.dtype == np.float32:
+        return value
+    try:
+        return value.astype(np.float32)
+    except TypeError:
+        # bfloat16 via ml_dtypes
+        import ml_dtypes
+
+        return value.view(ml_dtypes.bfloat16).astype(np.float32)
+
+
+def _linear(weights: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.ascontiguousarray(_to_f32(weights[f"{key}.weight"]).T)}
+    if f"{key}.bias" in weights:
+        out["bias"] = _to_f32(weights[f"{key}.bias"])
+    return out
+
+
+def _scale(weights: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    return {"scale": _to_f32(weights[key])}
+
+
+# ---------------------------------------------------------------------------------
+# Flux
+# ---------------------------------------------------------------------------------
+
+
+def _flux_detect_layout(weights: Dict[str, np.ndarray]) -> str:
+    if any(k.startswith("double_blocks.") for k in weights):
+        return "bfl"
+    if any(k.startswith("transformer_blocks.") for k in weights):
+        return "diffusers"
+    # single-file checkpoints sometimes prefix with model.diffusion_model.
+    if any("double_blocks." in k for k in weights):
+        return "bfl-prefixed"
+    raise ValueError("unrecognized flux checkpoint layout")
+
+
+def _strip_prefix(weights: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for key, value in weights.items():
+        for prefix in ("model.diffusion_model.", "module.", "transformer."):
+            if key.startswith(prefix):
+                key = key[len(prefix):]
+        out[key] = value
+    return out
+
+
+def flux_params_from_bfl(weights: Dict[str, np.ndarray], depth_double: int, depth_single: int) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "img_in": _linear(w, "img_in"),
+        "txt_in": _linear(w, "txt_in"),
+        "time_in": {
+            "in_layer": _linear(w, "time_in.in_layer"),
+            "out_layer": _linear(w, "time_in.out_layer"),
+        },
+        "vector_in": {
+            "in_layer": _linear(w, "vector_in.in_layer"),
+            "out_layer": _linear(w, "vector_in.out_layer"),
+        },
+        "final_proj": _linear(w, "final_layer.linear"),
+        "final_mod": {"lin": _linear(w, "final_layer.adaLN_modulation.1")},
+    }
+    if "guidance_in.in_layer.weight" in w:
+        params["guidance_in"] = {
+            "in_layer": _linear(w, "guidance_in.in_layer"),
+            "out_layer": _linear(w, "guidance_in.out_layer"),
+        }
+
+    for i in range(depth_double):
+        p = f"double_blocks.{i}"
+        block: Dict[str, Any] = {}
+        for stream in ("img", "txt"):
+            qkv_w = _to_f32(w[f"{p}.{stream}_attn.qkv.weight"])  # (3d, d)
+            qkv_b = _to_f32(w[f"{p}.{stream}_attn.qkv.bias"])
+            dim = qkv_w.shape[1]
+            for j, name in enumerate(("q", "k", "v")):
+                block[f"{stream}_attn_{name}"] = {
+                    "kernel": np.ascontiguousarray(qkv_w[j * dim:(j + 1) * dim].T),
+                    "bias": qkv_b[j * dim:(j + 1) * dim],
+                }
+            block[f"{stream}_attn_norm_q"] = _scale(w, f"{p}.{stream}_attn.norm.query_norm.scale")
+            block[f"{stream}_attn_norm_k"] = _scale(w, f"{p}.{stream}_attn.norm.key_norm.scale")
+            block[f"{stream}_attn_proj"] = _linear(w, f"{p}.{stream}_attn.proj")
+            block[f"{stream}_mlp"] = {
+                "proj_in": _linear(w, f"{p}.{stream}_mlp.0"),
+                "proj_out": _linear(w, f"{p}.{stream}_mlp.2"),
+            }
+            block[f"{stream}_mod"] = {"lin": _linear(w, f"{p}.{stream}_mod.lin")}
+        params[f"double_{i}"] = block
+
+    for i in range(depth_single):
+        p = f"single_blocks.{i}"
+        params[f"single_{i}"] = {
+            "linear1": _linear(w, f"{p}.linear1"),
+            "linear2": _linear(w, f"{p}.linear2"),
+            "modulation": {"lin": _linear(w, f"{p}.modulation.lin")},
+            "norm_q": _scale(w, f"{p}.norm.query_norm.scale"),
+            "norm_k": _scale(w, f"{p}.norm.key_norm.scale"),
+        }
+    return params
+
+
+def flux_params_from_diffusers(
+    weights: Dict[str, np.ndarray], depth_double: int, depth_single: int
+) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "img_in": _linear(w, "x_embedder"),
+        "txt_in": _linear(w, "context_embedder"),
+        "time_in": {
+            "in_layer": _linear(w, "time_text_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        "vector_in": {
+            "in_layer": _linear(w, "time_text_embed.text_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.text_embedder.linear_2"),
+        },
+        "final_proj": _linear(w, "proj_out"),
+    }
+    if "time_text_embed.guidance_embedder.linear_1.weight" in w:
+        params["guidance_in"] = {
+            "in_layer": _linear(w, "time_text_embed.guidance_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.guidance_embedder.linear_2"),
+        }
+    # diffusers AdaLayerNormContinuous emits (scale, shift); ours/BFL is
+    # (shift, scale) — swap the two output halves
+    norm_out = _linear(w, "norm_out.linear")
+    half = norm_out["kernel"].shape[1] // 2
+    params["final_mod"] = {
+        "lin": {
+            "kernel": np.concatenate(
+                [norm_out["kernel"][:, half:], norm_out["kernel"][:, :half]], axis=1
+            ),
+            "bias": np.concatenate([norm_out["bias"][half:], norm_out["bias"][:half]]),
+        }
+    }
+
+    for i in range(depth_double):
+        p = f"transformer_blocks.{i}"
+        block: Dict[str, Any] = {
+            "img_mod": {"lin": _linear(w, f"{p}.norm1.linear")},
+            "txt_mod": {"lin": _linear(w, f"{p}.norm1_context.linear")},
+            "img_attn_q": _linear(w, f"{p}.attn.to_q"),
+            "img_attn_k": _linear(w, f"{p}.attn.to_k"),
+            "img_attn_v": _linear(w, f"{p}.attn.to_v"),
+            "txt_attn_q": _linear(w, f"{p}.attn.add_q_proj"),
+            "txt_attn_k": _linear(w, f"{p}.attn.add_k_proj"),
+            "txt_attn_v": _linear(w, f"{p}.attn.add_v_proj"),
+            "img_attn_norm_q": _scale(w, f"{p}.attn.norm_q.weight"),
+            "img_attn_norm_k": _scale(w, f"{p}.attn.norm_k.weight"),
+            "txt_attn_norm_q": _scale(w, f"{p}.attn.norm_added_q.weight"),
+            "txt_attn_norm_k": _scale(w, f"{p}.attn.norm_added_k.weight"),
+            "img_attn_proj": _linear(w, f"{p}.attn.to_out.0"),
+            "txt_attn_proj": _linear(w, f"{p}.attn.to_add_out"),
+            "img_mlp": {
+                "proj_in": _linear(w, f"{p}.ff.net.0.proj"),
+                "proj_out": _linear(w, f"{p}.ff.net.2"),
+            },
+            "txt_mlp": {
+                "proj_in": _linear(w, f"{p}.ff_context.net.0.proj"),
+                "proj_out": _linear(w, f"{p}.ff_context.net.2"),
+            },
+        }
+        params[f"double_{i}"] = block
+
+    for i in range(depth_single):
+        p = f"single_transformer_blocks.{i}"
+        q = _to_f32(w[f"{p}.attn.to_q.weight"])
+        k = _to_f32(w[f"{p}.attn.to_k.weight"])
+        v = _to_f32(w[f"{p}.attn.to_v.weight"])
+        mlp = _to_f32(w[f"{p}.proj_mlp.weight"])
+        linear1_kernel = np.ascontiguousarray(np.concatenate([q, k, v, mlp], axis=0).T)
+        linear1_bias = np.concatenate(
+            [
+                _to_f32(w[f"{p}.attn.to_q.bias"]),
+                _to_f32(w[f"{p}.attn.to_k.bias"]),
+                _to_f32(w[f"{p}.attn.to_v.bias"]),
+                _to_f32(w[f"{p}.proj_mlp.bias"]),
+            ]
+        )
+        params[f"single_{i}"] = {
+            "linear1": {"kernel": linear1_kernel, "bias": linear1_bias},
+            "linear2": _linear(w, f"{p}.proj_out"),
+            "modulation": {"lin": _linear(w, f"{p}.norm.linear")},
+            "norm_q": _scale(w, f"{p}.attn.norm_q.weight"),
+            "norm_k": _scale(w, f"{p}.attn.norm_k.weight"),
+        }
+    return params
+
+
+def load_flux_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    layout = _flux_detect_layout(weights)
+    arch = model.arch
+    if layout.startswith("bfl"):
+        params = flux_params_from_bfl(weights, arch.depth_double, arch.depth_single)
+    else:
+        params = flux_params_from_diffusers(weights, arch.depth_double, arch.depth_single)
+    logger.info("imported flux weights (%s layout) from %s", layout, path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# dispatch + validation
+# ---------------------------------------------------------------------------------
+
+_IMPORTERS = {
+    "flux": load_flux_params,
+}
+
+
+def register_importer(family: str, fn) -> None:
+    _IMPORTERS[family] = fn
+
+
+def load_transformer_params(model, path: str, validate: bool = True) -> Dict[str, Any]:
+    """Full variables dict for ``model`` with params imported from ``path``.
+
+    LoRA collections (if the module has them) are freshly initialized — base
+    weights come from the checkpoint, adapters start at zero-B like the
+    reference's PEFT injection.
+    """
+    importer = _IMPORTERS.get(model.NAME)
+    if importer is None:
+        raise NotImplementedError(f"no weight importer for family {model.NAME!r}")
+    params = importer(model, path)
+
+    import jax
+    import jax.numpy as jnp
+
+    template = model.init_params(jax.random.PRNGKey(0))
+    if validate:
+        _validate_against(template["params"], params, model.NAME)
+    variables = dict(template)
+    variables["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    return variables
+
+
+def _validate_against(template: Dict[str, Any], imported: Dict[str, Any], family: str) -> None:
+    t_flat = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_flatten_with_path(template)[0]}
+    i_flat = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_flatten_with_path(imported)[0]}
+    missing = sorted(set(t_flat) - set(i_flat))
+    extra = sorted(set(i_flat) - set(t_flat))
+    if missing or extra:
+        raise ValueError(
+            f"{family} import key mismatch; missing={missing[:8]} extra={extra[:8]} "
+            f"({len(missing)} missing / {len(extra)} extra)"
+        )
+    for key, value in t_flat.items():
+        if tuple(i_flat[key].shape) != tuple(value.shape):
+            raise ValueError(
+                f"{family} import shape mismatch at {key}: checkpoint {i_flat[key].shape} vs model {value.shape}"
+            )

@@ -1,0 +1,207 @@
+"""Weight-import round trip: build BFL-layout and diffusers-layout torch-style
+state dicts from a tiny Flux's own params, import them, and require bit-equal
+forward outputs vs the original params."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import FluxConfig
+from simpletuner_tpu.models.weight_import import (
+    flux_params_from_bfl,
+    flux_params_from_diffusers,
+    load_transformer_params,
+)
+
+
+def _model():
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+        }
+    )
+    return Flux(cfg, arch=FluxConfig.tiny())
+
+
+def _params_to_bfl(params):
+    """Inverse mapping: our pytree -> BFL torch-layout flat dict."""
+    w = {}
+
+    def lin(dst, node):
+        w[f"{dst}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            w[f"{dst}.bias"] = np.asarray(node["bias"])
+
+    lin("img_in", params["img_in"])
+    lin("txt_in", params["txt_in"])
+    for ours, theirs in (("time_in", "time_in"), ("vector_in", "vector_in"), ("guidance_in", "guidance_in")):
+        if ours in params:
+            lin(f"{theirs}.in_layer", params[ours]["in_layer"])
+            lin(f"{theirs}.out_layer", params[ours]["out_layer"])
+    lin("final_layer.linear", params["final_proj"])
+    lin("final_layer.adaLN_modulation.1", params["final_mod"]["lin"])
+
+    i = 0
+    while f"double_{i}" in params:
+        block = params[f"double_{i}"]
+        p = f"double_blocks.{i}"
+        for stream in ("img", "txt"):
+            q = np.asarray(block[f"{stream}_attn_q"]["kernel"]).T
+            k = np.asarray(block[f"{stream}_attn_k"]["kernel"]).T
+            v = np.asarray(block[f"{stream}_attn_v"]["kernel"]).T
+            w[f"{p}.{stream}_attn.qkv.weight"] = np.concatenate([q, k, v], axis=0)
+            w[f"{p}.{stream}_attn.qkv.bias"] = np.concatenate(
+                [
+                    np.asarray(block[f"{stream}_attn_q"]["bias"]),
+                    np.asarray(block[f"{stream}_attn_k"]["bias"]),
+                    np.asarray(block[f"{stream}_attn_v"]["bias"]),
+                ]
+            )
+            w[f"{p}.{stream}_attn.norm.query_norm.scale"] = np.asarray(block[f"{stream}_attn_norm_q"]["scale"])
+            w[f"{p}.{stream}_attn.norm.key_norm.scale"] = np.asarray(block[f"{stream}_attn_norm_k"]["scale"])
+            lin(f"{p}.{stream}_attn.proj", block[f"{stream}_attn_proj"])
+            lin(f"{p}.{stream}_mlp.0", block[f"{stream}_mlp"]["proj_in"])
+            lin(f"{p}.{stream}_mlp.2", block[f"{stream}_mlp"]["proj_out"])
+            lin(f"{p}.{stream}_mod.lin", block[f"{stream}_mod"]["lin"])
+        i += 1
+
+    i = 0
+    while f"single_{i}" in params:
+        block = params[f"single_{i}"]
+        p = f"single_blocks.{i}"
+        lin(f"{p}.linear1", block["linear1"])
+        lin(f"{p}.linear2", block["linear2"])
+        lin(f"{p}.modulation.lin", block["modulation"]["lin"])
+        w[f"{p}.norm.query_norm.scale"] = np.asarray(block["norm_q"]["scale"])
+        w[f"{p}.norm.key_norm.scale"] = np.asarray(block["norm_k"]["scale"])
+        i += 1
+    return w
+
+
+def _params_to_diffusers(params, hidden, mlp):
+    """Inverse mapping: our pytree -> diffusers torch-layout flat dict."""
+    w = {}
+
+    def lin(dst, node):
+        w[f"{dst}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            w[f"{dst}.bias"] = np.asarray(node["bias"])
+
+    lin("x_embedder", params["img_in"])
+    lin("context_embedder", params["txt_in"])
+    lin("time_text_embed.timestep_embedder.linear_1", params["time_in"]["in_layer"])
+    lin("time_text_embed.timestep_embedder.linear_2", params["time_in"]["out_layer"])
+    lin("time_text_embed.text_embedder.linear_1", params["vector_in"]["in_layer"])
+    lin("time_text_embed.text_embedder.linear_2", params["vector_in"]["out_layer"])
+    if "guidance_in" in params:
+        lin("time_text_embed.guidance_embedder.linear_1", params["guidance_in"]["in_layer"])
+        lin("time_text_embed.guidance_embedder.linear_2", params["guidance_in"]["out_layer"])
+    lin("proj_out", params["final_proj"])
+    # ours (shift, scale) -> diffusers (scale, shift)
+    kern = np.asarray(params["final_mod"]["lin"]["kernel"])
+    bias = np.asarray(params["final_mod"]["lin"]["bias"])
+    half = kern.shape[1] // 2
+    w["norm_out.linear.weight"] = np.concatenate([kern[:, half:], kern[:, :half]], axis=1).T
+    w["norm_out.linear.bias"] = np.concatenate([bias[half:], bias[:half]])
+
+    i = 0
+    while f"double_{i}" in params:
+        b = params[f"double_{i}"]
+        p = f"transformer_blocks.{i}"
+        lin(f"{p}.norm1.linear", b["img_mod"]["lin"])
+        lin(f"{p}.norm1_context.linear", b["txt_mod"]["lin"])
+        lin(f"{p}.attn.to_q", b["img_attn_q"])
+        lin(f"{p}.attn.to_k", b["img_attn_k"])
+        lin(f"{p}.attn.to_v", b["img_attn_v"])
+        lin(f"{p}.attn.add_q_proj", b["txt_attn_q"])
+        lin(f"{p}.attn.add_k_proj", b["txt_attn_k"])
+        lin(f"{p}.attn.add_v_proj", b["txt_attn_v"])
+        w[f"{p}.attn.norm_q.weight"] = np.asarray(b["img_attn_norm_q"]["scale"])
+        w[f"{p}.attn.norm_k.weight"] = np.asarray(b["img_attn_norm_k"]["scale"])
+        w[f"{p}.attn.norm_added_q.weight"] = np.asarray(b["txt_attn_norm_q"]["scale"])
+        w[f"{p}.attn.norm_added_k.weight"] = np.asarray(b["txt_attn_norm_k"]["scale"])
+        lin(f"{p}.attn.to_out.0", b["img_attn_proj"])
+        lin(f"{p}.attn.to_add_out", b["txt_attn_proj"])
+        lin(f"{p}.ff.net.0.proj", b["img_mlp"]["proj_in"])
+        lin(f"{p}.ff.net.2", b["img_mlp"]["proj_out"])
+        lin(f"{p}.ff_context.net.0.proj", b["txt_mlp"]["proj_in"])
+        lin(f"{p}.ff_context.net.2", b["txt_mlp"]["proj_out"])
+        i += 1
+
+    i = 0
+    while f"single_{i}" in params:
+        b = params[f"single_{i}"]
+        p = f"single_transformer_blocks.{i}"
+        kern1 = np.asarray(b["linear1"]["kernel"]).T  # (3d+mlp, d)
+        bias1 = np.asarray(b["linear1"]["bias"])
+        d = hidden
+        w[f"{p}.attn.to_q.weight"], w[f"{p}.attn.to_q.bias"] = kern1[:d], bias1[:d]
+        w[f"{p}.attn.to_k.weight"], w[f"{p}.attn.to_k.bias"] = kern1[d:2 * d], bias1[d:2 * d]
+        w[f"{p}.attn.to_v.weight"], w[f"{p}.attn.to_v.bias"] = kern1[2 * d:3 * d], bias1[2 * d:3 * d]
+        w[f"{p}.proj_mlp.weight"], w[f"{p}.proj_mlp.bias"] = kern1[3 * d:], bias1[3 * d:]
+        lin(f"{p}.proj_out", b["linear2"])
+        lin(f"{p}.norm.linear", b["modulation"]["lin"])
+        w[f"{p}.attn.norm_q.weight"] = np.asarray(b["norm_q"]["scale"])
+        w[f"{p}.attn.norm_k.weight"] = np.asarray(b["norm_k"]["scale"])
+        i += 1
+    return w
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = _model()
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(3), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(4), batch)
+    reference_out = np.asarray(model.model_predict(variables, prepared))
+    return model, batch, variables, prepared, reference_out
+
+
+def _forward_with(model, variables, params, prepared):
+    merged = dict(variables)
+    merged["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    return np.asarray(model.model_predict(merged, prepared))
+
+
+def test_bfl_roundtrip(setup):
+    model, batch, variables, prepared, ref = setup
+    host_params = jax.device_get(variables["params"])
+    bfl = _params_to_bfl(host_params)
+    imported = flux_params_from_bfl(bfl, model.arch.depth_double, model.arch.depth_single)
+    out = _forward_with(model, variables, imported, prepared)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_diffusers_roundtrip(setup):
+    model, batch, variables, prepared, ref = setup
+    host_params = jax.device_get(variables["params"])
+    mlp = int(model.arch.hidden_size * model.arch.mlp_ratio)
+    dif = _params_to_diffusers(host_params, model.arch.hidden_size, mlp)
+    imported = flux_params_from_diffusers(dif, model.arch.depth_double, model.arch.depth_single)
+    out = _forward_with(model, variables, imported, prepared)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_full_loader_from_file(setup, tmp_path):
+    from safetensors.numpy import save_file
+
+    model, batch, variables, prepared, ref = setup
+    host_params = jax.device_get(variables["params"])
+    bfl = {k: np.ascontiguousarray(v) for k, v in _params_to_bfl(host_params).items()}
+    path = str(tmp_path / "flux_tiny.safetensors")
+    save_file(bfl, path)
+
+    loaded = load_transformer_params(model, path)
+    assert "lora" in loaded  # fresh adapters initialized
+    out = np.asarray(model.model_predict(loaded, prepared))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
