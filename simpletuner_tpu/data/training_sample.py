@@ -49,12 +49,22 @@ def prepare_image(
     config: BucketConfig,
     crop_style: str = "random",
     rng: Optional[random.Random] = None,
+    use_native: bool = True,
 ) -> PreparedSample:
-    """Resize (and crop) a PIL image into its bucket's exact pixel dimensions."""
+    """Resize (and crop) a PIL image into its bucket's exact pixel dimensions.
+
+    When the C++ ``native`` extension is available, resample/crop run there
+    (GIL-free Lanczos-3, same semantics as the PIL path)."""
     from PIL import Image
 
     if image.mode != "RGB":
         image = image.convert("RGB")
+
+    if use_native:
+        from .. import native
+
+        if native.available():
+            return _prepare_image_native(image, config, crop_style, rng)
     src_w, src_h = image.size
     bucket_key = bucket_key_for_size(src_w, src_h, config)
     target_w, target_h = target_size_for_aspect(float(bucket_key), config)
@@ -104,6 +114,64 @@ def prepare_image(
     )
 
 
+def _prepare_image_native(
+    image,
+    config: BucketConfig,
+    crop_style: str,
+    rng: Optional[random.Random],
+) -> PreparedSample:
+    """numpy/C++ mirror of the PIL path in :func:`prepare_image`."""
+    import numpy as np
+
+    from .. import native
+
+    array = np.asarray(image, dtype=np.uint8)
+    src_h, src_w = array.shape[:2]
+    bucket_key = bucket_key_for_size(src_w, src_h, config)
+    target_w, target_h = target_size_for_aspect(float(bucket_key), config)
+
+    if config.crop:
+        inter_w, inter_h = src_w, src_h
+        downsample_to = config.target_downsample_size
+        if downsample_to:
+            if config.resolution_type == "pixel":
+                scale = downsample_to / min(src_w, src_h)
+            else:
+                area = (
+                    downsample_to * 1_000_000.0
+                    if config.resolution_type == "area"
+                    else float(downsample_to) ** 2
+                )
+                scale = (area / (src_w * src_h)) ** 0.5
+            if scale < 1.0:
+                inter_w = max(int(src_w * scale), target_w)
+                inter_h = max(int(src_h * scale), target_h)
+                array = native.resize_u8(array, inter_h, inter_w)
+        scale = max(target_w / inter_w, target_h / inter_h)
+        if scale != 1.0:
+            inter_w = max(int(round(inter_w * scale)), target_w)
+            inter_h = max(int(round(inter_h * scale)), target_h)
+            array = native.resize_u8(array, inter_h, inter_w)
+        left, top = _choose_crop(crop_style, inter_w, inter_h, target_w, target_h, rng)
+        array = native.crop_u8(array, top, left, target_h, target_w)
+        crop_coordinates = (left, top)
+        intermediary = (inter_w, inter_h)
+    else:
+        array = native.resize_u8(array, target_h, target_w)
+        crop_coordinates = (0, 0)
+        intermediary = (target_w, target_h)
+
+    return PreparedSample(
+        image=array,
+        original_size=(src_w, src_h),
+        target_size=(target_w, target_h),
+        intermediary_size=intermediary,
+        crop_coordinates=crop_coordinates,
+        aspect_ratio=float(bucket_key),
+        bucket_key=bucket_key,
+    )
+
+
 def prepare_like(image, reference_sample: PreparedSample) -> PreparedSample:
     """Prepare a conditioning image identically to its paired sample (reference
     training_sample.py ``prepare_like`` for edit/ControlNet pairs)."""
@@ -129,10 +197,16 @@ def prepare_like(image, reference_sample: PreparedSample) -> PreparedSample:
 
 
 def image_to_array(image, normalize: bool = True):
-    """PIL -> float32 numpy (H, W, C) in [-1, 1] (VAE input convention)."""
+    """PIL or uint8 ndarray -> float32 numpy (H, W, C) in [-1, 1]."""
     import numpy as np
 
-    array = np.asarray(image, dtype=np.float32) / 255.0
+    raw = np.asarray(image)
+    if normalize and raw.dtype == np.uint8:
+        from .. import native
+
+        if native.available():
+            return native.to_f32_normalized(raw)
+    array = raw.astype(np.float32) / 255.0
     if normalize:
         array = array * 2.0 - 1.0
     return array
