@@ -1,0 +1,142 @@
+"""Unified CLI (reference: simpletuner/cli/__init__.py:105-715 subparser tree).
+
+Subcommands implemented: ``train``, ``validate-config``, ``inference``,
+``examples``, ``models``, ``optimizers``, ``version``.  Platform subcommands
+(server/jobs/quota/workers) arrive with the web layer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+
+def _cmd_train(args, extra: List[str]) -> int:
+    from ..train import main as train_main
+
+    argv = extra
+    if args.config:
+        argv = ["--config", args.config] + argv
+    return train_main(argv)
+
+
+def _cmd_validate_config(args, extra: List[str]) -> int:
+    from ..configuration import TrainingConfig
+    from ..configuration.dataloader import load_dataloader_config
+
+    try:
+        config = TrainingConfig.from_file(args.config)
+    except Exception as exc:
+        print(f"INVALID: {exc}", file=sys.stderr)
+        return 1
+    print(f"config OK: model_family={config.get('model_family')}")
+    mdb = config.get("data_backend_config")
+    if mdb:
+        try:
+            datasets = load_dataloader_config(mdb)
+            print(f"dataloader OK: {len(datasets)} dataset(s): {[d.id for d in datasets]}")
+        except Exception as exc:
+            print(f"INVALID dataloader config: {exc}", file=sys.stderr)
+            return 1
+    return 0
+
+
+def _cmd_inference(args, extra: List[str]) -> int:
+    from ..inference import run_inference
+
+    return run_inference(
+        checkpoint=args.checkpoint,
+        config_path=args.config,
+        prompt=args.prompt,
+        output=args.output,
+        steps=args.steps,
+        resolution=args.resolution,
+        seed=args.seed,
+    )
+
+
+def _cmd_examples(args, extra: List[str]) -> int:
+    from .examples import EXAMPLES, write_example
+
+    if args.name:
+        path = write_example(args.name, args.output_dir)
+        print(f"wrote {path}")
+        return 0
+    for name, meta in EXAMPLES.items():
+        print(f"{name:32s} {meta['description']}")
+    return 0
+
+
+def _cmd_models(args, extra: List[str]) -> int:
+    from ..models.registry import ModelRegistry
+
+    for family in ModelRegistry.families():
+        meta = ModelRegistry.metadata(family)
+        print(f"{family:16s} modality={meta.get('modality', '?'):6s} prediction={meta.get('prediction', '?')}")
+    return 0
+
+
+def _cmd_optimizers(args, extra: List[str]) -> int:
+    from ..training.optimizers import optimizer_names
+
+    for name in optimizer_names():
+        print(name)
+    return 0
+
+
+def _cmd_version(args, extra: List[str]) -> int:
+    from .. import __version__
+
+    print(__version__)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("simpletuner-tpu", description="TPU-native diffusion training framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="run a training job")
+    p.add_argument("--config", default=None, help="config.json/toml/env path")
+    p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("validate-config", help="check a config without running")
+    p.add_argument("--config", required=True)
+    p.set_defaults(fn=_cmd_validate_config)
+
+    p = sub.add_parser("inference", help="render images from a trained checkpoint")
+    p.add_argument("--checkpoint", required=True, help="checkpoint dir (output of training)")
+    p.add_argument("--config", default=None, help="training config used for the run")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--output", default="inference_output")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=_cmd_inference)
+
+    p = sub.add_parser("examples", help="list or materialize example configs")
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--output-dir", default="config")
+    p.set_defaults(fn=_cmd_examples)
+
+    p = sub.add_parser("models", help="list model families")
+    p.set_defaults(fn=_cmd_models)
+
+    p = sub.add_parser("optimizers", help="list optimizer choices")
+    p.set_defaults(fn=_cmd_optimizers)
+
+    p = sub.add_parser("version", help="print version")
+    p.set_defaults(fn=_cmd_version)
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    args, extra = parser.parse_known_args(argv)
+    return args.fn(args, extra)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -237,8 +237,8 @@ class Trainer:
         """init_optimizer + init_lr_scheduler + shard/jit + init_resume_checkpoint
         (reference trainer.py:4980,3735,3952,4140,4636)."""
         self._stage("resume_and_prepare")
-        self.max_train_steps = int(self.config.get("max_train_steps", 1000) or 1000)
-        self.lr_schedule = get_lr_schedule(self.config, self.max_train_steps)
+        self.max_train_steps = int(self.config.get("max_train_steps", 1000) or 0)
+        self.lr_schedule = get_lr_schedule(self.config, max(self.max_train_steps, 1))
         self.tx = get_optimizer(self.config, self.lr_schedule)
         self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)
 
