@@ -1,0 +1,1 @@
+from .model import SD1x, SD2x

@@ -1,0 +1,130 @@
+"""SD3 family (reference: helpers/models/sd3/model.py — flow-matching MMDiT,
+triple text encoder CLIP-L + CLIP-G + T5-XXL, 16-channel VAE, ControlNet
+support; SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import ModelFoundation, TextEncoderSpec
+from .transformer import SD3Config, SD3Transformer
+
+
+class SD3(ModelFoundation):
+    NAME = "sd3"
+    PREDICTION_TYPE = "flow_matching"
+    MODEL_TYPE = "transformer"
+    LATENT_CHANNEL_COUNT = 16
+    DEFAULT_RESOLUTION = 1024
+    DEFAULT_FLAVOUR = "medium-3.5"
+    HUGGINGFACE_PATHS = {
+        "medium-3.5": "stabilityai/stable-diffusion-3.5-medium",
+        "large-3.5": "stabilityai/stable-diffusion-3.5-large",
+        "medium-3.0": "stabilityai/stable-diffusion-3-medium-diffusers",
+    }
+    TEXT_ENCODER_CONFIGURATION = (
+        TextEncoderSpec(name="clip-l", family="clip-l", subfolder="text_encoder", max_length=77),
+        TextEncoderSpec(name="clip-g", family="clip-g", subfolder="text_encoder_2", max_length=77),
+        TextEncoderSpec(name="t5-xxl", family="t5-xxl", subfolder="text_encoder_3", max_length=256),
+    )
+    DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj")
+    VAE_SCALING_FACTOR = 1.5305
+    VAE_SHIFT_FACTOR = 0.0609
+
+    def __init__(self, config: Any, arch: Optional[SD3Config] = None):
+        super().__init__(config)
+        if arch is not None:
+            self.arch = arch
+        elif getattr(config, "model_arch_preset", None) == "tiny":
+            self.arch = SD3Config.tiny()
+        elif self.flavour and "large" in self.flavour:
+            self.arch = SD3Config.large()
+        else:
+            self.arch = SD3Config.medium()
+
+    @property
+    def latent_channels(self) -> int:
+        return self.arch.in_channels
+
+    def create_module(self):
+        return SD3Transformer(
+            config=self.arch,
+            dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+        )
+
+    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
+        latent = resolution // 8
+        return {
+            "latents": jnp.zeros((batch_size, latent, latent, self.arch.in_channels), jnp.float32),
+            "text_embeds": jnp.zeros((batch_size, 77 + 32, self.arch.context_dim), jnp.float32),
+            "pooled_embeds": jnp.zeros((batch_size, self.arch.pooled_dim), jnp.float32),
+        }
+
+    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return {
+            "latents": prepared["noisy_latents"],
+            "timesteps": prepared["timesteps"],
+            "context": prepared["text_embeds"],
+            "pooled": prepared["pooled_embeds"],
+        }
+
+    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
+        return self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+
+    def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return {"text_embeds": batch["text_embeds"], "pooled_embeds": batch["pooled_embeds"]}
+
+    # ---- host-side text encoding -----------------------------------------------------------
+    def encode_text(self, prompts):
+        """CLIP-L ++ CLIP-G (channel concat, zero-padded to context_dim) stacked
+        with T5 sequence (reference sd3 triple-encoder prompt embedding)."""
+        clip_l, clip_g, t5 = self.text_encoders
+        out_l = clip_l.encode(prompts)
+        out_g = clip_g.encode(prompts)
+        out_t5 = t5.encode(prompts)
+        context_dim = self.arch.context_dim
+        results = []
+        for i in range(len(prompts)):
+            clip_seq = np.concatenate(
+                [
+                    np.asarray(out_l["last_hidden_state"][i], np.float32),
+                    np.asarray(out_g["last_hidden_state"][i], np.float32),
+                ],
+                axis=-1,
+            )
+            clip_seq = np.pad(clip_seq, ((0, 0), (0, context_dim - clip_seq.shape[-1])))
+            t5_seq = np.asarray(out_t5["last_hidden_state"][i], np.float32)
+            if t5_seq.shape[-1] < context_dim:
+                t5_seq = np.pad(t5_seq, ((0, 0), (0, context_dim - t5_seq.shape[-1])))
+            pooled = np.concatenate(
+                [
+                    np.asarray(out_l.get("pooled", out_l["last_hidden_state"][:, 0])[i], np.float32),
+                    np.asarray(out_g.get("pooled", out_g["last_hidden_state"][:, 0])[i], np.float32),
+                ]
+            )
+            if pooled.shape[0] < self.arch.pooled_dim:
+                pooled = np.pad(pooled, (0, self.arch.pooled_dim - pooled.shape[0]))
+            results.append(
+                {
+                    "text_embeds": np.concatenate([clip_seq, t5_seq], axis=0),
+                    "pooled_embeds": pooled,
+                }
+            )
+        return results
+
+    def collate_text_embeds(self, embeds):
+        return {
+            "text_embeds": np.stack([np.asarray(e["text_embeds"]) for e in embeds]),
+            "pooled_embeds": np.stack([np.asarray(e["pooled_embeds"]) for e in embeds]),
+        }
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
+            raise ValueError("sd3 is a flow-matching family")
