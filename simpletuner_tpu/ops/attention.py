@@ -19,7 +19,17 @@ import jax.numpy as jnp
 from .flash_attention import flash_attention, mha_reference
 
 _VALID_BACKENDS = ("auto", "pallas_flash", "xla", "splash")
-_state = {"backend": os.environ.get("SIMPLETUNER_ATTENTION_BACKEND", "auto")}
+_state = {"backend": os.environ.get("SIMPLETUNER_ATTENTION_BACKEND", "auto"), "cp": None}
+
+
+def set_context_parallel(config) -> None:
+    """Enable context-parallel attention (a ``ContextParallelConfig`` from
+    parallel/context.py) for subsequent dispatches; ``None`` disables."""
+    _state["cp"] = config
+
+
+def get_context_parallel():
+    return _state["cp"]
 
 # Aliases so reference config values map onto TPU backends.
 _ALIASES = {
@@ -68,6 +78,17 @@ def dot_product_attention(
     The (B, S, H, D) layout matches flax convention; kernels run in (B, H, S, D).
     """
     name = _resolve(backend)
+    cp = _state["cp"]
+    if cp is not None and q_segment_ids is None and q.shape[1] == k.shape[1]:
+        from ..parallel.context import context_parallel_attention
+
+        inner = lambda ql, kl, vl: _attention_bshd(ql, kl, vl, None, None, scale, name)  # noqa: E731
+        # self-attention over the sequence axis: shard S over the context axis
+        return context_parallel_attention(q, k, v, cp, inner)
+    return _attention_bshd(q, k, v, q_segment_ids, kv_segment_ids, scale, name)
+
+
+def _attention_bshd(q, k, v, q_segment_ids, kv_segment_ids, scale, name):
     q_t = jnp.swapaxes(q, 1, 2)
     k_t = jnp.swapaxes(k, 1, 2)
     v_t = jnp.swapaxes(v, 1, 2)

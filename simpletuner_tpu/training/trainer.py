@@ -67,6 +67,17 @@ class Trainer:
         self.webhook_handler = WebhookHandler()
         self.model = get_model_family(self.config)
         self.mesh = build_mesh(MeshConfig.from_training_config(self.config))
+        if self.mesh.shape["context"] > 1:
+            from ..ops.attention import set_context_parallel
+            from ..parallel.context import ContextParallelConfig
+
+            set_context_parallel(
+                ContextParallelConfig(
+                    mesh=self.mesh,
+                    strategy=self.config.get("context_parallel_comm_strategy", "allgather")
+                    or "allgather",
+                )
+            )
         self.global_step = 0
         self.epoch = 0
         self.data_plane = None

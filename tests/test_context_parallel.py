@@ -1,0 +1,114 @@
+"""Context-parallel attention on the virtual 8-device mesh: both comm
+strategies must match single-device attention bitwise-closely, forward and
+backward (SURVEY.md §4: sharding logic tested as pure functions on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.ops.attention import (
+    dot_product_attention,
+    set_context_parallel,
+)
+from simpletuner_tpu.parallel.context import ContextParallelConfig
+from simpletuner_tpu.parallel.mesh import MeshConfig, build_mesh
+
+
+@pytest.fixture
+def qkv():
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    shape = (2, 32, 4, 16)  # (B, S, H, D)
+    return (
+        jax.random.normal(kq, shape, jnp.float32),
+        jax.random.normal(kk, shape, jnp.float32),
+        jax.random.normal(kv, shape, jnp.float32),
+    )
+
+
+@pytest.fixture
+def cp_mesh():
+    return build_mesh(MeshConfig(fsdp_size=1, context_size=4))
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "alltoall"])
+def test_cp_matches_single_device(qkv, cp_mesh, strategy):
+    q, k, v = qkv
+    reference = dot_product_attention(q, k, v)
+
+    set_context_parallel(ContextParallelConfig(mesh=cp_mesh, strategy=strategy))
+    try:
+        out = jax.jit(dot_product_attention)(q, k, v)
+    finally:
+        set_context_parallel(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(reference), atol=2e-5)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "alltoall"])
+def test_cp_gradients_match(qkv, cp_mesh, strategy):
+    q, k, v = qkv
+
+    def loss(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v) ** 2)
+
+    ref_grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    set_context_parallel(ContextParallelConfig(mesh=cp_mesh, strategy=strategy))
+    try:
+        cp_grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    finally:
+        set_context_parallel(None)
+    for ref, got in zip(ref_grads, cp_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_cp_skipped_for_cross_attention(qkv, cp_mesh):
+    """Cross-attention (kv seq != q seq) stays on the normal path under CP."""
+    q, k, v = qkv
+    k_short, v_short = k[:, :16], v[:, :16]
+    reference = dot_product_attention(q, k_short, v_short)
+    set_context_parallel(ContextParallelConfig(mesh=cp_mesh))
+    try:
+        out = dot_product_attention(q, k_short, v_short)
+    finally:
+        set_context_parallel(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(reference), atol=1e-6)
+
+
+def test_ring_alias_maps_to_allgather(cp_mesh):
+    config = ContextParallelConfig(mesh=cp_mesh, strategy="ring")
+    assert config.strategy == "allgather"
+    config = ContextParallelConfig(mesh=cp_mesh, strategy="ulysses")
+    assert config.strategy == "alltoall"
+
+
+def test_flux_train_step_under_cp(cp_mesh):
+    """Whole Flux loss/grad runs with CP enabled on the virtual mesh."""
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+        }
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=2, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    loss_ref, _ = model.loss_fn(variables, jax.random.PRNGKey(1), batch)
+
+    set_context_parallel(ContextParallelConfig(mesh=cp_mesh, strategy="allgather"))
+    try:
+        loss_cp, _ = jax.jit(lambda v, b: model.loss_fn(v, jax.random.PRNGKey(1), b))(
+            variables, batch
+        )
+    finally:
+        set_context_parallel(None)
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-4)
