@@ -103,5 +103,4 @@ def context_parallel_attention(
         mesh=config.mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )(q, k, v)
