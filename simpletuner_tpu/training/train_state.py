@@ -19,6 +19,7 @@ from flax import struct
 
 from ..parallel.mesh import batch_sharding, params_shardings, replicated
 from .ema import EMAConfig, ema_init, ema_update
+from .quantization import dequantize_params, has_quantized, quantize_params
 
 
 class TrainState(struct.PyTreeNode):
@@ -29,7 +30,7 @@ class TrainState(struct.PyTreeNode):
     ema: Optional[Dict[str, Any]] = None
 
     def variables(self) -> Dict[str, Any]:
-        return {**self.frozen, **self.trainable}
+        return {**dequantize_params(self.frozen), **self.trainable}
 
 
 def create_train_state(
@@ -37,8 +38,13 @@ def create_train_state(
     variables: Dict[str, Any],
     tx: optax.GradientTransformation,
     ema_config: Optional[EMAConfig] = None,
+    quantize_mode: Optional[str] = None,
 ) -> TrainState:
-    """Split variables into frozen/trainable by model_type and initialize optimizer."""
+    """Split variables into frozen/trainable by model_type and initialize optimizer.
+
+    ``quantize_mode`` ("int8"/"fp8", reference --base_model_precision) stores the
+    frozen base weights quantized; LoRA/trainable collections stay full precision.
+    """
     train_lora = model.lora_rank > 0
     if train_lora:
         if "lora" not in variables:
@@ -48,6 +54,10 @@ def create_train_state(
     else:
         trainable = {"params": variables["params"]}
         frozen = {k: v for k, v in variables.items() if k != "params"}
+    if quantize_mode:
+        if not train_lora:
+            raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")
+        frozen = quantize_params(frozen, quantize_mode)
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         frozen=frozen,
@@ -74,7 +84,7 @@ def build_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(trainable, micro_batch, micro_rng):
-            variables = {**state.frozen, **trainable}
+            variables = {**dequantize_params(state.frozen), **trainable}
             loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
             return loss, aux
 

@@ -253,7 +253,15 @@ class Trainer:
         self.tx = get_optimizer(self.config, self.lr_schedule)
         self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)
 
-        state = create_train_state(self.model, self.variables, self.tx, self.ema_config)
+        from .quantization import resolve_precision
+
+        state = create_train_state(
+            self.model,
+            self.variables,
+            self.tx,
+            self.ema_config,
+            quantize_mode=resolve_precision(self.config),
+        )
         step_fn = build_train_step(
             self.model, self.tx, self.lr_schedule, self.ema_config, self.grad_accum_steps
         )
