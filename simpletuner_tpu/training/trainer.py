@@ -206,6 +206,13 @@ class Trainer:
             webhook_handler=self.webhook_handler,
         )
         self.validation.precompute_embeds()
+        from .evaluation import EvalLoss
+
+        self.eval_loss = EvalLoss(
+            self.model,
+            list(self.data_plane.bundles.values()) if self.data_plane else [],
+            seed=self.seed,
+        )
         self._stage("init_validations", "completed")
 
     def init_unload_text_encoder(self) -> None:
@@ -390,6 +397,18 @@ class Trainer:
                     self.save_checkpoint()
                 elif rolling_interval and self.global_step % int(rolling_interval) == 0:
                     self.save_checkpoint(rolling=True)
+
+                eval_interval = self.config.get("eval_steps_interval")
+                if (
+                    getattr(self, "eval_loss", None) is not None
+                    and self.eval_loss.enabled
+                    and eval_interval
+                    and self.global_step % int(eval_interval) == 0
+                ):
+                    value = self.eval_loss.execute_eval(self._state.variables())
+                    if value is not None:
+                        for tracker in self.trackers:
+                            tracker.log({"eval_loss": value}, self.global_step)
 
                 if self.validation is not None and self.validation.would_validate(self.global_step):
                     self.validation.run_validations(self._state.variables(), self.global_step)

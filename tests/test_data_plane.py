@@ -45,18 +45,25 @@ def test_bucket_square_crop():
     assert target_size_for_aspect(1.0, cfg) == (512, 512)
 
 
+def _wh(image):
+    """(w, h) for either a PIL image or the native path's uint8 ndarray."""
+    if hasattr(image, "shape"):
+        return image.shape[1], image.shape[0]
+    return image.size
+
+
 def test_prepare_image_exact_bucket_dims(image_dir):
     from PIL import Image
 
     cfg = BucketConfig(resolution=256, resolution_type="pixel_area", crop=True, crop_aspect="square")
     img = Image.open(os.path.join(image_dir, "img_001.png"))
     sample = prepare_image(img, cfg, "center")
-    assert sample.image.size == sample.target_size == (256, 256)
+    assert _wh(sample.image) == sample.target_size == (256, 256)
 
     cfg2 = BucketConfig(resolution=256, resolution_type="pixel_area", crop=False)
     sample2 = prepare_image(img, cfg2)
     tw, th = target_size_for_aspect(float(sample2.bucket_key), cfg2)
-    assert sample2.image.size == (tw, th)
+    assert _wh(sample2.image) == (tw, th)
 
 
 def test_metadata_discovery_and_persistence(image_dir):
