@@ -97,10 +97,22 @@ class VAECache:
     # ---- the caching pass --------------------------------------------------------------------
     def _prepare_one(self, path: str) -> Optional[Tuple[str, np.ndarray, Dict[str, Any]]]:
         try:
+            rng = random.Random((self.seed, path).__hash__())
+            existing = self.metadata_backend.image_metadata.get(path, {})
+            if "num_frames" in existing:  # video dataset
+                from ..data.video import load_video_frames, prepare_video, video_to_array
+
+                frames = load_video_frames(
+                    self.data_backend, path, int(existing["num_frames"])
+                )
+                if frames is None:
+                    return None
+                prepared, meta = prepare_video(frames, self.bucket_config, self.crop_style, rng)
+                return path, video_to_array(prepared), meta
+
             from PIL import Image
 
             image = Image.open(io.BytesIO(self.data_backend.read(path)))
-            rng = random.Random((self.seed, path).__hash__())
             sample = prepare_image(image, self.bucket_config, self.crop_style, rng)
             meta = {
                 "original_size": list(sample.original_size),

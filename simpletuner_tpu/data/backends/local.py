@@ -24,6 +24,10 @@ class LocalDataBackend(BaseDataBackend):
     def _resolve(self, location: str) -> str:
         return str(location)
 
+    def abspath(self, location: str) -> str:
+        """Local filesystem path for zero-copy consumers (video decode)."""
+        return self._resolve(location)
+
     def read(self, location: str) -> bytes:
         with open(self._resolve(location), "rb") as handle:
             return handle.read()

@@ -32,11 +32,15 @@ class MetadataBackend:
         cache_file: Optional[str] = None,
         metadata_file: Optional[str] = None,
         repeats: int = 0,
+        dataset_type: str = "image",
+        video_config: Optional[Dict[str, Any]] = None,
     ):
         self.id = id
         self.data_backend = data_backend
         self.bucket_config = bucket_config
         self.instance_data_dir = instance_data_dir
+        self.dataset_type = dataset_type
+        self.video_config = video_config or {}
         base = instance_data_dir or "."
         self.cache_file = cache_file or os.path.join(base, "aspect_ratio_bucket_indices.json")
         self.metadata_file = metadata_file or os.path.join(base, "aspect_ratio_bucket_metadata.json")
@@ -58,6 +62,8 @@ class MetadataBackend:
 
     def discover(self, max_workers: int = 16) -> Dict[str, List[str]]:
         """Walk the dataset, probe sizes, and build the bucket index."""
+        if self.dataset_type == "video":
+            return self._discover_video(max_workers)
         files = self.data_backend.list_files(instance_data_dir=self.instance_data_dir)
         known = set(self.image_metadata)
         new_files = [f for f in files if f not in known]
@@ -84,6 +90,55 @@ class MetadataBackend:
             }
             self.aspect_ratio_bucket_indices.setdefault(key, []).append(path)
         # drop deleted files
+        current = set(files)
+        for key in list(self.aspect_ratio_bucket_indices):
+            kept = [f for f in self.aspect_ratio_bucket_indices[key] if f in current]
+            if kept:
+                self.aspect_ratio_bucket_indices[key] = kept
+            else:
+                del self.aspect_ratio_bucket_indices[key]
+        return self.aspect_ratio_bucket_indices
+
+    def _discover_video(self, max_workers: int = 16) -> Dict[str, List[str]]:
+        """Video buckets: (aspect, frame-count) keys (reference
+        metadata/backends/base.py:350 video bucket keys)."""
+        from .buckets import video_bucket_key
+        from .video import VIDEO_EXTENSIONS, align_frame_count, probe_video
+
+        files = self.data_backend.list_files(
+            file_extensions=VIDEO_EXTENSIONS, instance_data_dir=self.instance_data_dir
+        )
+        known = set(self.image_metadata)
+        new_files = [f for f in files if f not in known]
+        max_frames = int(self.video_config.get("num_frames", 0) or 0)
+        min_frames = int(self.video_config.get("min_frames", 1) or 1)
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(lambda p: (p, probe_video(self.data_backend, p)), new_files))
+
+        for path, info in results:
+            if info is None or info["frames"] < 1:
+                continue
+            width, height = info["width"], info["height"]
+            ok, reason = image_passes_constraints(width, height, self.bucket_config)
+            if not ok:
+                self.image_metadata[path] = {"skipped": reason}
+                continue
+            frames = align_frame_count(info["frames"])
+            if max_frames:
+                frames = min(frames, align_frame_count(max_frames))
+            if frames < min_frames:
+                self.image_metadata[path] = {"skipped": f"too short ({info['frames']} frames)"}
+                continue
+            key = video_bucket_key(width, height, frames, self.bucket_config)
+            self.image_metadata[path] = {
+                "original_size": [width, height],
+                "num_frames": frames,
+                "total_frames": info["frames"],
+                "fps": info.get("fps"),
+                "bucket": key,
+            }
+            self.aspect_ratio_bucket_indices.setdefault(key, []).append(path)
         current = set(files)
         for key in list(self.aspect_ratio_bucket_indices):
             kept = [f for f in self.aspect_ratio_bucket_indices[key] if f in current]

@@ -59,6 +59,7 @@ class ModelFoundation:
     NAME: str = "base"
     PREDICTION_TYPE: PredictionType = "flow_matching"
     MODEL_TYPE: str = "transformer"  # transformer | unet
+    MODALITY: str = "image"  # image | video | audio
     LATENT_CHANNEL_COUNT: int = 4
     DEFAULT_RESOLUTION: int = 1024
     HUGGINGFACE_PATHS: Dict[str, str] = {}

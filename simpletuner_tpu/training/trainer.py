@@ -134,6 +134,16 @@ class Trainer:
         self._stage("init_preprocessing_models", "completed")
 
     def _init_vae(self, tiny: bool) -> None:
+        if getattr(self.model, "MODALITY", "image") == "video":
+            from ..models.video_vae import VideoAutoencoderKL
+
+            self.vae = VideoAutoencoderKL(self.model.video_vae_config())
+            vae_cfg = self.vae.config
+            self.vae_params = self.vae.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 1 + vae_cfg.temporal_factor, 32, 32, 3), jnp.float32),
+            )
+            return
         from ..models.vae import AutoencoderKL, VAEConfig
 
         if tiny:
@@ -165,7 +175,7 @@ class Trainer:
             key = images.shape
             if key not in jitted:
                 jitted[key] = jax.jit(
-                    lambda p, x: vae.apply(p, x, method=type(vae).encode)
+                    lambda p, x: vae.apply(p, x, method=type(vae).encode).astype(jnp.float32)
                 )
             return np.asarray(jitted[key](params, jnp.asarray(images, jnp.float32)))
 

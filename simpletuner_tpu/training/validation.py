@@ -75,7 +75,10 @@ class Validation:
                 self.prompts.extend(json.load(handle).values())
 
         self.num_steps = int(getattr(config, "validation_num_inference_steps", 20) or 20)
-        self.resolution = int(getattr(config, "validation_resolution", None) or getattr(config, "resolution", 512) or 512)
+        raw_res = getattr(config, "validation_resolution", None) or getattr(config, "resolution", 512) or 512
+        if isinstance(raw_res, str) and "x" in raw_res:  # reference "WxH" format
+            raw_res = raw_res.split("x")[0]
+        self.resolution = int(float(raw_res))
         self.interval = getattr(config, "validation_steps", None)
         self.seed = int(getattr(config, "validation_seed", None) or getattr(config, "seed", 42) or 42)
         self.disabled = bool(getattr(config, "validation_disable", False)) or not self.prompts
@@ -100,9 +103,14 @@ class Validation:
 
     # ---- run -------------------------------------------------------------------------------
     def _latent_shape(self, batch_size: int):
-        factor = 8
         channels = self.model.latent_channels
-        size = self.resolution // factor
+        if getattr(self.model, "MODALITY", "image") == "video":
+            vae_cfg = self.model.video_vae_config()
+            size = self.resolution // vae_cfg.spatial_factor
+            frames = int(getattr(self.config, "validation_num_video_frames", 9) or 9)
+            latent_frames = (frames - 1) // vae_cfg.temporal_factor + 1
+            return (batch_size, latent_frames, size, size, channels)
+        size = self.resolution // 8
         return (batch_size, size, size, channels)
 
     def run_validations(self, variables, step: int, force: bool = False) -> List[str]:
@@ -113,11 +121,17 @@ class Validation:
         images = []
         for index, (prompt, embeds) in enumerate(zip(self.prompts, self._embeds)):
             image = self._render(variables, embeds, index)
+            is_video = image.ndim == 4
+            ext = "mp4" if is_video else "png"
             filename = os.path.join(
-                self.output_dir, "validation", f"step_{step}_{index}.png"
+                self.output_dir, "validation", f"step_{step}_{index}.{ext}"
             )
             os.makedirs(os.path.dirname(filename), exist_ok=True)
-            self._save_png(image, filename)
+            if is_video:
+                self._save_video(image, filename)
+                image = image[image.shape[0] // 2]  # middle frame for trackers
+            else:
+                self._save_png(image, filename)
             paths.append(filename)
             images.append(image)
             if self.webhook_handler is not None:
@@ -131,7 +145,10 @@ class Validation:
 
     def _render(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
         latent_shape = self._latent_shape(1)
-        seq_len = (latent_shape[1] // 2) * (latent_shape[2] // 2)
+        if len(latent_shape) == 5:  # video: (B, T, H, W, C)
+            seq_len = latent_shape[1] * (latent_shape[2] // 2) * (latent_shape[3] // 2)
+        else:
+            seq_len = (latent_shape[1] // 2) * (latent_shape[2] // 2)
         scheduler = build_scheduler(self.model, self.num_steps, image_seq_len=seq_len)
         batch = {"latents": jnp.zeros(latent_shape, jnp.float32)}
         for key, value in embeds.items():
@@ -161,6 +178,22 @@ class Validation:
         if self.decode_fn is not None:
             out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
         return out
+
+    @staticmethod
+    def _save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
+        """(T, H, W, C) uint8 -> mp4 (reference validation_video.py export)."""
+        import cv2
+
+        if frames.dtype != np.uint8:
+            lo, hi = float(frames.min()), float(frames.max())
+            frames = ((frames - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+        height, width = frames.shape[1:3]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+        )
+        for frame in frames:
+            writer.write(cv2.cvtColor(frame[..., :3], cv2.COLOR_RGB2BGR))
+        writer.release()
 
     @staticmethod
     def _save_png(image: np.ndarray, path: str) -> None:
