@@ -65,6 +65,9 @@ def get_caption(
             if isinstance(value, (list, tuple)):
                 value = value[0] if value else ""
             caption = str(value)
+        # csv/huggingface backends carry captions natively (url rows / dataset columns)
+        if not caption and hasattr(data_backend, "caption_for"):
+            caption = data_backend.caption_for(path) or ""
         if not caption:
             caption = caption_from_filename(path)
     else:
