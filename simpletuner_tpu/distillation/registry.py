@@ -1,0 +1,52 @@
+"""Distillation method registry + factory (reference:
+helpers/distillation/{registry,factory}.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Type
+
+from .common import DistillationBase
+
+_METHODS: Dict[str, Any] = {}
+# methods in the reference not yet ported; named so configs fail loudly
+_PLANNED = ("dcm", "dmd", "perflow", "flow_dpo", "self_forcing", "anyflow")
+
+
+def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
+    _METHODS[cls.name] = cls
+    return cls
+
+
+def _ensure_builtin():
+    if "lcm" not in _METHODS:
+        from .lcm import LCMDistillation
+        from .teacher_matching import TeacherMatchingDistillation
+
+        _METHODS["lcm"] = LCMDistillation
+        _METHODS["teacher_matching"] = TeacherMatchingDistillation
+
+
+def available_methods():
+    _ensure_builtin()
+    return sorted(_METHODS)
+
+
+def get_distillation_method(name: str) -> Type[DistillationBase]:
+    _ensure_builtin()
+    if name in _METHODS:
+        return _METHODS[name]
+    if name in _PLANNED:
+        raise NotImplementedError(
+            f"distillation method {name!r} is not implemented yet in the TPU build; "
+            f"available: {available_methods()}"
+        )
+    raise KeyError(f"unknown distillation method {name!r}; available: {available_methods()}")
+
+
+def init_distillation(config: Any) -> Optional[DistillationBase]:
+    """Build from config (reference --distillation_method / --distillation_config)."""
+    method = getattr(config, "distillation_method", None)
+    if not method:
+        return None
+    method_config = getattr(config, "distillation_config", None) or {}
+    return get_distillation_method(method)(config, method_config)

@@ -39,11 +39,13 @@ def create_train_state(
     tx: optax.GradientTransformation,
     ema_config: Optional[EMAConfig] = None,
     quantize_mode: Optional[str] = None,
+    teacher_params: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
     """Split variables into frozen/trainable by model_type and initialize optimizer.
 
     ``quantize_mode`` ("int8"/"fp8", reference --base_model_precision) stores the
     frozen base weights quantized; LoRA/trainable collections stay full precision.
+    ``teacher_params`` rides in frozen["teacher"] for full-rank distillation.
     """
     train_lora = model.lora_rank > 0
     if train_lora:
@@ -54,6 +56,8 @@ def create_train_state(
     else:
         trainable = {"params": variables["params"]}
         frozen = {k: v for k, v in variables.items() if k != "params"}
+    if teacher_params is not None:
+        frozen["teacher"] = teacher_params
     if quantize_mode:
         if not train_lora:
             raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")
@@ -73,19 +77,27 @@ def build_train_step(
     lr_schedule: Optional[Callable] = None,
     ema_config: Optional[EMAConfig] = None,
     grad_accum_steps: int = 1,
+    distiller=None,
 ) -> Callable:
     """Returns step_fn(state, batch, rng) -> (state, metrics). Pure; jit outside.
 
     With ``grad_accum_steps`` > 1, batch leaves carry a leading micro-batch axis
     (A, B, ...) and gradients are averaged over a ``lax.scan`` of micro-steps
     (reference: accelerator.accumulate, trainer.py:6511) — one optimizer update
-    per call either way.
+    per call either way.  ``distiller`` (DistillationBase) replaces the base
+    diffusion loss with its distillation objective.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(trainable, micro_batch, micro_rng):
             variables = {**dequantize_params(state.frozen), **trainable}
-            loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
+            if distiller is None:
+                loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
+            else:
+                prepared = model.prepare_batch(micro_rng, micro_batch)
+                prepared = distiller.prepare_batch(micro_rng, prepared, model)
+                pred = model.model_predict(variables, prepared)
+                loss, aux = distiller.distill_loss(model, variables, prepared, pred, micro_rng)
             return loss, aux
 
         value_and_grad = jax.value_and_grad(loss_fn, has_aux=True)
@@ -134,6 +146,9 @@ def build_train_step(
             "grad_norm": grad_norm,
             "skipped_nonfinite": 1.0 - finite.astype(jnp.float32),
         }
+        for key, value in (aux or {}).items():
+            if hasattr(value, "ndim") and value.ndim == 0:
+                metrics[key] = value
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         new_state = state.replace(

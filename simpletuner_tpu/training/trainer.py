@@ -261,6 +261,17 @@ class Trainer:
                 update_interval=int(self.config.get("ema_update_interval", 1) or 1),
             )
 
+    def init_distillation(self) -> None:
+        from ..distillation import init_distillation
+
+        self.distiller = init_distillation(self.config)
+        self.teacher_params = None
+        if self.distiller is not None and self.model.lora_rank == 0:
+            # full-rank student: snapshot the loaded base as the frozen teacher
+            self.teacher_params = jax.tree_util.tree_map(
+                jnp.array, self.variables["params"]
+            )
+
     def resume_and_prepare(self) -> None:
         """init_optimizer + init_lr_scheduler + shard/jit + init_resume_checkpoint
         (reference trainer.py:4980,3735,3952,4140,4636)."""
@@ -278,9 +289,15 @@ class Trainer:
             self.tx,
             self.ema_config,
             quantize_mode=resolve_precision(self.config),
+            teacher_params=getattr(self, "teacher_params", None),
         )
         step_fn = build_train_step(
-            self.model, self.tx, self.lr_schedule, self.ema_config, self.grad_accum_steps
+            self.model,
+            self.tx,
+            self.lr_schedule,
+            self.ema_config,
+            self.grad_accum_steps,
+            distiller=getattr(self, "distiller", None),
         )
         self._step_fn = jit_train_step(step_fn, self.mesh, state, self.grad_accum_steps)
         self._state = state
@@ -452,6 +469,7 @@ class Trainer:
         self.init_load_base_model()
         self.init_trainable_peft_adapter()
         self.init_ema_model()
+        self.init_distillation()
         self.resume_and_prepare()
         self.init_trackers()
         self.train()

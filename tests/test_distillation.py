@@ -1,0 +1,78 @@
+"""Distillation framework: registry, LCM consistency loss, teacher matching,
+and a distilled LoRA train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.distillation import available_methods, get_distillation_method, init_distillation
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import FluxConfig
+from simpletuner_tpu.training.optimizers import get_optimizer
+from simpletuner_tpu.training.schedules import get_lr_schedule
+from simpletuner_tpu.training.train_state import build_train_step, create_train_state
+
+
+def make_model(**extra):
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            **extra,
+        }
+    )
+    return Flux(cfg, arch=FluxConfig.tiny())
+
+
+class TestRegistry:
+    def test_methods_listed(self):
+        methods = available_methods()
+        assert "lcm" in methods and "teacher_matching" in methods
+
+    def test_unimplemented_raises_not_implemented(self):
+        with pytest.raises(NotImplementedError):
+            get_distillation_method("dmd")
+
+    def test_unknown_raises_key_error(self):
+        with pytest.raises(KeyError):
+            get_distillation_method("nope")
+
+    def test_factory_from_config(self):
+        model = make_model(distillation_method="lcm")
+        distiller = init_distillation(model.config)
+        assert distiller.name == "lcm"
+        assert init_distillation(make_model().config) is None
+
+
+@pytest.mark.parametrize("method", ["lcm", "teacher_matching"])
+def test_distilled_lora_train_step(method):
+    model = make_model(distillation_method=method)
+    batch = model.example_batch(batch_size=2, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    schedule = get_lr_schedule(model.config, 10)
+    tx = get_optimizer(model.config, schedule)
+    distiller = init_distillation(model.config)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller), donate_argnums=(0,))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    key = "distill_consistency_loss" if method == "lcm" else "distill_match_loss"
+    assert key in metrics and np.isfinite(float(metrics[key]))
+
+
+def test_lora_zero_adapter_teacher_matches_base():
+    """With B=0 fresh adapters, student == teacher, so matching loss is ~0."""
+    model = make_model(distillation_method="teacher_matching")
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    distiller = init_distillation(model.config)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    loss, logs = distiller.distill_loss(model, variables, prepared, pred, jax.random.PRNGKey(2))
+    assert float(logs["distill_match_loss"]) < 1e-8
