@@ -84,6 +84,30 @@ def collate_batch(
     }
     batch.update(model.collate_text_embeds(embeds))
 
+    # conditioning pairing (ControlNet/edit): fetch the same-named sample's
+    # latents from each linked conditioning dataset (reference collate.py
+    # conditioning pixel/latent pairing; sampler.py connect_conditioning_samples)
+    if bundle.conditioning_bundles:
+        cond_bundle = bundle.conditioning_bundles[0]
+        src_root = bundle.config.instance_data_dir or ""
+        dst_root = cond_bundle.config.instance_data_dir or ""
+
+        def cond_path(path: str) -> str:
+            if src_root and path.startswith(src_root):
+                return dst_root + path[len(src_root):]
+            import os as _os
+
+            return _os.path.join(dst_root, _os.path.basename(path))
+
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                control = list(
+                    pool.map(lambda s: cond_bundle.vae_cache.get(cond_path(s["image_path"])), samples)
+                )
+            batch["control_latents"] = np.stack(control).astype(np.float32)
+        except KeyError:
+            pass  # unmatched conditioning sample: train unconditioned this batch
+
     # size conditioning (SDXL/PixArt time-ids; reference collate.py)
     metas = [s.get("metadata", {}) for s in samples]
     if all("original_size" in m for m in metas):

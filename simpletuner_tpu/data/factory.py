@@ -212,6 +212,12 @@ def configure_multi_databackend(
     if run_caching:
         for bundle in bundles.values():
             if bundle.config.dataset_type == "conditioning":
+                # conditioning datasets need latents (for control/edit pairing)
+                # but never text embeds
+                if vae_encode_fn is not None and not args.get("vae_cache_disable"):
+                    bundle.vae_cache.process_buckets(
+                        process_index=process_index, num_processes=num_processes
+                    )
                 continue
             # text embeds for every caption in the dataset
             if bundle.text_cache is not None and bundle.text_cache.encode_fn is not None:

@@ -129,8 +129,58 @@ class Flux(ModelFoundation):
         cond["guidance"] = jnp.broadcast_to(jnp.asarray(guidance, jnp.float32), (batch_size,))
         return cond
 
+    # ---- controlnet (reference flux controlnet_init/controlnet_predict) ---------------
+    def controlnet_module(self):
+        if not hasattr(self, "_controlnet_module"):
+            from .controlnet import FluxControlNet
+
+            self._controlnet_module = FluxControlNet(
+                config=self.arch,
+                depth=int(getattr(self.config, "controlnet_depth", 2) or 2),
+                remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+            )
+        return self._controlnet_module
+
+    def init_controlnet_params(self, rng: jax.Array, batch: Dict[str, jax.Array]):
+        prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
+        inputs = self.get_model_inputs(prepared)
+        control = pack_latents(batch.get("control_latents", batch["latents"]))
+        module = self.controlnet_module()
+        init_fn = jax.jit(
+            lambda r: module.init(
+                {"params": r},
+                img=inputs["img"],
+                control=control,
+                img_ids=inputs["img_ids"],
+                txt=inputs["txt"],
+                txt_ids=inputs["txt_ids"],
+                timesteps=inputs["timesteps"],
+                vec=inputs["vec"],
+                guidance=inputs["guidance"],
+            )
+        )
+        return init_fn(rng)["params"]
+
+    def _controlnet_residuals(self, variables, prepared: Dict[str, jax.Array]):
+        inputs = self.get_model_inputs(prepared)
+        return self.controlnet_module().apply(
+            {"params": variables["controlnet"]},
+            img=inputs["img"],
+            control=pack_latents(prepared["control_latents"]),
+            img_ids=inputs["img_ids"],
+            txt=inputs["txt"],
+            txt_ids=inputs["txt_ids"],
+            timesteps=inputs["timesteps"],
+            vec=inputs["vec"],
+            guidance=inputs.get("guidance"),
+        )
+
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
-        tokens = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        inputs = self.get_model_inputs(prepared)
+        if "controlnet" in variables and "control_latents" in prepared:
+            inputs["controlnet_double_residuals"] = self._controlnet_residuals(variables, prepared)
+        main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
+        tokens = self.module.apply(main_vars, **inputs, rngs=rngs)
         height, width = prepared["noisy_latents"].shape[1:3]
         return unpack_latents(tokens, height, width)
 

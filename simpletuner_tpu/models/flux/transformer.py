@@ -214,6 +214,8 @@ class FluxTransformer(nn.Module):
         guidance: Optional[jax.Array] = None,
         segment_ids: Optional[jax.Array] = None,
         tread_rng: Optional[jax.Array] = None,
+        controlnet_double_residuals: Optional[Tuple[jax.Array, ...]] = None,
+        controlnet_single_residuals: Optional[Tuple[jax.Array, ...]] = None,
     ) -> jax.Array:
         cfg = self.config
         dim = cfg.hidden_size
@@ -248,6 +250,11 @@ class FluxTransformer(nn.Module):
             img_tok, txt_tok = double_cls(
                 cfg, name=f"double_{layer}", **common, **lora
             )(img_tok, txt_tok, cond, rope, segment_ids)
+            if controlnet_double_residuals is not None:
+                # interval-spread residuals (diffusers-style: controlnet depth may
+                # be shallower than the host transformer)
+                n_res = len(controlnet_double_residuals)
+                img_tok = img_tok + controlnet_double_residuals[layer * n_res // cfg.depth_double]
 
         stream = jnp.concatenate([txt_tok, img_tok], axis=1)
         txt_len = txt_tok.shape[1]
@@ -287,6 +294,10 @@ class FluxTransformer(nn.Module):
             stream = single_cls(
                 cfg, name=f"single_{layer}", **common, **lora
             )(stream, cond, (cos, sin), None if saved is not None else segment_ids)
+            if controlnet_single_residuals is not None and saved is None:
+                n_res = len(controlnet_single_residuals)
+                residual = controlnet_single_residuals[layer * n_res // cfg.depth_single]
+                stream = stream.at[:, txt_len:].add(residual)
             if saved is not None and layer == saved[3]:
                 from ...training.tread import TREADRouter
 

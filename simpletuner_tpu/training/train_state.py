@@ -47,8 +47,14 @@ def create_train_state(
     frozen base weights quantized; LoRA/trainable collections stay full precision.
     ``teacher_params`` rides in frozen["teacher"] for full-rank distillation.
     """
+    model_type = getattr(model.config, "model_type", "lora")
     train_lora = model.lora_rank > 0
-    if train_lora:
+    if model_type == "controlnet":
+        if "controlnet" not in variables:
+            raise ValueError("model_type=controlnet but no controlnet params were initialized")
+        trainable = {"controlnet": variables["controlnet"]}
+        frozen = {k: v for k, v in variables.items() if k != "controlnet"}
+    elif train_lora:
         if "lora" not in variables:
             raise ValueError("model_type=lora but module has no lora collection")
         trainable = {"lora": variables["lora"]}

@@ -241,6 +241,13 @@ class Trainer:
             self.variables = load_transformer_params(self.model, str(pretrained))
         else:
             self.variables = self.model.init_params(jax.random.PRNGKey(self.seed), batch)
+        if self.config.get("model_type") == "controlnet":
+            if not hasattr(self.model, "init_controlnet_params"):
+                raise ValueError(f"{self.model.NAME} does not support ControlNet training")
+            self.variables = dict(self.variables)
+            self.variables["controlnet"] = self.model.init_controlnet_params(
+                jax.random.fold_in(jax.random.PRNGKey(self.seed), 1), batch
+            )
         self._stage("init_load_base_model", "completed")
 
     def _example_batch(self) -> Dict[str, jax.Array]:
