@@ -279,6 +279,29 @@ class ModelFoundation:
     def lora_alpha(self) -> Optional[float]:
         return getattr(self.config, "lora_alpha", None)
 
+    @property
+    def lora_algo(self) -> str:
+        """"lora" (PEFT-style) or "lokr" (LyCORIS; reference --lora_type=lycoris
+        with lycoris_config algo, simpletuner/lycoris_defaults.py:5)."""
+        lora_type = (getattr(self.config, "lora_type", None) or "standard").lower()
+        if lora_type in ("lycoris", "lokr"):
+            lyc = getattr(self.config, "lycoris_config", None)
+            if isinstance(lyc, str):
+                import json, os
+
+                if os.path.exists(lyc):
+                    with open(lyc) as handle:
+                        lyc = json.load(handle)
+                else:
+                    lyc = {}
+            algo = ((lyc or {}).get("algo") or "lokr").lower()
+            if algo != "lokr":
+                raise NotImplementedError(
+                    f"lycoris algo {algo!r} not ported yet; available: lokr"
+                )
+            return "lokr"
+        return "lora"
+
     def huggingface_path(self) -> Optional[str]:
         explicit = getattr(self.config, "pretrained_model_name_or_path", None)
         if explicit:

@@ -74,12 +74,13 @@ class DoubleStreamBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
 
     @nn.compact
     def __call__(self, img, txt, vec, rope, segment_ids=None):
         cfg = self.config
         dim = cfg.hidden_size
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         img_mods = AdaLayerNormZero(6, name="img_mod", **common)(vec, dim)
@@ -143,13 +144,14 @@ class SingleStreamBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
 
     @nn.compact
     def __call__(self, x, vec, rope, segment_ids=None):
         cfg = self.config
         dim = cfg.hidden_size
         mlp_dim = int(dim * cfg.mlp_ratio)
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         shift, scale, gate = AdaLayerNormZero(3, name="modulation", **common)(vec, dim)
@@ -195,6 +197,7 @@ class FluxTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     remat: bool = False
     # TREAD routes over single-stream layers: tuple of
     # {"selection_ratio": r, "start_layer": i, "end_layer": j} (reference
@@ -220,7 +223,7 @@ class FluxTransformer(nn.Module):
         cfg = self.config
         dim = cfg.hidden_size
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
 
         img_tok = LoRADense(dim, name="img_in", **common, **lora)(img)
         txt_tok = LoRADense(dim, name="txt_in", **common, **lora)(txt)

@@ -21,10 +21,28 @@ from ..ops import apply_rope, dot_product_attention
 Dtype = Any
 
 
-class LoRADense(nn.Module):
-    """Dense layer with an optional LoRA branch in the ``lora`` collection.
+def lokr_factorize(n: int, factor: int = -1) -> Tuple[int, int]:
+    """LyCORIS LoKr dimension factorization: n = m * k with m <= k.
 
-    y = x W + b + (alpha / rank) * (x A) B  with A ~ N(0, 1/rank), B = 0.
+    factor=-1 → most balanced split (largest divisor ≤ √n); factor>0 → the
+    lycoris semantics of clamping the small side to ``factor`` when possible.
+    """
+    if factor > 0 and n % factor == 0:
+        return factor, n // factor
+    m = int(math.sqrt(n))
+    while m > 1 and n % m:
+        m -= 1
+    return m, n // m
+
+
+class LoRADense(nn.Module):
+    """Dense layer with an optional low-rank adapter branch in the ``lora`` collection.
+
+    * ``lora_algo="lora"``: y += (α/r)·(x A) B with A ~ N(0, 1/r), B = 0
+      (reference: PEFT LoRA injection, helpers/models/common.py:982)
+    * ``lora_algo="lokr"``: ΔW = kron(W1, W2), W1 (a×b) normal, W2 (c×d) zeros
+      with in = a·c, out = b·d (reference: LyCORIS LoKr via lycoris-lora,
+      simpletuner/lycoris_defaults.py)
     """
 
     features: int
@@ -33,6 +51,9 @@ class LoRADense(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
+    lora_algo: str = "lora"
+    lokr_factor: int = -1
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
@@ -46,27 +67,51 @@ class LoRADense(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
         if self.lora_rank > 0:
-            rank = self.lora_rank
-            alpha = self.lora_alpha if self.lora_alpha is not None else float(rank)
-            lora_a = self.variable(
-                "lora",
-                "lora_A",
-                lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, (in_features, rank), self.param_dtype),
-                self.make_rng("params") if self.is_initializing() else None,
-            )
-            lora_b = self.variable(
-                "lora",
-                "lora_B",
-                lambda rng: jnp.zeros((rank, self.features), self.param_dtype),
-                None,
-            )
-            scale = alpha / rank
-            delta = jnp.dot(
-                jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype)),
-                lora_b.value.astype(self.dtype),
-            )
-            y = y + scale * delta
+            if self.lora_algo == "lokr":
+                y = y + self._lokr_delta(x, in_features)
+            else:
+                y = y + self._lora_delta(x, in_features)
         return y
+
+    def _lora_delta(self, x: jax.Array, in_features: int) -> jax.Array:
+        rank = self.lora_rank
+        alpha = self.lora_alpha if self.lora_alpha is not None else float(rank)
+        lora_a = self.variable(
+            "lora",
+            "lora_A",
+            lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, (in_features, rank), self.param_dtype),
+            self.make_rng("params") if self.is_initializing() else None,
+        )
+        lora_b = self.variable(
+            "lora",
+            "lora_B",
+            lambda rng: jnp.zeros((rank, self.features), self.param_dtype),
+            None,
+        )
+        scale = alpha / rank
+        return scale * jnp.dot(
+            jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype)),
+            lora_b.value.astype(self.dtype),
+        )
+
+    def _lokr_delta(self, x: jax.Array, in_features: int) -> jax.Array:
+        a, c = lokr_factorize(in_features, self.lokr_factor)
+        b, d = lokr_factorize(self.features, self.lokr_factor)
+        w1 = self.variable(
+            "lora",
+            "lokr_w1",
+            lambda rng: nn.initializers.normal(stddev=0.02)(rng, (a, b), self.param_dtype),
+            self.make_rng("params") if self.is_initializing() else None,
+        )
+        w2 = self.variable(
+            "lora",
+            "lokr_w2",
+            lambda rng: jnp.zeros((c, d), self.param_dtype),
+            None,
+        )
+        alpha = self.lora_alpha if self.lora_alpha is not None else 1.0
+        delta = jnp.kron(w1.value, w2.value).astype(self.dtype)  # (a·c, b·d)
+        return alpha * jnp.dot(x.astype(self.dtype), delta)
 
 
 class RMSNorm(nn.Module):
@@ -123,6 +168,7 @@ class FeedForward(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -133,6 +179,7 @@ class FeedForward(nn.Module):
             param_dtype=self.param_dtype,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
             name=name,
         )
         if self.activation == "geglu":
@@ -160,6 +207,7 @@ class Attention(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     out_bias: bool = True
 
     @nn.compact
@@ -182,6 +230,7 @@ class Attention(nn.Module):
             param_dtype=self.param_dtype,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
             name=name,
         )
         q = dense(inner, "to_q")(x)

@@ -89,12 +89,13 @@ class MMDiTBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
 
     @nn.compact
     def __call__(self, img, txt, vec):
         cfg = self.config
         dim = cfg.hidden_size
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         img_mods = AdaLayerNormZero(6, name="img_mod", **common)(vec, dim)
@@ -152,6 +153,7 @@ class SD3Transformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     remat: bool = False
 
     @nn.compact
@@ -167,7 +169,7 @@ class SD3Transformer(nn.Module):
         p = cfg.patch_size
         batch, height, width, channels = latents.shape
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
 
         # 2x2 patchify -> tokens
         x = latents.reshape(batch, height // p, p, width // p, p, channels)

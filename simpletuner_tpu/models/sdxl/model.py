@@ -58,6 +58,7 @@ class SDXL(ModelFoundation):
             dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
         )
 

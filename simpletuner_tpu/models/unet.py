@@ -125,6 +125,7 @@ class CrossAttention(nn.Module):
     head_dim: int
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -132,7 +133,7 @@ class CrossAttention(nn.Module):
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         q = LoRADense(inner, use_bias=False, name="to_q", **common)(x)
         k = LoRADense(inner, use_bias=False, name="to_k", **common)(context)
         v = LoRADense(inner, use_bias=False, name="to_v", **common)(context)
@@ -151,6 +152,7 @@ class TransformerBlock(nn.Module):
     head_dim: int
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -161,6 +163,7 @@ class TransformerBlock(nn.Module):
             head_dim=self.head_dim,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -172,7 +175,7 @@ class TransformerBlock(nn.Module):
         )
         h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm3")(x)
         inner = x.shape[-1]
-        dense = dict(dtype=self.dtype, param_dtype=self.param_dtype, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        dense = dict(dtype=self.dtype, param_dtype=self.param_dtype, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         # GEGLU feed-forward (diffusers layout: ff.net.0.proj, ff.net.2)
         gate = LoRADense(inner * 8, name="ff_proj", **dense)(h)
         a, b = jnp.split(gate, 2, axis=-1)
@@ -187,6 +190,7 @@ class SpatialTransformer(nn.Module):
     head_dim: int
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     norm_groups: int = 32
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -204,6 +208,7 @@ class SpatialTransformer(nn.Module):
                 head_dim=self.head_dim,
                 lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
+                lora_algo=self.lora_algo,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
@@ -244,6 +249,7 @@ class UNet2DCondition(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     remat: bool = False
 
     @nn.compact
@@ -273,7 +279,7 @@ class UNet2DCondition(nn.Module):
             temb = temb + aemb
 
         context = encoder_hidden_states.astype(self.dtype)
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         block_cls = SpatialTransformer

@@ -64,13 +64,14 @@ class WanBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
 
     @nn.compact
     def __call__(self, x, context, vec, rope):
         cfg = self.config
         dim = cfg.hidden_size
         inner = cfg.num_heads * cfg.head_dim
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         batch, seq = x.shape[:2]
         heads_shape = (batch, seq, cfg.num_heads, cfg.head_dim)
@@ -118,6 +119,7 @@ class WanTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
     remat: bool = False
 
     @nn.compact
@@ -132,7 +134,7 @@ class WanTransformer(nn.Module):
         pt, ph, pw = cfg.patch
         batch, t, height, width, channels = latents.shape
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
 
         # (1,2,2) patchify
         x = latents.reshape(batch, t // pt, pt, height // ph, ph, width // pw, pw, channels)

@@ -31,6 +31,12 @@ def flatten_lora(lora_params: Dict[str, Any]) -> Dict[str, Dict[str, np.ndarray]
                     "lora_B": np.asarray(node["lora_B"], np.float32),
                 }
                 return
+            if "lokr_w1" in node and "lokr_w2" in node:
+                out["/".join(path)] = {
+                    "lokr_w1": np.asarray(node["lokr_w1"], np.float32),
+                    "lokr_w2": np.asarray(node["lokr_w2"], np.float32),
+                }
+                return
             for key, value in node.items():
                 walk(value, path + [key])
 
@@ -117,9 +123,16 @@ def lora_state_dict(
 
     tensors: Dict[str, np.ndarray] = {}
     for path, leaves in flat.items():
+        target = key_map.get(path, path.replace("/", "."))
+        if "lokr_w1" in leaves:
+            # LyCORIS LoKr layout: lycoris_<module>.lokr_w1/.lokr_w2/.alpha
+            module = (prefix + (target if isinstance(target, str) else target[0][0])).replace(".", "_")
+            tensors[f"lycoris_{module}.lokr_w1"] = np.ascontiguousarray(leaves["lokr_w1"].T)
+            tensors[f"lycoris_{module}.lokr_w2"] = np.ascontiguousarray(leaves["lokr_w2"].T)
+            tensors[f"lycoris_{module}.alpha"] = np.asarray(alpha, np.float32)
+            continue
         a = leaves["lora_A"]  # (in, r)
         b = leaves["lora_B"]  # (r, out)
-        target = key_map.get(path, path.replace("/", "."))
         if isinstance(target, list):  # fused projection: shared A, sliced B
             for name, start, end in target:
                 _emit(tensors, prefix + name, a, b[:, start:end], alpha, format)
