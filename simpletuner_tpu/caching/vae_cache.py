@@ -99,6 +99,20 @@ class VAECache:
         try:
             rng = random.Random((self.seed, path).__hash__())
             existing = self.metadata_backend.image_metadata.get(path, {})
+            if "duration" in existing:  # audio dataset
+                from ..data.audio import load_audio
+
+                bucket = existing.get("bucket", "1s")
+                duration = float(bucket.rstrip("s"))
+                waveform = load_audio(
+                    self.data_backend,
+                    path,
+                    sample_rate=int(existing.get("sample_rate", 44100)),
+                    duration_seconds=duration,
+                )
+                if waveform is None:
+                    return None
+                return path, waveform, {"duration": duration}
             if "num_frames" in existing:  # video dataset
                 from ..data.video import load_video_frames, prepare_video, video_to_array
 

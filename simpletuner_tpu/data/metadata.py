@@ -64,6 +64,8 @@ class MetadataBackend:
         """Walk the dataset, probe sizes, and build the bucket index."""
         if self.dataset_type == "video":
             return self._discover_video(max_workers)
+        if self.dataset_type == "audio":
+            return self._discover_audio(max_workers)
         files = self.data_backend.list_files(instance_data_dir=self.instance_data_dir)
         known = set(self.image_metadata)
         new_files = [f for f in files if f not in known]
@@ -136,6 +138,46 @@ class MetadataBackend:
                 "num_frames": frames,
                 "total_frames": info["frames"],
                 "fps": info.get("fps"),
+                "bucket": key,
+            }
+            self.aspect_ratio_bucket_indices.setdefault(key, []).append(path)
+        current = set(files)
+        for key in list(self.aspect_ratio_bucket_indices):
+            kept = [f for f in self.aspect_ratio_bucket_indices[key] if f in current]
+            if kept:
+                self.aspect_ratio_bucket_indices[key] = kept
+            else:
+                del self.aspect_ratio_bucket_indices[key]
+        return self.aspect_ratio_bucket_indices
+
+    def _discover_audio(self, max_workers: int = 16) -> Dict[str, List[str]]:
+        """Audio buckets keyed by quantized duration (reference
+        metadata/backends/base.py:328 audio duration buckets)."""
+        from .audio import AUDIO_EXTENSIONS, duration_bucket, probe_audio
+
+        files = self.data_backend.list_files(
+            file_extensions=AUDIO_EXTENSIONS, instance_data_dir=self.instance_data_dir
+        )
+        known = set(self.image_metadata)
+        new_files = [f for f in files if f not in known]
+        audio_cfg = self.video_config  # dataset's `audio` dict rides the same slot
+        max_duration = float(audio_cfg.get("max_duration", 0) or 0)
+        bucket_seconds = float(audio_cfg.get("bucket_seconds", 1.0) or 1.0)
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(lambda p: (p, probe_audio(self.data_backend, p)), new_files))
+
+        for path, info in results:
+            if info is None or info["duration"] <= 0:
+                continue
+            duration = info["duration"]
+            if max_duration:
+                duration = min(duration, max_duration)
+            key = duration_bucket(duration, bucket_seconds)
+            self.image_metadata[path] = {
+                "duration": duration,
+                "sample_rate": info["sample_rate"],
+                "channels": info["channels"],
                 "bucket": key,
             }
             self.aspect_ratio_bucket_indices.setdefault(key, []).append(path)

@@ -134,6 +134,16 @@ class Trainer:
         self._stage("init_preprocessing_models", "completed")
 
     def _init_vae(self, tiny: bool) -> None:
+        if getattr(self.model, "MODALITY", "image") == "audio":
+            from ..models.audio_vae import AudioAutoencoderKL
+
+            self.vae = AudioAutoencoderKL(self.model.audio_vae_config())
+            comp = self.vae.config.compression
+            self.vae_params = self.vae.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, comp * 4, self.vae.config.in_channels), jnp.float32),
+            )
+            return
         if getattr(self.model, "MODALITY", "image") == "video":
             from ..models.video_vae import VideoAutoencoderKL
 

@@ -104,6 +104,12 @@ class Validation:
     # ---- run -------------------------------------------------------------------------------
     def _latent_shape(self, batch_size: int):
         channels = self.model.latent_channels
+        if getattr(self.model, "MODALITY", "image") == "audio":
+            vae_cfg = self.model.audio_vae_config()
+            seconds = float(getattr(self.config, "validation_audio_duration", 5.0) or 5.0)
+            sample_rate = int(getattr(self.config, "validation_audio_sample_rate", 44100) or 44100)
+            length = max(int(seconds * sample_rate) // vae_cfg.compression, 8)
+            return (batch_size, length, channels)
         if getattr(self.model, "MODALITY", "image") == "video":
             vae_cfg = self.model.video_vae_config()
             size = self.resolution // vae_cfg.spatial_factor
@@ -119,14 +125,18 @@ class Validation:
             return []
         paths = []
         images = []
+        is_audio = getattr(self.model, "MODALITY", "image") == "audio"
         for index, (prompt, embeds) in enumerate(zip(self.prompts, self._embeds)):
             image = self._render(variables, embeds, index)
             is_video = image.ndim == 4
-            ext = "mp4" if is_video else "png"
+            ext = "wav" if is_audio else ("mp4" if is_video else "png")
             filename = os.path.join(
                 self.output_dir, "validation", f"step_{step}_{index}.{ext}"
             )
             os.makedirs(os.path.dirname(filename), exist_ok=True)
+            if is_audio:
+                self._save_wav(image, filename, int(getattr(self.config, "validation_audio_sample_rate", 44100) or 44100))
+                continue
             if is_video:
                 self._save_video(image, filename)
                 image = image[image.shape[0] // 2]  # middle frame for trackers
@@ -175,9 +185,17 @@ class Validation:
             jax.random.fold_in(jax.random.PRNGKey(self.seed), index), latent_shape, jnp.float32
         )
         out = np.asarray(self._sample_jit(variables, cond, noise))[0]
-        if self.decode_fn is not None:
+        if self.decode_fn is not None and getattr(self.model, "MODALITY", "image") != "audio":
             out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
         return out
+
+    @staticmethod
+    def _save_wav(waveform: np.ndarray, path: str, sample_rate: int = 44100) -> None:
+        """(S, C) float32 [-1,1] -> 16-bit WAV (reference validation_audio.py)."""
+        from scipy.io import wavfile
+
+        clipped = np.clip(waveform, -1.0, 1.0)
+        wavfile.write(path, sample_rate, (clipped * 32767).astype(np.int16))
 
     @staticmethod
     def _save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
