@@ -1,0 +1,63 @@
+"""PixArt-Sigma and AuraFlow family smoke tests (registry, forward, train step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.registry import ModelRegistry
+from simpletuner_tpu.training.optimizers import get_optimizer
+from simpletuner_tpu.training.schedules import get_lr_schedule
+from simpletuner_tpu.training.train_state import build_train_step, create_train_state
+
+
+def make_model(family):
+    cfg = TrainingConfig(
+        {
+            "model_family": family,
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+        }
+    )
+    return ModelRegistry.create(family, cfg)
+
+
+@pytest.mark.parametrize("family", ["pixart_sigma", "auraflow"])
+class TestFamilies:
+    def test_forward_and_step(self, family):
+        model = make_model(family)
+        batch = model.example_batch(batch_size=2, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+        pred = jax.jit(lambda v, p: model.model_predict(v, p))(variables, prepared)
+        assert pred.shape == batch["latents"].shape
+
+        schedule = get_lr_schedule(model.config, 10)
+        tx = get_optimizer(model.config, schedule)
+        state = create_train_state(model, variables, tx)
+        step = jax.jit(build_train_step(model, tx, schedule), donate_argnums=(0,))
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_registry_alias(self, family):
+        assert ModelRegistry.get(family) is type(make_model(family))
+
+
+def test_pixart_is_epsilon():
+    model = make_model("pixart_sigma")
+    batch = model.example_batch(batch_size=2, resolution=32)
+    prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
+    np.testing.assert_array_equal(np.asarray(prepared["target"]), np.asarray(prepared["noise"]))
+    assert prepared["timesteps"].dtype in (jnp.int32, jnp.int64)
+
+
+def test_auraflow_is_flow():
+    model = make_model("auraflow")
+    batch = model.example_batch(batch_size=1, resolution=32)
+    prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
+    assert "sigmas" in prepared
