@@ -336,6 +336,11 @@ class Trainer:
     def init_trackers(self) -> None:
         self.trackers = build_trackers(self.config, self.output_dir)
 
+    def init_huggingface_hub(self) -> None:
+        from ..publishing import PublishingManager
+
+        self.publishing = PublishingManager(self.model, self.config, self.output_dir)
+
     # ---- checkpointing ----------------------------------------------------------------------
     def save_checkpoint(self, rolling: bool = False) -> str:
         extra = {
@@ -348,12 +353,15 @@ class Trainer:
             checkpoint_event(path, self.global_step, rolling, self.job_id)
         )
         self._export_lora(path)
+        if getattr(self, "publishing", None) is not None:
+            self.publishing.on_checkpoint(path)
         return path
 
     def _export_lora(self, checkpoint_path: str) -> None:
         if self.model.lora_rank <= 0:
             return
         try:
+            from ..publishing import safetensors_modelspec
             from .lora import save_lora_safetensors
 
             lora = jax.device_get(self._state.trainable.get("lora"))
@@ -362,6 +370,7 @@ class Trainer:
                     self.model,
                     lora,
                     os.path.join(checkpoint_path, "pytorch_lora_weights.safetensors"),
+                    metadata=safetensors_modelspec(self.model, self.config),
                 )
         except Exception as exc:
             logger.warning("LoRA export failed: %s", exc)
@@ -460,8 +469,18 @@ class Trainer:
             # final checkpoint + validation (reference trainer.py:7274 final export)
             if self.global_step > start_step:
                 self.save_checkpoint()
+            validation_paths = []
             if self.validation is not None:
-                self.validation.run_validations(self._state.variables(), self.global_step, force=True)
+                validation_paths = self.validation.run_validations(
+                    self._state.variables(), self.global_step, force=True
+                )
+            if getattr(self, "publishing", None) is not None:
+                self.publishing.write_model_card(
+                    validation_prompts=self.validation.prompts if self.validation else None,
+                    validation_images=validation_paths,
+                    train_steps=self.global_step,
+                )
+                self.publishing.wait(timeout=60)
             self._stage("train", "completed")
         except Exception as exc:
             self.webhook_handler.send_raw(error_event("training failed", exc, self.job_id))
@@ -489,6 +508,7 @@ class Trainer:
         self.init_distillation()
         self.resume_and_prepare()
         self.init_trackers()
+        self.init_huggingface_hub()
         self.train()
 
 

@@ -1,0 +1,74 @@
+"""Publishing: model cards, modelspec metadata, post-checkpoint script hook."""
+
+import os
+import stat
+
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import FluxConfig
+from simpletuner_tpu.publishing import PublishingManager, build_model_card, safetensors_modelspec
+
+
+@pytest.fixture
+def model():
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 16,
+            "optimizer": "adamw",
+            "learning_rate": 1e-4,
+            "max_train_steps": 100,
+            "resolution": 1024,
+            "instance_prompt": "sks style",
+            "tracker_run_name": "my-flux-lora",
+        }
+    )
+    return Flux(cfg, arch=FluxConfig.tiny())
+
+
+def test_modelspec(model):
+    spec = safetensors_modelspec(model, model.config)
+    assert spec["modelspec.architecture"] == "flux-1-dev/lora"
+    assert spec["modelspec.resolution"] == "1024x1024"
+    assert spec["modelspec.trigger_phrase"] == "sks style"
+    assert all(isinstance(v, str) for v in spec.values())
+
+
+def test_model_card(model):
+    card = build_model_card(
+        model, model.config, validation_prompts=["a photo"], train_steps=500
+    )
+    assert card.startswith("---")
+    assert "base_model: black-forest-labs/FLUX.1-dev" in card
+    assert "# my-flux-lora" in card
+    assert "- Steps: 500" in card
+    assert "Trigger phrase: `sks style`" in card
+
+
+def test_manager_writes_card(model, tmp_path):
+    manager = PublishingManager(model, model.config, str(tmp_path))
+    path = manager.write_model_card(train_steps=42)
+    assert os.path.exists(path)
+    assert "- Steps: 42" in open(path).read()
+
+
+def test_post_checkpoint_script(model, tmp_path):
+    marker = tmp_path / "ran.txt"
+    script = tmp_path / "hook.sh"
+    script.write_text(f"#!/bin/sh\necho $1 > {marker}\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    model.config.post_checkpoint_script = str(script)
+    manager = PublishingManager(model, model.config, str(tmp_path))
+    ckpt = tmp_path / "checkpoint-10"
+    ckpt.mkdir()
+    manager.run_post_checkpoint_script(str(ckpt))
+    assert marker.exists()
+    assert "checkpoint-10" in marker.read_text()
+
+
+def test_hub_push_disabled_without_config(model, tmp_path):
+    manager = PublishingManager(model, model.config, str(tmp_path))
+    assert manager.push_to_hub(str(tmp_path)) is None
