@@ -86,6 +86,12 @@ def _cmd_optimizers(args, extra: List[str]) -> int:
     return 0
 
 
+def _cmd_server(args, extra: List[str]) -> int:
+    from ..server.app import main as server_main
+
+    return server_main(["--host", args.host, "--port", str(args.port)])
+
+
 def _cmd_version(args, extra: List[str]) -> int:
     from .. import __version__
 
@@ -125,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("optimizers", help="list optimizer choices")
     p.set_defaults(fn=_cmd_optimizers)
+
+    p = sub.add_parser("server", help="run the training API server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8005)
+    p.set_defaults(fn=_cmd_server)
 
     p = sub.add_parser("version", help="print version")
     p.set_defaults(fn=_cmd_version)

@@ -64,6 +64,12 @@ class TrainingConfig:
             errors.append("context_parallel_size must be >= 1")
         if v.get("gradient_accumulation_steps", 1) < 1:
             errors.append("gradient_accumulation_steps must be >= 1")
+        optimizer = v.get("optimizer")
+        if optimizer:
+            from ..training.optimizers import optimizer_names
+
+            if optimizer not in optimizer_names():
+                errors.append(f"unknown optimizer {optimizer!r}")
         if v.get("mixed_precision") == "no":
             v["mixed_precision"] = "fp32"
         if errors:

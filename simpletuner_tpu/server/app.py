@@ -1,0 +1,225 @@
+"""Training API server.
+
+Reference: simpletuner_sdk/server/app.py + routes/ (FastAPI; 36 route modules).
+This build ships a dependency-free stdlib HTTP server carrying the training
+API surface: job submission/status/logs/cancel, manual validation/checkpoint
+signals, SSE event stream, model/optimizer listings, config validation, and a
+webhook callback endpoint the trainer posts its events to.
+
+Routes:
+  GET  /health
+  GET  /api/models
+  GET  /api/optimizers
+  POST /api/config/validate            {config}
+  POST /api/training/start             {config, job_id?}
+  GET  /api/training/jobs
+  GET  /api/training/status/<job_id>
+  GET  /api/training/logs/<job_id>?tail=N
+  POST /api/training/cancel/<job_id>
+  POST /api/training/signal/<job_id>   {action: validation|checkpoint|abort}
+  GET  /api/events                     (SSE)
+  POST /api/events/callback            (webhook receiver)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+from .process_keeper import ProcessKeeper
+
+logger = logging.getLogger(__name__)
+
+
+class SSEManager:
+    """In-memory fanout of server events to any number of SSE clients
+    (reference simpletuner_sdk sse_manager.py)."""
+
+    def __init__(self, history: int = 200):
+        self._clients: List[queue.Queue] = []
+        self._history: List[Dict[str, Any]] = []
+        self._history_limit = history
+        self._lock = threading.Lock()
+
+    def publish(self, event: Dict[str, Any]) -> None:
+        with self._lock:
+            self._history.append(event)
+            del self._history[: -self._history_limit]
+            for q in list(self._clients):
+                try:
+                    q.put_nowait(event)
+                except queue.Full:
+                    pass
+
+    def subscribe(self) -> queue.Queue:
+        q: queue.Queue = queue.Queue(maxsize=256)
+        with self._lock:
+            for event in self._history[-20:]:
+                q.put_nowait(event)
+            self._clients.append(q)
+        return q
+
+    def unsubscribe(self, q: queue.Queue) -> None:
+        with self._lock:
+            if q in self._clients:
+                self._clients.remove(q)
+
+
+def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPServer:
+    keeper = ProcessKeeper()
+    sse = SSEManager()
+    keeper.add_listener(sse.publish)
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "simpletuner-tpu"
+
+        # ---- plumbing -------------------------------------------------------------------
+        def log_message(self, fmt, *args):
+            logger.debug("%s " + fmt, self.address_string(), *args)
+
+        def _json(self, payload: Any, status: int = 200) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> Dict[str, Any]:
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if not length:
+                return {}
+            return json.loads(self.rfile.read(length) or b"{}")
+
+        # ---- GET --------------------------------------------------------------------------
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/health":
+                return self._json({"status": "ok", "time": time.time()})
+            if path == "/api/models":
+                from ..models.registry import ModelRegistry
+
+                return self._json(
+                    {f: ModelRegistry.metadata(f) for f in ModelRegistry.families()}
+                )
+            if path == "/api/optimizers":
+                from ..training.optimizers import optimizer_names
+
+                return self._json(list(optimizer_names()))
+            if path == "/api/training/jobs":
+                return self._json(keeper.list_jobs())
+            match = re.match(r"^/api/training/status/([\w-]+)$", path)
+            if match:
+                job = keeper.get_job(match.group(1))
+                if job is None:
+                    return self._json({"error": "unknown job"}, 404)
+                return self._json(job.to_dict())
+            match = re.match(r"^/api/training/logs/([\w-]+)$", path)
+            if match:
+                job = keeper.get_job(match.group(1))
+                if job is None:
+                    return self._json({"error": "unknown job"}, 404)
+                tail = 100
+                if "tail=" in self.path:
+                    tail = int(self.path.split("tail=")[1].split("&")[0])
+                return self._json({"job_id": job.job_id, "logs": list(job.logs)[-tail:]})
+            if path == "/api/events":
+                return self._sse()
+            return self._json({"error": "not found"}, 404)
+
+        def _sse(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            q = sse.subscribe()
+            try:
+                while True:
+                    try:
+                        event = q.get(timeout=15.0)
+                        payload = f"data: {json.dumps(event)}\n\n"
+                    except queue.Empty:
+                        payload = ": keepalive\n\n"
+                    self.wfile.write(payload.encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                sse.unsubscribe(q)
+
+        # ---- POST -------------------------------------------------------------------------
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            try:
+                body = self._read_body()
+            except (ValueError, json.JSONDecodeError):
+                return self._json({"error": "invalid json"}, 400)
+
+            if path == "/api/config/validate":
+                from ..configuration import TrainingConfig
+
+                try:
+                    TrainingConfig(dict(body.get("config") or body))
+                    return self._json({"valid": True})
+                except Exception as exc:
+                    return self._json({"valid": False, "error": str(exc)}, 422)
+
+            if path == "/api/training/start":
+                config = body.get("config") or body
+                if not config.get("model_family"):
+                    return self._json({"error": "config.model_family required"}, 422)
+                job = keeper.submit_job(config, body.get("job_id"))
+                return self._json(job.to_dict(), 201)
+
+            match = re.match(r"^/api/training/cancel/([\w-]+)$", path)
+            if match:
+                ok = keeper.cancel_job(match.group(1))
+                return self._json({"cancelled": ok}, 200 if ok else 404)
+
+            match = re.match(r"^/api/training/signal/([\w-]+)$", path)
+            if match:
+                action = (body.get("action") or "").strip()
+                if action not in ("validation", "checkpoint", "abort"):
+                    return self._json({"error": "action must be validation|checkpoint|abort"}, 422)
+                ok = keeper.send_signal(match.group(1), action)
+                return self._json({"signalled": ok}, 200 if ok else 404)
+
+            if path == "/api/events/callback":
+                sse.publish(body)
+                return self._json({"received": True})
+
+            return self._json({"error": "not found"}, 404)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.keeper = keeper  # type: ignore[attr-defined]
+    server.sse = sse  # type: ignore[attr-defined]
+    return server
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser("simpletuner-tpu server")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8005)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    server = create_server(args.host, args.port)
+    logger.info("training API listening on %s:%d", args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -466,6 +466,8 @@ class Trainer:
                 if self.validation is not None and self.validation.would_validate(self.global_step):
                     self.validation.run_validations(self._state.variables(), self.global_step)
 
+                self._consume_signals()
+
             # final checkpoint + validation (reference trainer.py:7274 final export)
             if self.global_step > start_step:
                 self.save_checkpoint()
@@ -492,6 +494,26 @@ class Trainer:
             for tracker in self.trackers:
                 tracker.finish()
             self.webhook_handler.flush()
+
+    def _consume_signals(self) -> None:
+        """Manual validation/checkpoint/abort triggers from a signal file
+        (reference train.py:88-143 consumers of SIMPLETUNER_ACCELERATE_SIGNAL_FILE)."""
+        path = os.environ.get("SIMPLETUNER_SIGNAL_FILE")
+        if not path or not os.path.exists(path):
+            return
+        try:
+            with open(path) as handle:
+                actions = [line.strip() for line in handle if line.strip()]
+            os.remove(path)
+        except OSError:
+            return
+        for action in actions:
+            if action == "validation" and self.validation is not None:
+                self.validation.run_validations(self._state.variables(), self.global_step, force=True)
+            elif action == "checkpoint":
+                self.save_checkpoint()
+            elif action == "abort":
+                self.abort()
 
     # ---- full run -----------------------------------------------------------------------------
     def run(self) -> None:

@@ -1,0 +1,106 @@
+"""Training API server tests over real HTTP on an ephemeral port."""
+
+import http.client
+import json
+import threading
+import time
+
+import pytest
+
+from simpletuner_tpu.server.app import create_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = create_server("127.0.0.1", 0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, port
+    srv.shutdown()
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    payload = json.dumps(body) if body is not None else None
+    headers = {"Content-Type": "application/json"} if payload else {}
+    conn.request(method, path, body=payload, headers=headers)
+    response = conn.getresponse()
+    data = json.loads(response.read() or b"null")
+    conn.close()
+    return response.status, data
+
+
+def test_health(server):
+    _, port = server
+    status, data = _request(port, "GET", "/health")
+    assert status == 200 and data["status"] == "ok"
+
+
+def test_models_and_optimizers(server):
+    _, port = server
+    status, models = _request(port, "GET", "/api/models")
+    assert status == 200 and "flux" in models
+    status, opts = _request(port, "GET", "/api/optimizers")
+    assert status == 200 and "adamw" in opts
+
+
+def test_config_validate(server):
+    _, port = server
+    status, data = _request(
+        port, "POST", "/api/config/validate",
+        {"config": {"model_family": "flux", "optimizer": "adamw", "learning_rate": 1e-4,
+                    "max_train_steps": 10}},
+    )
+    assert status == 200 and data["valid"]
+    status, data = _request(
+        port, "POST", "/api/config/validate",
+        {"config": {"model_family": "flux", "optimizer": "nope", "learning_rate": 1e-4,
+                    "max_train_steps": 10}},
+    )
+    assert status == 422 and not data["valid"]
+
+
+def test_job_lifecycle_failing_job(server):
+    """Submit a config that fails fast; lifecycle must reach 'failed' with logs."""
+    _, port = server
+    status, job = _request(
+        port, "POST", "/api/training/start",
+        {"config": {"model_family": "definitely-not-a-model", "optimizer": "adamw",
+                    "learning_rate": 1e-4, "max_train_steps": 1}},
+    )
+    assert status == 201
+    job_id = job["job_id"]
+    deadline = time.time() + 120
+    state = None
+    while time.time() < deadline:
+        _, info = _request(port, "GET", f"/api/training/status/{job_id}")
+        state = info["state"]
+        if state in ("completed", "failed", "cancelled"):
+            break
+        time.sleep(1.0)
+    assert state == "failed"
+    assert info["return_code"] not in (0, None)
+    _, logs = _request(port, "GET", f"/api/training/logs/{job_id}?tail=50")
+    assert any("model" in line.lower() or "error" in line.lower() for line in logs["logs"])
+
+
+def test_missing_model_family_rejected(server):
+    _, port = server
+    status, data = _request(port, "POST", "/api/training/start", {"config": {}})
+    assert status == 422
+
+
+def test_unknown_job_404(server):
+    _, port = server
+    status, _ = _request(port, "GET", "/api/training/status/nope")
+    assert status == 404
+
+
+def test_events_callback_roundtrip(server):
+    srv, port = server
+    status, data = _request(
+        port, "POST", "/api/events/callback", {"event_type": "training_status", "global_step": 5}
+    )
+    assert status == 200 and data["received"]
+    assert any(e.get("global_step") == 5 for e in srv.sse._history)
