@@ -43,6 +43,10 @@ def build_storage_backend(config: DatasetConfig, compress_cache: bool = False) -
         from .backends.huggingface import HuggingfaceDatasetsBackend
 
         return HuggingfaceDatasetsBackend(config, compress_cache)
+    if config.type == "webshart":
+        from .backends.webshart import WebshartDataBackend
+
+        return WebshartDataBackend(config, compress_cache)
     raise ValueError(f"unsupported storage backend type {config.type!r}")
 
 
