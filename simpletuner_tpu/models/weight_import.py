@@ -265,11 +265,255 @@ def load_flux_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL)
+# ---------------------------------------------------------------------------------
+
+
+def _conv(weights: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    # torch conv (O, I, kh, kw) -> flax (kh, kw, I, O)
+    out = {"kernel": np.ascontiguousarray(_to_f32(weights[f"{key}.weight"]).transpose(2, 3, 1, 0))}
+    if f"{key}.bias" in weights:
+        out["bias"] = _to_f32(weights[f"{key}.bias"])
+    return out
+
+
+def _norm(weights: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    return {"scale": _to_f32(weights[f"{key}.weight"]), "bias": _to_f32(weights[f"{key}.bias"])}
+
+
+def _vae_resnet(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    block = {
+        "norm1": _norm(w, f"{src}.norm1"),
+        "conv1": _conv(w, f"{src}.conv1"),
+        "norm2": _norm(w, f"{src}.norm2"),
+        "conv2": _conv(w, f"{src}.conv2"),
+    }
+    if f"{src}.conv_shortcut.weight" in w:
+        block["conv_shortcut"] = _conv(w, f"{src}.conv_shortcut")
+    return block
+
+
+def _vae_attn(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    if f"{src}.to_q.weight" in w:  # modern diffusers Attention (Linear)
+        return {
+            "norm": _norm(w, f"{src}.group_norm"),
+            "to_q": _linear(w, f"{src}.to_q"),
+            "to_k": _linear(w, f"{src}.to_k"),
+            "to_v": _linear(w, f"{src}.to_v"),
+            "to_out": _linear(w, f"{src}.to_out.0"),
+        }
+    # legacy layout: 1x1 convs q/k/v/proj_out -> squeeze into Dense kernels
+    def conv1x1(key):
+        kernel = _to_f32(w[f"{key}.weight"])[:, :, 0, 0]  # (O, I)
+        return {"kernel": np.ascontiguousarray(kernel.T), "bias": _to_f32(w[f"{key}.bias"])}
+
+    return {
+        "norm": _norm(w, f"{src}.norm"),
+        "to_q": conv1x1(f"{src}.q"),
+        "to_k": conv1x1(f"{src}.k"),
+        "to_v": conv1x1(f"{src}.v"),
+        "to_out": conv1x1(f"{src}.proj_out"),
+    }
+
+
+def vae_params_from_diffusers(weights: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    w = weights
+    levels = len(config.channel_multipliers)
+    blocks = config.layers_per_block
+
+    encoder: Dict[str, Any] = {
+        "conv_in": _conv(w, "encoder.conv_in"),
+        "mid_block_1": _vae_resnet(w, "encoder.mid_block.resnets.0"),
+        "mid_block_2": _vae_resnet(w, "encoder.mid_block.resnets.1"),
+        "mid_attn": _vae_attn(w, "encoder.mid_block.attentions.0"),
+        "norm_out": _norm(w, "encoder.conv_norm_out"),
+        "conv_out": _conv(w, "encoder.conv_out"),
+    }
+    for level in range(levels):
+        for block in range(blocks):
+            encoder[f"down_{level}_block_{block}"] = _vae_resnet(
+                w, f"encoder.down_blocks.{level}.resnets.{block}"
+            )
+        if level < levels - 1:
+            encoder[f"down_{level}_downsample"] = _conv(
+                w, f"encoder.down_blocks.{level}.downsamplers.0.conv"
+            )
+
+    decoder: Dict[str, Any] = {
+        "conv_in": _conv(w, "decoder.conv_in"),
+        "mid_block_1": _vae_resnet(w, "decoder.mid_block.resnets.0"),
+        "mid_block_2": _vae_resnet(w, "decoder.mid_block.resnets.1"),
+        "mid_attn": _vae_attn(w, "decoder.mid_block.attentions.0"),
+        "norm_out": _norm(w, "decoder.conv_norm_out"),
+        "conv_out": _conv(w, "decoder.conv_out"),
+    }
+    for level in range(levels):
+        for block in range(blocks + 1):
+            decoder[f"up_{level}_block_{block}"] = _vae_resnet(
+                w, f"decoder.up_blocks.{level}.resnets.{block}"
+            )
+        if level < levels - 1:
+            decoder[f"up_{level}_upsample"] = _conv(
+                w, f"decoder.up_blocks.{level}.upsamplers.0.conv"
+            )
+
+    params = {"encoder": encoder, "decoder": decoder}
+    if "quant_conv.weight" in w:
+        params["quant_conv"] = _conv(w, "quant_conv")
+    if "post_quant_conv.weight" in w:
+        params["post_quant_conv"] = _conv(w, "post_quant_conv")
+    return params
+
+
+def load_vae_params(vae, path: str) -> Dict[str, Any]:
+    """Variables dict for models/vae.py AutoencoderKL from a diffusers dir/file.
+
+    ``path`` may be a model dir (vae/ subfolder autodetected) or a single
+    safetensors file with ``encoder.*``/``decoder.*`` keys.
+    """
+    if os.path.isdir(path) and os.path.isdir(os.path.join(path, "vae")):
+        path = os.path.join(path, "vae")
+    weights = read_safetensors(path)
+    weights = {k[len("vae."):] if k.startswith("vae.") else k: v for k, v in weights.items()}
+    import jax.numpy as jnp
+
+    params = vae_params_from_diffusers(weights, vae.config)
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+
+# ---------------------------------------------------------------------------------
+# UNet (diffusers UNet2DConditionModel: SD 1.x / 2.x / SDXL)
+# ---------------------------------------------------------------------------------
+
+
+def _maybe_conv1x1_as_linear(w: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    """SD1.x spatial-transformer proj_in/out are 1x1 convs; SDXL uses Linear."""
+    weight = _to_f32(w[f"{key}.weight"])
+    if weight.ndim == 4:
+        weight = weight[:, :, 0, 0]
+    out = {"kernel": np.ascontiguousarray(weight.T)}
+    if f"{key}.bias" in w:
+        out["bias"] = _to_f32(w[f"{key}.bias"])
+    return out
+
+
+def _unet_resnet(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    block = {
+        "GroupNorm_0": _norm(w, f"{src}.norm1"),
+        "conv1": _conv(w, f"{src}.conv1"),
+        "time_emb_proj": _linear(w, f"{src}.time_emb_proj"),
+        "GroupNorm_1": _norm(w, f"{src}.norm2"),
+        "conv2": _conv(w, f"{src}.conv2"),
+    }
+    if f"{src}.conv_shortcut.weight" in w:
+        block["conv_shortcut"] = _conv(w, f"{src}.conv_shortcut")
+    return block
+
+
+def _unet_tblock(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "norm1": _norm(w, f"{src}.norm1"),
+        "attn1": {
+            "to_q": _linear(w, f"{src}.attn1.to_q"),
+            "to_k": _linear(w, f"{src}.attn1.to_k"),
+            "to_v": _linear(w, f"{src}.attn1.to_v"),
+            "to_out": _linear(w, f"{src}.attn1.to_out.0"),
+        },
+        "norm2": _norm(w, f"{src}.norm2"),
+        "attn2": {
+            "to_q": _linear(w, f"{src}.attn2.to_q"),
+            "to_k": _linear(w, f"{src}.attn2.to_k"),
+            "to_v": _linear(w, f"{src}.attn2.to_v"),
+            "to_out": _linear(w, f"{src}.attn2.to_out.0"),
+        },
+        "norm3": _norm(w, f"{src}.norm3"),
+        "ff_proj": _linear(w, f"{src}.ff.net.0.proj"),
+        "ff_out": _linear(w, f"{src}.ff.net.2"),
+    }
+
+
+def _unet_spatial(w: Dict[str, np.ndarray], src: str, depth: int) -> Dict[str, Any]:
+    block: Dict[str, Any] = {
+        "GroupNorm_0": _norm(w, f"{src}.norm"),
+        "proj_in": _maybe_conv1x1_as_linear(w, f"{src}.proj_in"),
+        "proj_out": _maybe_conv1x1_as_linear(w, f"{src}.proj_out"),
+    }
+    for i in range(depth):
+        block[f"blocks_{i}"] = _unet_tblock(w, f"{src}.transformer_blocks.{i}")
+    return block
+
+
+def unet_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    levels = len(arch.block_out_channels)
+    lpb = arch.layers_per_block
+
+    def depth_at(level: int) -> int:
+        return arch.transformer_layers[min(level, len(arch.transformer_layers) - 1)]
+
+    params: Dict[str, Any] = {
+        "conv_in": _conv(w, "conv_in"),
+        "time_embed_0": _linear(w, "time_embedding.linear_1"),
+        "time_embed_2": _linear(w, "time_embedding.linear_2"),
+        "conv_norm_out": _norm(w, "conv_norm_out"),
+        "conv_out": _conv(w, "conv_out"),
+        "mid_res_0": _unet_resnet(w, "mid_block.resnets.0"),
+        "mid_res_1": _unet_resnet(w, "mid_block.resnets.1"),
+        "mid_attn": _unet_spatial(w, "mid_block.attentions.0", depth_at(levels - 1)),
+    }
+    if "add_embedding.linear_1.weight" in w:
+        params["add_embed_0"] = _linear(w, "add_embedding.linear_1")
+        params["add_embed_2"] = _linear(w, "add_embedding.linear_2")
+
+    for level in range(levels):
+        has_attn = arch.cross_attention_blocks[level]
+        for block in range(lpb):
+            params[f"down_{level}_res_{block}"] = _unet_resnet(
+                w, f"down_blocks.{level}.resnets.{block}"
+            )
+            if has_attn:
+                params[f"down_{level}_attn_{block}"] = _unet_spatial(
+                    w, f"down_blocks.{level}.attentions.{block}", depth_at(level)
+                )
+        if level < levels - 1:
+            params[f"down_{level}_downsample"] = {
+                "conv": _conv(w, f"down_blocks.{level}.downsamplers.0.conv")
+            }
+
+    for u in range(levels):  # diffusers up index u -> our level (reversed)
+        level = levels - 1 - u
+        has_attn = arch.cross_attention_blocks[level]
+        for block in range(lpb + 1):
+            params[f"up_{level}_res_{block}"] = _unet_resnet(
+                w, f"up_blocks.{u}.resnets.{block}"
+            )
+            if has_attn:
+                params[f"up_{level}_attn_{block}"] = _unet_spatial(
+                    w, f"up_blocks.{u}.attentions.{block}", depth_at(level)
+                )
+        if level > 0:
+            params[f"up_{level}_upsample"] = {
+                "conv": _conv(w, f"up_blocks.{u}.upsamplers.0.conv")
+            }
+    return params
+
+
+def load_unet_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = unet_params_from_diffusers(weights, model.arch)
+    logger.info("imported unet weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
 _IMPORTERS = {
     "flux": load_flux_params,
+    "sd1x": load_unet_params,
+    "sd2x": load_unet_params,
+    "sdxl": load_unet_params,
 }
 
 
