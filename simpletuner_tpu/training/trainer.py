@@ -400,6 +400,10 @@ class Trainer:
     # ---- the loop ---------------------------------------------------------------------------
     def train(self) -> None:
         self._stage("train")
+        from .profiling import DiskGuard, ProfilerSession
+
+        self.profiler = ProfilerSession(self.config, self.output_dir)
+        self.disk_guard = DiskGuard(self.config, self.output_dir)
         checkpoint_interval = self.config.get("checkpointing_steps")
         rolling_interval = self.config.get("checkpointing_rolling_steps")
         log_interval = int(self.config.get("logging_steps", 1) or 1)
@@ -446,10 +450,14 @@ class Trainer:
                         )
                     )
 
+                self.profiler.step(self.global_step)
+
                 if checkpoint_interval and self.global_step % int(checkpoint_interval) == 0:
-                    self.save_checkpoint()
+                    if self.disk_guard.check_before_checkpoint():
+                        self.save_checkpoint()
                 elif rolling_interval and self.global_step % int(rolling_interval) == 0:
-                    self.save_checkpoint(rolling=True)
+                    if self.disk_guard.check_before_checkpoint():
+                        self.save_checkpoint(rolling=True)
 
                 eval_interval = self.config.get("eval_steps_interval")
                 if (
@@ -485,12 +493,22 @@ class Trainer:
                 self.publishing.wait(timeout=60)
             self._stage("train", "completed")
         except Exception as exc:
+            # device faults surface synchronously from XLA (reference analogue:
+            # GPU circuit breaker + CUDA error classification, train.py:247)
+            if "RESOURCE_EXHAUSTED" in str(exc) or "XlaRuntimeError" in type(exc).__name__:
+                from ..webhooks.events import device_fault_event
+
+                self.webhook_handler.send_raw(
+                    device_fault_event(str(exc), job_id=self.job_id)
+                )
             self.webhook_handler.send_raw(error_event("training failed", exc, self.job_id))
             self._stage("train", "failed", str(exc))
             if self.exit_on_error:
                 raise SystemExit(1) from exc
             raise
         finally:
+            if getattr(self, "profiler", None) is not None:
+                self.profiler.close()
             for tracker in self.trackers:
                 tracker.finish()
             self.webhook_handler.flush()
