@@ -99,14 +99,35 @@ def collate_batch(
 
             return _os.path.join(dst_root, _os.path.basename(path))
 
-        try:
-            with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                control = list(
-                    pool.map(lambda s: cond_bundle.vae_cache.get(cond_path(s["image_path"])), samples)
-                )
-            batch["control_latents"] = np.stack(control).astype(np.float32)
-        except KeyError:
-            pass  # unmatched conditioning sample: train unconditioned this batch
+        cond_type = (cond_bundle.config.conditioning_type or "").lower()
+        if cond_type == "mask":
+            # pixel masks -> latent-resolution loss masks (reference masked loss;
+            # conditioning_type=mask datasets)
+            latent_h, latent_w = batch["latents"].shape[1:3]
+            masks = []
+            try:
+                for sample in samples:
+                    import io as _io
+
+                    from PIL import Image as _Image
+
+                    raw = cond_bundle.data_backend.read(cond_path(sample["image_path"]))
+                    mask = _Image.open(_io.BytesIO(raw)).convert("L").resize(
+                        (latent_w, latent_h), _Image.BILINEAR
+                    )
+                    masks.append((np.asarray(mask, np.float32) / 255.0 > 0.5).astype(np.float32))
+                batch["loss_mask"] = np.stack(masks)[..., None]
+            except (OSError, KeyError):
+                pass
+        else:
+            try:
+                with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                    control = list(
+                        pool.map(lambda s: cond_bundle.vae_cache.get(cond_path(s["image_path"])), samples)
+                    )
+                batch["control_latents"] = np.stack(control).astype(np.float32)
+            except KeyError:
+                pass  # unmatched conditioning sample: train unconditioned this batch
 
     # size conditioning (SDXL/PixArt time-ids; reference collate.py)
     metas = [s.get("metadata", {}) for s in samples]

@@ -217,7 +217,9 @@ def configure_multi_databackend(
         for bundle in bundles.values():
             if bundle.config.dataset_type == "conditioning":
                 # conditioning datasets need latents (for control/edit pairing)
-                # but never text embeds
+                # but never text embeds; mask conditioning reads raw pixels
+                if (bundle.config.conditioning_type or "").lower() == "mask":
+                    continue
                 if vae_encode_fn is not None and not args.get("vae_cache_disable"):
                     bundle.vae_cache.process_buckets(
                         process_index=process_index, num_processes=num_processes

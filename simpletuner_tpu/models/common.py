@@ -225,6 +225,19 @@ class ModelFoundation:
     def loss_fn(self, variables, rng: jax.Array, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Single fused prepare→predict→loss, the body of the train step."""
         prepared = self.prepare_batch(rng, batch)
+        if getattr(self.config, "scheduled_sampling_max_steps", 0):
+            from ..training.scheduled_sampling import (
+                ScheduledSamplingConfig,
+                apply_scheduled_sampling,
+            )
+
+            prepared = apply_scheduled_sampling(
+                self,
+                variables,
+                prepared,
+                jax.random.fold_in(rng, 0x55),
+                ScheduledSamplingConfig.from_config(self.config),
+            )
         pred = self.model_predict(variables, prepared)
         loss = self.compute_loss(pred, prepared)
         aux = {"timesteps": prepared["timesteps"]}

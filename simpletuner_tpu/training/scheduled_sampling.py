@@ -1,0 +1,90 @@
+"""Scheduled sampling: train on the model's own rollout states.
+
+Reference: helpers/scheduled_sampling/{plan,rollout,skrample_adapter}.py applied
+at trainer.py:5642-5648 / common.py:5493-5516 — with some probability the
+training point x_σ is produced by rolling the model's own (stop-gradient)
+predictions down from a higher noise level instead of the analytic
+interpolation, mitigating exposure bias.
+
+jit shape: a fixed-K ``lax.fori_loop`` of Euler steps where each step is
+active only while ``i < k`` (k sampled per call), so one compiled program
+covers every rollout length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduledSamplingConfig:
+    max_steps: int = 0  # 0 = disabled
+    probability: float = 0.5  # chance a batch uses rollout at all
+    step_size: float = 0.05  # σ distance covered by each rollout step
+
+    @classmethod
+    def from_config(cls, config: Any) -> "ScheduledSamplingConfig":
+        return cls(
+            max_steps=int(config.get("scheduled_sampling_max_steps", 0) or 0),
+            probability=float(config.get("scheduled_sampling_probability", 0.5) or 0.5),
+            step_size=float(config.get("scheduled_sampling_step_size", 0.05) or 0.05),
+        )
+
+
+def apply_scheduled_sampling(
+    model,
+    variables: Dict[str, Any],
+    prepared: Dict[str, jax.Array],
+    rng: jax.Array,
+    ss_config: ScheduledSamplingConfig,
+) -> Dict[str, jax.Array]:
+    """Replace ``noisy_latents`` with a K-step self-rollout state (flow only)."""
+    if ss_config.max_steps <= 0 or not model.is_flow:
+        return prepared
+    sigmas = prepared["sigmas"]
+    latents = prepared["noisy_latents"]
+    batch = sigmas.shape[0]
+    shape = (batch,) + (1,) * (latents.ndim - 1)
+
+    rng_k, rng_p, rng_noise = jax.random.split(rng, 3)
+    k = jax.random.randint(rng_k, (batch,), 0, ss_config.max_steps + 1)
+    use = jax.random.uniform(rng_p, (batch,)) < ss_config.probability
+    k = jnp.where(use, k, 0)
+
+    # start higher: σ_start = min(σ + k·Δ, 1); x_start re-noised to σ_start
+    sigma_start = jnp.minimum(sigmas + k.astype(jnp.float32) * ss_config.step_size, 1.0)
+    noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
+    x0 = prepared.get("latents")  # clean latents ride through prepare_batch
+    if x0 is None:
+        # recover x0 from the analytic interpolation: x_σ = (1−σ)x0 + σε
+        x0 = (latents - sigmas.reshape(shape) * prepared["noise"]) / jnp.clip(
+            1.0 - sigmas.reshape(shape), 1e-3
+        )
+    x0 = x0.astype(jnp.float32)
+    x = (1.0 - sigma_start.reshape(shape)) * x0 + sigma_start.reshape(shape) * noise
+
+    delta = (sigma_start - sigmas) / jnp.maximum(k.astype(jnp.float32), 1.0)
+
+    def body(i, carry):
+        x_cur, sigma_cur = carry
+        roll_prepared = dict(prepared)
+        roll_prepared["noisy_latents"] = x_cur
+        roll_prepared["timesteps"] = sigma_cur
+        roll_prepared["sigmas"] = sigma_cur
+        velocity = jax.lax.stop_gradient(model.model_predict(variables, roll_prepared))
+        active = (i < k).astype(jnp.float32).reshape(shape)
+        x_next = x_cur - active * delta.reshape(shape) * velocity
+        sigma_next = sigma_cur - (i < k).astype(jnp.float32) * delta
+        return x_next, sigma_next
+
+    x_final, _ = jax.lax.fori_loop(0, ss_config.max_steps, body, (x, sigma_start))
+    out = dict(prepared)
+    out["noisy_latents"] = jnp.where(use.reshape(shape), x_final, latents)
+    # target stays v = ε' − x0 for the re-noised trajectory where used
+    new_target = noise - x0
+    out["target"] = jnp.where(use.reshape(shape), new_target, prepared["target"])
+    return out

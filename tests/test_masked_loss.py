@@ -1,0 +1,124 @@
+"""Masked loss: mask-conditioning dataset -> latent-res loss masks -> loss math."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.data.factory import configure_multi_databackend
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import FluxConfig
+from simpletuner_tpu.models.text_encoders import load_text_encoders
+from simpletuner_tpu.training.losses import LossConfig, diffusion_loss
+
+
+def test_mask_weighting_math():
+    pred = jnp.ones((2, 8, 8, 4))
+    target = jnp.zeros((2, 8, 8, 4))
+    config = LossConfig(loss_type="l2", prediction_type="flow_matching")
+    full = diffusion_loss(pred, target, config, sigmas=jnp.full((2,), 0.5))
+    mask = jnp.zeros((2, 8, 8, 1)).at[:, :4].set(1.0)  # half masked in
+    masked = diffusion_loss(pred, target, config, sigmas=jnp.full((2,), 0.5), mask=mask)
+    # pointwise error is uniform, so masked mean == full mean
+    np.testing.assert_allclose(float(masked), float(full), rtol=1e-5)
+
+    # error only OUTSIDE the mask -> masked loss ~ 0
+    pred2 = jnp.zeros((2, 8, 8, 4)).at[:, 4:].set(3.0)
+    masked2 = diffusion_loss(pred2, target, config, sigmas=jnp.full((2,), 0.5), mask=mask)
+    assert float(masked2) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def masked_dataset(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path_factory.mktemp("imgs")
+    mask_dir = tmp_path_factory.mktemp("masks")
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            img_dir / f"im_{i}.png"
+        )
+        (img_dir / f"im_{i}.txt").write_text(f"pic {i}")
+        mask = np.zeros((64, 64), np.uint8)
+        mask[: 32 + i] = 255
+        Image.fromarray(mask).save(mask_dir / f"im_{i}.png")
+    return str(img_dir), str(mask_dir)
+
+
+def test_collate_supplies_loss_mask(masked_dataset, tmp_path_factory):
+    img_dir, mask_dir = masked_dataset
+    cache_root = str(tmp_path_factory.mktemp("cache"))
+    mdb = [
+        {
+            "id": "images",
+            "type": "local",
+            "instance_data_dir": img_dir,
+            "crop": True,
+            "crop_style": "center",
+            "crop_aspect": "square",
+            "resolution": 64,
+            "resolution_type": "pixel_area",
+            "caption_strategy": "textfile",
+            "cache_dir_vae": os.path.join(cache_root, "vae"),
+            "text_embeds": "embeds",
+            "conditioning_data": "masks",
+        },
+        {
+            "id": "masks",
+            "dataset_type": "conditioning",
+            "conditioning_type": "mask",
+            "type": "local",
+            "instance_data_dir": mask_dir,
+            "resolution": 64,
+            "resolution_type": "pixel_area",
+        },
+        {
+            "id": "embeds",
+            "dataset_type": "text_embeds",
+            "type": "local",
+            "default": True,
+            "cache_dir": os.path.join(cache_root, "text"),
+        },
+    ]
+    args = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "train_batch_size": 2,
+            "resolution": 64,
+            "max_train_steps": 4,
+            "cache_dir": cache_root,
+            "data_backend_config": mdb,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+        }
+    )
+    model = Flux(args, arch=FluxConfig.tiny())
+    model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
+    from simpletuner_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae = AutoencoderKL(VAEConfig.tiny())
+    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    encode = jax.jit(lambda x: vae.apply(vae_params, x, method=AutoencoderKL.encode))
+    plane = configure_multi_databackend(
+        args, model, vae_encode_fn=lambda imgs, n: np.asarray(encode(jnp.asarray(imgs)))
+    )
+    batch = plane.iterator.next_batch()
+    assert "loss_mask" in batch
+    latent_hw = batch["latents"].shape[1:3]
+    assert batch["loss_mask"].shape == (2, *latent_hw, 1)
+    values = np.unique(batch["loss_mask"])
+    assert set(values.tolist()) <= {0.0, 1.0}
+
+    # masked loss flows through the model's loss_fn
+    variables = model.init_params(jax.random.PRNGKey(0))
+    device_batch = {
+        k: jnp.asarray(v) for k, v in batch.items()
+        if isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
+    }
+    loss, _ = model.loss_fn(variables, jax.random.PRNGKey(1), device_batch)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,77 @@
+"""Scheduled sampling rollout: jit-safety, zero-step passthrough, gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.flux.model import Flux
+from simpletuner_tpu.models.flux.transformer import FluxConfig
+from simpletuner_tpu.training.scheduled_sampling import (
+    ScheduledSamplingConfig,
+    apply_scheduled_sampling,
+)
+
+
+def make_model(**extra):
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            **extra,
+        }
+    )
+    return Flux(cfg, arch=FluxConfig.tiny())
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = make_model()
+    batch = model.example_batch(batch_size=2, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    return model, batch, variables
+
+
+def test_zero_probability_passthrough(setup):
+    model, batch, variables = setup
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    ss = ScheduledSamplingConfig(max_steps=3, probability=0.0)
+    out = apply_scheduled_sampling(model, variables, prepared, jax.random.PRNGKey(2), ss)
+    np.testing.assert_array_equal(
+        np.asarray(out["noisy_latents"]), np.asarray(prepared["noisy_latents"])
+    )
+
+
+def test_rollout_changes_inputs(setup):
+    model, batch, variables = setup
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    ss = ScheduledSamplingConfig(max_steps=3, probability=1.0, step_size=0.1)
+    out = jax.jit(
+        lambda v, p, r: apply_scheduled_sampling(model, v, p, r, ss)
+    )(variables, prepared, jax.random.PRNGKey(2))
+    assert not np.allclose(
+        np.asarray(out["noisy_latents"]), np.asarray(prepared["noisy_latents"])
+    )
+    assert np.all(np.isfinite(np.asarray(out["noisy_latents"])))
+
+
+def test_loss_fn_with_scheduled_sampling_grads():
+    model = make_model(
+        scheduled_sampling_max_steps=2, scheduled_sampling_probability=1.0
+    )
+    batch = model.example_batch(batch_size=2, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+
+    def loss(lora):
+        merged = {**variables, "lora": lora}
+        value, _ = model.loss_fn(merged, jax.random.PRNGKey(1), batch)
+        return value
+
+    value, grads = jax.jit(jax.value_and_grad(loss))(variables["lora"])
+    assert np.isfinite(float(value))
+    assert any(float(jnp.linalg.norm(g)) > 0 for g in jax.tree_util.tree_leaves(grads))
