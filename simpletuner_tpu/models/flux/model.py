@@ -102,11 +102,27 @@ class Flux(ModelFoundation):
             prepared["tread_rng"] = jax.random.fold_in(rng, 99)
         return prepared
 
+    @property
+    def is_kontext(self) -> bool:
+        return self.flavour == "kontext"
+
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         noisy = prepared["noisy_latents"]
+        img = pack_latents(noisy)
+        img_ids = prepared["img_ids"]
+        if self.is_kontext and "control_latents" in prepared:
+            # Kontext edit conditioning (reference flux/model.py:517
+            # prepare_batch_conditions): the clean reference image rides as
+            # extra tokens at t-index 1; loss/prediction covers only the
+            # noisy half (model_predict slices them back off)
+            ref = pack_latents(prepared["control_latents"].astype(noisy.dtype))
+            batch, height, width = noisy.shape[0], noisy.shape[1], noisy.shape[2]
+            ref_ids = make_img_ids(batch, height, width).at[..., 0].set(1)
+            img = jnp.concatenate([img, ref], axis=1)
+            img_ids = jnp.concatenate([img_ids, ref_ids], axis=1)
         inputs = {
-            "img": pack_latents(noisy),
-            "img_ids": prepared["img_ids"],
+            "img": img,
+            "img_ids": img_ids,
             "txt": prepared["t5_embeds"],
             "txt_ids": prepared["txt_ids"],
             "timesteps": prepared["timesteps"],
@@ -183,6 +199,9 @@ class Flux(ModelFoundation):
         main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
         tokens = self.module.apply(main_vars, **inputs, rngs=rngs)
         height, width = prepared["noisy_latents"].shape[1:3]
+        if self.is_kontext and "control_latents" in prepared:
+            noisy_tokens = (height // 2) * (width // 2)
+            tokens = tokens[:, :noisy_tokens]  # drop the reference-image tokens
         return unpack_latents(tokens, height, width)
 
     # ---- host-side text encoding ---------------------------------------------------------
