@@ -258,7 +258,26 @@ class Trainer:
             self.variables["controlnet"] = self.model.init_controlnet_params(
                 jax.random.fold_in(jax.random.PRNGKey(self.seed), 1), batch
             )
+        self._apply_assistant_lora()
         self._stage("init_load_base_model", "completed")
+
+    def _apply_assistant_lora(self) -> None:
+        """Assistant adapter merged into the frozen base (reference: flux
+        schnell assistant LoRA pre-loaded for training-time guidance,
+        flux/model.py:68-70 ASSISTANT_LORA_*)."""
+        path = self.config.get("assistant_lora_path")
+        if not path:
+            return
+        from .lora import load_lora_safetensors, merge_lora_into_params
+
+        template = jax.tree_util.tree_map(lambda x: x, self.variables.get("lora", {}))
+        assistant = load_lora_safetensors(self.model, str(path), template)
+        scale = float(self.config.get("assistant_lora_scale", 1.0) or 1.0)
+        self.variables = dict(self.variables)
+        self.variables["params"] = merge_lora_into_params(
+            self.variables["params"], assistant, scale=scale
+        )
+        logger.info("merged assistant LoRA from %s (scale %.2f)", path, scale)
 
     def _example_batch(self) -> Dict[str, jax.Array]:
         if self.data_plane is not None:
