@@ -43,6 +43,8 @@ class SD3Config:
     pooled_dim: int = 2048  # clip-l + clip-g pooled
     mlp_ratio: float = 4.0
     qk_norm: bool = True  # SD3.5; medium 3.0 ships without but tolerates it
+    # learned pos-embed grid side (diffusers pos_embed_max_size); 0 = use sincos
+    pos_embed_max_size: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -50,11 +52,11 @@ class SD3Config:
 
     @classmethod
     def medium(cls) -> "SD3Config":
-        return cls()
+        return cls(pos_embed_max_size=192)
 
     @classmethod
     def large(cls) -> "SD3Config":
-        return cls(hidden_size=2432, depth=38, num_heads=38)
+        return cls(hidden_size=2432, depth=38, num_heads=38, pos_embed_max_size=192)
 
     @classmethod
     def tiny(cls) -> "SD3Config":
@@ -177,7 +179,22 @@ class SD3Transformer(nn.Module):
             batch, (height // p) * (width // p), p * p * channels
         )
         x = LoRADense(dim, name="patch_in", **common, **lora)(x)
-        pos = posemb_2d_sincos(height // p, width // p, dim)
+        hh, ww = height // p, width // p
+        if cfg.pos_embed_max_size:
+            # learned grid, center-cropped to the active resolution (diffusers
+            # SD3 ``pos_embed`` crop semantics — enables weight import)
+            side = cfg.pos_embed_max_size
+            table = self.param(
+                "pos_embed",
+                nn.initializers.normal(stddev=0.02),
+                (side, side, dim),
+                self.param_dtype,
+            )
+            top = (side - hh) // 2
+            left = (side - ww) // 2
+            pos = table[top: top + hh, left: left + ww].reshape(hh * ww, dim)
+        else:
+            pos = posemb_2d_sincos(hh, ww, dim)
         x = x + pos[None].astype(self.dtype)
 
         txt = LoRADense(dim, name="context_in", **common, **lora)(context)

@@ -382,6 +382,87 @@ def load_vae_params(vae, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# SD3 (diffusers SD3Transformer2DModel)
+# ---------------------------------------------------------------------------------
+
+
+def _swap_halves_linear(node: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """diffusers AdaLayerNormContinuous emits (scale, shift); ours is (shift, scale)."""
+    kernel = node["kernel"]
+    half = kernel.shape[1] // 2
+    out = {"kernel": np.concatenate([kernel[:, half:], kernel[:, :half]], axis=1)}
+    if "bias" in node:
+        bias = node["bias"]
+        out["bias"] = np.concatenate([bias[half:], bias[:half]])
+    return out
+
+
+def sd3_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    p = arch.patch_size
+    dim = arch.hidden_size
+    # patchify conv (dim, C, p, p) -> dense kernel ((p·p·C), dim) in (i, j, c) order
+    conv = _to_f32(w["pos_embed.proj.weight"])
+    patch_kernel = np.ascontiguousarray(conv.transpose(2, 3, 1, 0).reshape(-1, dim))
+    params: Dict[str, Any] = {
+        "patch_in": {"kernel": patch_kernel, "bias": _to_f32(w["pos_embed.proj.bias"])},
+        "context_in": _linear(w, "context_embedder"),
+        "time_in": {
+            "in_layer": _linear(w, "time_text_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        "pooled_in": {
+            "in_layer": _linear(w, "time_text_embed.text_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.text_embedder.linear_2"),
+        },
+        "final_mod": {"lin": _swap_halves_linear(_linear(w, "norm_out.linear"))},
+        "final_proj": _linear(w, "proj_out"),
+    }
+    if arch.pos_embed_max_size:
+        side = arch.pos_embed_max_size
+        table = _to_f32(w["pos_embed.pos_embed"]).reshape(side, side, dim)
+        params["pos_embed"] = table
+
+    for i in range(arch.depth):
+        src = f"transformer_blocks.{i}"
+        last = i == arch.depth - 1
+        block: Dict[str, Any] = {
+            "img_mod": {"lin": _linear(w, f"{src}.norm1.linear")},
+            "img_attn_q": _linear(w, f"{src}.attn.to_q"),
+            "img_attn_k": _linear(w, f"{src}.attn.to_k"),
+            "img_attn_v": _linear(w, f"{src}.attn.to_v"),
+            "txt_attn_q": _linear(w, f"{src}.attn.add_q_proj"),
+            "txt_attn_k": _linear(w, f"{src}.attn.add_k_proj"),
+            "txt_attn_v": _linear(w, f"{src}.attn.add_v_proj"),
+            "img_attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "img_mlp_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "img_mlp_out": _linear(w, f"{src}.ff.net.2"),
+        }
+        if last:
+            # context_pre_only block: AdaLayerNormContinuous for context
+            block["txt_mod"] = {"lin": _swap_halves_linear(_linear(w, f"{src}.norm1_context.linear"))}
+        else:
+            block["txt_mod"] = {"lin": _linear(w, f"{src}.norm1_context.linear")}
+            block["txt_attn_proj"] = _linear(w, f"{src}.attn.to_add_out")
+            block["txt_mlp_in"] = _linear(w, f"{src}.ff_context.net.0.proj")
+            block["txt_mlp_out"] = _linear(w, f"{src}.ff_context.net.2")
+        if arch.qk_norm and f"{src}.attn.norm_q.weight" in w:
+            block["img_attn_norm_q"] = _scale(w, f"{src}.attn.norm_q.weight")
+            block["img_attn_norm_k"] = _scale(w, f"{src}.attn.norm_k.weight")
+            block["txt_attn_norm_q"] = _scale(w, f"{src}.attn.norm_added_q.weight")
+            block["txt_attn_norm_k"] = _scale(w, f"{src}.attn.norm_added_k.weight")
+        params[f"block_{i}"] = block
+    return params
+
+
+def load_sd3_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = sd3_params_from_diffusers(weights, model.arch)
+    logger.info("imported sd3 weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # UNet (diffusers UNet2DConditionModel: SD 1.x / 2.x / SDXL)
 # ---------------------------------------------------------------------------------
 
@@ -514,6 +595,7 @@ _IMPORTERS = {
     "sd1x": load_unet_params,
     "sd2x": load_unet_params,
     "sdxl": load_unet_params,
+    "sd3": load_sd3_params,
 }
 
 
