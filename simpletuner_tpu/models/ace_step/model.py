@@ -72,6 +72,7 @@ class ACEStepTransformer(nn.Module):
         vec = MLPEmbedder(dim, name="time_in", **common)(
             timestep_embedding(timesteps, 256).astype(self.dtype)
         )
+        e6 = LoRADense(6 * dim, name="time_proj", **common)(nn.silu(vec)).reshape(-1, 6, dim)
 
         # 1-D rope over the token axis (WanBlock expects (cos, sin) for head_dim)
         batch, seq = x.shape[:2]
@@ -87,7 +88,7 @@ class ACEStepTransformer(nn.Module):
         )
         block_cls = nn.remat(WanBlock) if self.remat else WanBlock
         for layer in range(cfg.depth):
-            x = block_cls(wan_cfg, name=f"block_{layer}", **common, **lora)(x, txt, vec, rope)
+            x = block_cls(wan_cfg, name=f"block_{layer}", **common, **lora)(x, txt, e6, rope)
 
         shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(vec, dim)
         x = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)

@@ -74,6 +74,7 @@ class PixartTransformer(nn.Module):
         vec = MLPEmbedder(dim, name="time_in", **common)(
             timestep_embedding(timesteps.astype(jnp.float32), 256, time_factor=1.0).astype(self.dtype)
         )
+        e6 = LoRADense(6 * dim, name="time_proj", **common)(nn.silu(vec)).reshape(-1, 6, dim)
 
         hh, ww = height // p, width // p
         ids = jnp.stack(
@@ -88,7 +89,7 @@ class PixartTransformer(nn.Module):
         )
         block_cls = nn.remat(WanBlock) if self.remat else WanBlock
         for layer in range(cfg.depth):
-            x = block_cls(wan_cfg, name=f"block_{layer}", **common, **lora)(x, txt, vec, rope)
+            x = block_cls(wan_cfg, name=f"block_{layer}", **common, **lora)(x, txt, e6, rope)
 
         shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(vec, dim)
         x = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)

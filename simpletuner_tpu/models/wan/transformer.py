@@ -59,6 +59,11 @@ class WanConfig:
 
 
 class WanBlock(nn.Module):
+    """Wan transformer block (diffusers WanTransformerBlock semantics):
+    per-block ``scale_shift_table`` (6, dim) added to the shared time
+    conditioning ``e6`` (B, 6, dim); qk RMS-norm across heads (over the full
+    inner dim); ungated cross-attention with an affine norm."""
+
     config: WanConfig
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -67,7 +72,7 @@ class WanBlock(nn.Module):
     lora_algo: str = "lora"
 
     @nn.compact
-    def __call__(self, x, context, vec, rope):
+    def __call__(self, x, context, e6, rope):
         cfg = self.config
         dim = cfg.hidden_size
         inner = cfg.num_heads * cfg.head_dim
@@ -76,31 +81,41 @@ class WanBlock(nn.Module):
         batch, seq = x.shape[:2]
         heads_shape = (batch, seq, cfg.num_heads, cfg.head_dim)
 
-        mods = AdaLayerNormZero(6, name="modulation", **common)(vec, dim)
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=1.0 / dim ** 0.5),
+            (6, dim),
+            self.param_dtype,
+        )
+        mods = table[None].astype(jnp.float32) + e6.astype(jnp.float32)  # (B, 6, dim)
+        mods = [mods[:, i].astype(self.dtype) for i in range(6)]
+
+        def qk_norm(value, name):
+            if not cfg.qk_norm:
+                return value
+            return RMSNorm(name=name, **common)(value)  # across heads: over inner dim
 
         # --- self-attention over video tokens (3D rope) --------------------------------
         x_n = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), mods[0], mods[1])
-        q = LoRADense(inner, name="self_attn_q", **common, **lora)(x_n).reshape(heads_shape)
-        k = LoRADense(inner, name="self_attn_k", **common, **lora)(x_n).reshape(heads_shape)
-        v = LoRADense(inner, name="self_attn_v", **common, **lora)(x_n).reshape(heads_shape)
-        if cfg.qk_norm:
-            q = RMSNorm(name="self_attn_norm_q", **common)(q)
-            k = RMSNorm(name="self_attn_norm_k", **common)(k)
+        q = qk_norm(LoRADense(inner, name="self_attn_q", **common, **lora)(x_n), "self_attn_norm_q")
+        k = qk_norm(LoRADense(inner, name="self_attn_k", **common, **lora)(x_n), "self_attn_norm_k")
+        v = LoRADense(inner, name="self_attn_v", **common, **lora)(x_n)
+        q, k, v = (t.reshape(heads_shape) for t in (q, k, v))
         cos, sin = rope
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = dot_product_attention(q, k, v).reshape(batch, seq, inner)
         x = x + mods[2][:, None, :] * LoRADense(dim, name="self_attn_proj", **common, **lora)(attn)
 
-        # --- cross-attention to text (no rope, no modulation gate in Wan) ---------------
+        # --- cross-attention to text (no rope, ungated; affine norm) --------------------
         x_c = LayerNorm(name="cross_norm", **common)(x)
-        q = LoRADense(inner, name="cross_attn_q", **common, **lora)(x_c).reshape(heads_shape)
         ctx_shape = (batch, context.shape[1], cfg.num_heads, cfg.head_dim)
-        k = LoRADense(inner, name="cross_attn_k", **common, **lora)(context).reshape(ctx_shape)
-        v = LoRADense(inner, name="cross_attn_v", **common, **lora)(context).reshape(ctx_shape)
-        if cfg.qk_norm:
-            q = RMSNorm(name="cross_attn_norm_q", **common)(q)
-            k = RMSNorm(name="cross_attn_norm_k", **common)(k)
+        q = qk_norm(LoRADense(inner, name="cross_attn_q", **common, **lora)(x_c), "cross_attn_norm_q")
+        k = qk_norm(LoRADense(inner, name="cross_attn_k", **common, **lora)(context), "cross_attn_norm_k")
+        v = LoRADense(inner, name="cross_attn_v", **common, **lora)(context)
+        q = q.reshape(heads_shape)
+        k = k.reshape(ctx_shape)
+        v = v.reshape(ctx_shape)
         attn = dot_product_attention(q, k, v).reshape(batch, seq, inner)
         x = x + LoRADense(dim, name="cross_attn_proj", **common, **lora)(attn)
 
@@ -143,10 +158,14 @@ class WanTransformer(nn.Module):
         )
         x = LoRADense(dim, name="patch_in", **common, **lora)(x)
 
-        txt = LoRADense(dim, name="text_in", **common, **lora)(context)
+        # 2-layer text projection (diffusers condition_embedder.text_embedder)
+        txt = LoRADense(dim, name="text_in0", **common, **lora)(context)
+        txt = LoRADense(dim, name="text_in2", **common, **lora)(nn.gelu(txt, approximate=True))
         vec = MLPEmbedder(dim, name="time_in", **common)(
             timestep_embedding(timesteps, 256).astype(self.dtype)
         )
+        # shared 6-way time modulation (diffusers condition_embedder.time_proj)
+        e6 = LoRADense(6 * dim, name="time_proj", **common)(nn.silu(vec)).reshape(-1, 6, dim)
 
         # 3D rope ids over (t, h, w)
         tt, hh, ww = t // pt, height // ph, width // pw
@@ -159,9 +178,17 @@ class WanTransformer(nn.Module):
 
         block_cls = nn.remat(WanBlock) if self.remat else WanBlock
         for layer in range(cfg.depth):
-            x = block_cls(cfg, name=f"block_{layer}", **common, **lora)(x, txt, vec, rope)
+            x = block_cls(cfg, name=f"block_{layer}", **common, **lora)(x, txt, e6, rope)
 
-        shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(vec, dim)
+        # final head: scale_shift_table (2, dim) + temb (diffusers wan norm_out)
+        final_table = self.param(
+            "final_scale_shift_table",
+            nn.initializers.normal(stddev=1.0 / cfg.hidden_size ** 0.5),
+            (2, dim),
+            jnp.float32,
+        )
+        final_mods = final_table[None] + vec.astype(jnp.float32)[:, None]
+        shift, scale = final_mods[:, 0].astype(self.dtype), final_mods[:, 1].astype(self.dtype)
         x = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)
         x = LoRADense(pt * ph * pw * channels, name="final_proj", **common)(x)
 

@@ -463,6 +463,62 @@ def load_sd3_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# Wan (diffusers WanTransformer3DModel)
+# ---------------------------------------------------------------------------------
+
+
+def wan_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    dim = arch.hidden_size
+    # Conv3d patch embed (dim, C, pt, ph, pw) -> dense ((pt·ph·pw·C), dim)
+    conv = _to_f32(w["patch_embedding.weight"])
+    patch_kernel = np.ascontiguousarray(conv.transpose(2, 3, 4, 1, 0).reshape(-1, dim))
+    params: Dict[str, Any] = {
+        "patch_in": {"kernel": patch_kernel, "bias": _to_f32(w["patch_embedding.bias"])},
+        "text_in0": _linear(w, "condition_embedder.text_embedder.linear_1"),
+        "text_in2": _linear(w, "condition_embedder.text_embedder.linear_2"),
+        "time_in": {
+            "in_layer": _linear(w, "condition_embedder.time_embedder.linear_1"),
+            "out_layer": _linear(w, "condition_embedder.time_embedder.linear_2"),
+        },
+        "time_proj": _linear(w, "condition_embedder.time_proj"),
+        "final_scale_shift_table": _to_f32(w["scale_shift_table"]).reshape(2, dim),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    for i in range(arch.depth):
+        src = f"blocks.{i}"
+        block: Dict[str, Any] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]).reshape(6, dim),
+            "self_attn_q": _linear(w, f"{src}.attn1.to_q"),
+            "self_attn_k": _linear(w, f"{src}.attn1.to_k"),
+            "self_attn_v": _linear(w, f"{src}.attn1.to_v"),
+            "self_attn_proj": _linear(w, f"{src}.attn1.to_out.0"),
+            "cross_attn_q": _linear(w, f"{src}.attn2.to_q"),
+            "cross_attn_k": _linear(w, f"{src}.attn2.to_k"),
+            "cross_attn_v": _linear(w, f"{src}.attn2.to_v"),
+            "cross_attn_proj": _linear(w, f"{src}.attn2.to_out.0"),
+            # shared LayerNorm wrapper nests the affine params one level down
+            "cross_norm": {"LayerNorm_0": _norm(w, f"{src}.norm2")},
+            "ffn_in": _linear(w, f"{src}.ffn.net.0.proj"),
+            "ffn_out": _linear(w, f"{src}.ffn.net.2"),
+        }
+        if arch.qk_norm and f"{src}.attn1.norm_q.weight" in w:
+            block["self_attn_norm_q"] = _scale(w, f"{src}.attn1.norm_q.weight")
+            block["self_attn_norm_k"] = _scale(w, f"{src}.attn1.norm_k.weight")
+            block["cross_attn_norm_q"] = _scale(w, f"{src}.attn2.norm_q.weight")
+            block["cross_attn_norm_k"] = _scale(w, f"{src}.attn2.norm_k.weight")
+        params[f"block_{i}"] = block
+    return params
+
+
+def load_wan_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = wan_params_from_diffusers(weights, model.arch)
+    logger.info("imported wan weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # UNet (diffusers UNet2DConditionModel: SD 1.x / 2.x / SDXL)
 # ---------------------------------------------------------------------------------
 
@@ -596,6 +652,7 @@ _IMPORTERS = {
     "sd2x": load_unet_params,
     "sdxl": load_unet_params,
     "sd3": load_sd3_params,
+    "wan": load_wan_params,
 }
 
 
