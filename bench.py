@@ -100,6 +100,7 @@ def main() -> None:
             "learning_rate": 1e-4,
             "max_train_steps": 1000,
             "gradient_checkpointing": remat,
+            "gradient_checkpointing_policy": os.environ.get("BENCH_REMAT_POLICY", "full"),
         }
     )
     model = Flux(cfg, arch=arch)

@@ -67,6 +67,7 @@ class Flux(ModelFoundation):
             lora_alpha=self.lora_alpha,
             lora_algo=self.lora_algo,
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+            remat_policy=getattr(self.config, "gradient_checkpointing_policy", None) or "full",
             tread_routes=routes,
         )
 

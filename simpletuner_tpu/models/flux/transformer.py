@@ -199,6 +199,10 @@ class FluxTransformer(nn.Module):
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
     remat: bool = False
+    # rematerialization policy: "full" recomputes everything;
+    # "dots" saves matmul outputs and recomputes elementwise (usually the best
+    # MFU/memory tradeoff on TPU: the MXU work is not repeated)
+    remat_policy: str = "full"
     # TREAD routes over single-stream layers: tuple of
     # {"selection_ratio": r, "start_layer": i, "end_layer": j} (reference
     # helpers/training/tread.py + flux tread_init; active only when a
@@ -246,8 +250,11 @@ class FluxTransformer(nn.Module):
         double_cls = DoubleStreamBlock
         single_cls = SingleStreamBlock
         if self.remat:
-            double_cls = nn.remat(DoubleStreamBlock, static_argnums=())
-            single_cls = nn.remat(SingleStreamBlock, static_argnums=())
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            double_cls = nn.remat(DoubleStreamBlock, policy=policy)
+            single_cls = nn.remat(SingleStreamBlock, policy=policy)
 
         for layer in range(cfg.depth_double):
             img_tok, txt_tok = double_cls(

@@ -44,9 +44,20 @@ class Wan(ModelFoundation):
             self.arch = WanConfig.b14()
         else:
             self.arch = WanConfig.b1_3()
+        if self.is_i2v and arch is None:
+            # I2V input: noisy latents ++ first-frame condition ++ 4-ch mask
+            import dataclasses as _dc
+
+            self.arch = _dc.replace(self.arch, in_channels=self.arch.in_channels * 2 + 4)
+
+    @property
+    def is_i2v(self) -> bool:
+        return bool(self.flavour and "i2v" in self.flavour)
 
     @property
     def latent_channels(self) -> int:
+        if self.is_i2v:
+            return (self.arch.in_channels - 4) // 2
         return self.arch.in_channels
 
     def video_vae_config(self) -> VideoVAEConfig:
@@ -70,18 +81,22 @@ class Wan(ModelFoundation):
         frames = 3  # latent frames (≈ 1 + 4k decoded)
         return {
             "latents": jnp.zeros(
-                (batch_size, frames, latent, latent, self.arch.in_channels), jnp.float32
+                (batch_size, frames, latent, latent, self.latent_channels), jnp.float32
             ),
             "text_embeds": jnp.zeros((batch_size, 64, self.arch.text_dim), jnp.float32),
         }
 
-    def prepare_batch(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        prepared = super().prepare_batch(rng, batch)
-        return prepared
-
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        noisy = prepared["noisy_latents"]
+        if self.is_i2v:
+            # first-frame conditioning: clean frame 0 broadcast over time + a
+            # frame-0-indicator mask (reference wan I2V flavours)
+            clean = prepared.get("latents", jnp.zeros_like(noisy))
+            first = jnp.broadcast_to(clean[:, :1], clean.shape)
+            mask = jnp.zeros(noisy.shape[:-1] + (4,), noisy.dtype).at[:, 0].set(1.0)
+            noisy = jnp.concatenate([noisy, first.astype(noisy.dtype), mask], axis=-1)
         return {
-            "latents": prepared["noisy_latents"],
+            "latents": noisy,
             "timesteps": prepared["timesteps"],
             "context": prepared["text_embeds"],
         }

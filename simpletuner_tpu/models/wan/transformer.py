@@ -34,6 +34,7 @@ Dtype = Any
 @dataclasses.dataclass(frozen=True)
 class WanConfig:
     in_channels: int = 16
+    out_channels: int = 0  # 0 = same as in_channels (I2V uses fewer out than in)
     patch: Tuple[int, int, int] = (1, 2, 2)  # (t, h, w)
     hidden_size: int = 1536
     depth: int = 30
@@ -190,9 +191,10 @@ class WanTransformer(nn.Module):
         final_mods = final_table[None] + vec.astype(jnp.float32)[:, None]
         shift, scale = final_mods[:, 0].astype(self.dtype), final_mods[:, 1].astype(self.dtype)
         x = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)
-        x = LoRADense(pt * ph * pw * channels, name="final_proj", **common)(x)
+        x = LoRADense(pt * ph * pw * (cfg.out_channels or channels), name="final_proj", **common)(x)
 
         # unpatchify
-        x = x.reshape(batch, tt, hh, ww, pt, ph, pw, channels)
-        x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(batch, t, height, width, channels)
+        out_ch = cfg.out_channels or channels
+        x = x.reshape(batch, tt, hh, ww, pt, ph, pw, out_ch)
+        x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(batch, t, height, width, out_ch)
         return x.astype(jnp.float32)

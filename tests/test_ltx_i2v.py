@@ -1,0 +1,70 @@
+"""LTX-Video family + Wan I2V flavour tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.ltxvideo import LTXVideo
+from simpletuner_tpu.models.registry import ModelRegistry
+from simpletuner_tpu.models.wan import Wan
+
+
+def test_ltx_registry_and_forward():
+    cfg = TrainingConfig(
+        {"model_family": "ltxvideo", "model_type": "lora", "model_arch_preset": "tiny",
+         "lora_rank": 4, "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10}
+    )
+    assert ModelRegistry.get("ltxvideo") is LTXVideo
+    model = LTXVideo(cfg)
+    assert model.arch.patch == (1, 1, 1)
+    batch = model.example_batch(batch_size=2, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = jax.jit(lambda v, p: model.model_predict(v, p))(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+
+
+def test_ltx_full_vae_factors():
+    cfg = TrainingConfig(
+        {"model_family": "ltxvideo", "model_type": "lora", "lora_rank": 4,
+         "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10}
+    )
+    vae_cfg = LTXVideo(cfg).video_vae_config()
+    assert vae_cfg.spatial_factor == 32
+    assert vae_cfg.temporal_factor == 8
+    assert vae_cfg.latent_channels == 128
+
+
+def test_wan_i2v_conditioning():
+    cfg = TrainingConfig(
+        {"model_family": "wan", "model_flavour": "i2v-14b-480p", "model_type": "lora",
+         "model_arch_preset": "tiny", "lora_rank": 4, "optimizer": "adamw",
+         "learning_rate": 1e-3, "max_train_steps": 10}
+    )
+    model = Wan(cfg)
+    assert model.is_i2v
+    # tiny arch path keeps tiny dims; check channel math on a custom arch
+    from simpletuner_tpu.models.wan.transformer import WanConfig
+
+    cfg2 = TrainingConfig(
+        {"model_family": "wan", "model_flavour": "i2v-14b-480p", "model_type": "lora",
+         "lora_rank": 4, "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10}
+    )
+    model2 = Wan(cfg2)
+    assert model2.arch.in_channels == 16 * 2 + 4
+    assert model2.latent_channels == 16
+
+    # run the tiny-arch i2v forward with explicit i2v-shaped arch
+    arch = WanConfig(in_channels=4 * 2 + 4, out_channels=4, hidden_size=64, depth=2,
+                     num_heads=2, head_dim=32, text_dim=32, axes_dim=(12, 10, 10))
+    model3 = Wan(cfg, arch=arch)
+    batch = {
+        "latents": jnp.zeros((1, 3, 8, 8, 4), jnp.float32),
+        "text_embeds": jnp.zeros((1, 16, 32), jnp.float32),
+    }
+    variables = model3.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model3.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model3.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
