@@ -86,6 +86,13 @@ def _cmd_optimizers(args, extra: List[str]) -> int:
     return 0
 
 
+def _cmd_configure(args, extra: List[str]) -> int:
+    from .configure import run_wizard
+
+    run_wizard(args.output_dir)
+    return 0
+
+
 def _cmd_server(args, extra: List[str]) -> int:
     from ..server.app import main as server_main
 
@@ -131,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("optimizers", help="list optimizer choices")
     p.set_defaults(fn=_cmd_optimizers)
+
+    p = sub.add_parser("configure", help="interactive config wizard")
+    p.add_argument("--output-dir", default="config")
+    p.set_defaults(fn=_cmd_configure)
 
     p = sub.add_parser("server", help="run the training API server")
     p.add_argument("--host", default="127.0.0.1")

@@ -313,6 +313,20 @@ class Trainer:
         (reference trainer.py:4980,3735,3952,4140,4636)."""
         self._stage("resume_and_prepare")
         self.max_train_steps = int(self.config.get("max_train_steps", 1000) or 0)
+        epochs = int(self.config.get("num_train_epochs", 0) or 0)
+        if not self.max_train_steps and epochs and self.data_plane is not None:
+            # derive total steps from epochs × batches/epoch (reference
+            # --num_train_epochs semantics)
+            per_epoch = sum(
+                bundle.sampler.batches_per_epoch()
+                for bundle in self.data_plane.bundles.values()
+                if bundle.config.dataset_type in ("image", "video", "audio")
+            )
+            self.max_train_steps = max(per_epoch * epochs, 1)
+            logger.info(
+                "num_train_epochs=%d -> max_train_steps=%d (%d batches/epoch)",
+                epochs, self.max_train_steps, per_epoch,
+            )
         self.lr_schedule = get_lr_schedule(self.config, max(self.max_train_steps, 1))
         self.tx = get_optimizer(self.config, self.lr_schedule)
         self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)

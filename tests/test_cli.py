@@ -61,3 +61,26 @@ def test_validate_config_bad(tmp_path, capsys):
     path.write_text(json.dumps({"model_family": "flux", "optimizer": "definitely-not-real",
                                 "learning_rate": 1e-4, "max_train_steps": 10}))
     assert main(["validate-config", "--config", str(path)]) == 1
+
+
+def test_configure_wizard_scripted(tmp_path):
+    from simpletuner_tpu.cli.configure import run_wizard
+    from simpletuner_tpu.configuration import TrainingConfig
+
+    answers = [
+        "flux", "lora", "8", "lokr", "", "512", "2", "100", "1e-4",
+        "adamw", "constant", "10", "y", "int8", "50", "a test prompt", "25",
+        "none", str(tmp_path / "out"), "/data/imgs", "textfile",
+    ]
+    paths = run_wizard(str(tmp_path / "config"), answers=answers)
+    import json as _json
+
+    config = _json.load(open(paths["config"]))
+    assert config["model_family"] == "flux"
+    assert config["lora_rank"] == 8
+    assert config["lycoris_config"] == {"algo": "lokr"}
+    assert config["base_model_precision"] == "int8"
+    dataloader = _json.load(open(paths["dataloader"]))
+    assert dataloader[0]["instance_data_dir"] == "/data/imgs"
+    # produced config passes validation
+    TrainingConfig(config)
