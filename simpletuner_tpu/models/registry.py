@@ -18,6 +18,8 @@ _FAMILIES: Dict[str, tuple] = {
     "wan": ("simpletuner_tpu.models.wan.model", "Wan", {"modality": "video", "prediction": "flow_matching"}),
     "ltxvideo": ("simpletuner_tpu.models.ltxvideo.model", "LTXVideo", {"modality": "video", "prediction": "flow_matching"}),
     "ace_step": ("simpletuner_tpu.models.ace_step.model", "ACEStep", {"modality": "audio", "prediction": "flow_matching"}),
+    "chroma": ("simpletuner_tpu.models.chroma.model", "Chroma", {"modality": "image", "prediction": "flow_matching"}),
+    "kolors": ("simpletuner_tpu.models.kolors.model", "Kolors", {"modality": "image", "prediction": "epsilon"}),
 }
 
 _ALIASES = {

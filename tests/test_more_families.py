@@ -61,3 +61,28 @@ def test_auraflow_is_flow():
     batch = model.example_batch(batch_size=1, resolution=32)
     prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
     assert "sigmas" in prepared
+
+
+@pytest.mark.parametrize("family", ["chroma", "kolors"])
+def test_derived_families_forward(family):
+    model = make_model(family)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+
+
+def test_chroma_has_no_guidance_embed():
+    model = make_model("chroma")
+    assert not model.arch.guidance_embed
+
+
+def test_kolors_chatglm_dims():
+    model = make_model("kolors")
+    embeds = None
+    from simpletuner_tpu.models.text_encoders import load_text_encoders
+
+    model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
+    embeds = model.encode_text(["a kolors prompt"])
+    assert embeds[0]["text_embeds"].shape[-1] == model.arch.cross_attention_dim
