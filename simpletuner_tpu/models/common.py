@@ -222,6 +222,14 @@ class ModelFoundation:
             loss_weight=prepared.get("loss_weight"),
         )
 
+    def model_predict_with_intermediates(self, variables, prepared):
+        """(prediction, intermediates) using the transformers' sow taps.
+        Families whose model_predict is a plain module.apply get this free."""
+        out, mutated = self.module.apply(
+            variables, **self.get_model_inputs(prepared), mutable=["intermediates"]
+        )
+        return out, mutated.get("intermediates", {})
+
     def loss_fn(self, variables, rng: jax.Array, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Single fused prepare→predict→loss, the body of the train step."""
         prepared = self.prepare_batch(rng, batch)
@@ -238,9 +246,19 @@ class ModelFoundation:
                 jax.random.fold_in(rng, 0x55),
                 ScheduledSamplingConfig.from_config(self.config),
             )
-        pred = self.model_predict(variables, prepared)
-        loss = self.compute_loss(pred, prepared)
-        aux = {"timesteps": prepared["timesteps"]}
+        from ..training.repa import RepaConfig, repa_auxiliary_loss
+
+        repa = RepaConfig.from_config(self.config)
+        aux: Dict[str, jax.Array] = {}
+        if repa.enabled:
+            pred, intermediates = self.model_predict_with_intermediates(variables, prepared)
+            repa_loss, repa_logs = repa_auxiliary_loss(repa, intermediates, prepared)
+            loss = self.compute_loss(pred, prepared) + repa_loss
+            aux.update(repa_logs)
+        else:
+            pred = self.model_predict(variables, prepared)
+            loss = self.compute_loss(pred, prepared)
+        aux["timesteps"] = prepared["timesteps"]
         return loss, aux
 
     # ---- inference ----------------------------------------------------------------------------

@@ -205,6 +205,15 @@ class Flux(ModelFoundation):
             tokens = tokens[:, :noisy_tokens]  # drop the reference-image tokens
         return unpack_latents(tokens, height, width)
 
+    def model_predict_with_intermediates(self, variables, prepared):
+        inputs = self.get_model_inputs(prepared)
+        main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
+        tokens, mutated = self.module.apply(main_vars, **inputs, mutable=["intermediates"])
+        height, width = prepared["noisy_latents"].shape[1:3]
+        if self.is_kontext and "control_latents" in prepared:
+            tokens = tokens[:, : (height // 2) * (width // 2)]
+        return unpack_latents(tokens, height, width), mutated.get("intermediates", {})
+
     # ---- host-side text encoding ---------------------------------------------------------
     def encode_text(self, prompts):
         """CLIP-L pooled + T5 sequence embeds, one dict per prompt (cache payload)."""

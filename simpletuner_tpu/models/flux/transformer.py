@@ -260,6 +260,9 @@ class FluxTransformer(nn.Module):
             img_tok, txt_tok = double_cls(
                 cfg, name=f"double_{layer}", **common, **lora
             )(img_tok, txt_tok, cond, rope, segment_ids)
+            # hidden-state tap (CREPA/LayerSync plumbing; no-op unless the
+            # caller requests mutable=['intermediates'])
+            self.sow("intermediates", f"double_{layer}_hidden", img_tok)
             if controlnet_double_residuals is not None:
                 # interval-spread residuals (diffusers-style: controlnet depth may
                 # be shallower than the host transformer)
@@ -304,6 +307,8 @@ class FluxTransformer(nn.Module):
             stream = single_cls(
                 cfg, name=f"single_{layer}", **common, **lora
             )(stream, cond, (cos, sin), None if saved is not None else segment_ids)
+            if saved is None:
+                self.sow("intermediates", f"single_{layer}_hidden", stream[:, txt_len:])
             if controlnet_single_residuals is not None and saved is None:
                 n_res = len(controlnet_single_residuals)
                 residual = controlnet_single_residuals[layer * n_res // cfg.depth_single]

@@ -180,6 +180,7 @@ class WanTransformer(nn.Module):
         block_cls = nn.remat(WanBlock) if self.remat else WanBlock
         for layer in range(cfg.depth):
             x = block_cls(cfg, name=f"block_{layer}", **common, **lora)(x, txt, e6, rope)
+            self.sow("intermediates", f"block_{layer}_hidden", x)
 
         # final head: scale_shift_table (2, dim) + temb (diffusers wan norm_out)
         final_table = self.param(

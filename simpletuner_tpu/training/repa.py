@@ -1,0 +1,103 @@
+"""Representation-alignment auxiliary losses over hidden-state taps.
+
+Reference: helpers/training/crepa.py (CREPA cross-frame alignment with a
+DINOv2 teacher via cached features) + the LayerSync hidden-state regularizer
+(SURVEY.md §2.2); hidden states reach the loss through the transformers'
+``sow("intermediates", ...)`` taps.
+
+* **LayerSync**: teacher-free — early-layer hidden states align to a
+  stop-gradient later layer (self-distillation through depth).
+* **CREPA**: hidden states at one layer align to externally-cached teacher
+  features supplied in the batch (``teacher_embeds``, from a
+  conditioning_image_embeds dataset).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RepaConfig:
+    layersync_gamma: float = 0.0  # weight of the LayerSync loss; 0 = off
+    layersync_source_layer: int = 2
+    layersync_target_layer: int = -1
+    crepa_weight: float = 0.0  # weight of CREPA alignment; 0 = off
+    crepa_layer: int = 8
+
+    @classmethod
+    def from_config(cls, config: Any) -> "RepaConfig":
+        return cls(
+            layersync_gamma=float(config.get("layersync_gamma", 0.0) or 0.0),
+            layersync_source_layer=int(config.get("layersync_source_layer", 2) or 2),
+            layersync_target_layer=int(config.get("layersync_target_layer", -1) or -1),
+            crepa_weight=float(config.get("crepa_weight", 0.0) or 0.0),
+            crepa_layer=int(config.get("crepa_layer", 8) or 8),
+        )
+
+    @property
+    def enabled(self) -> bool:
+        return self.layersync_gamma > 0 or self.crepa_weight > 0
+
+
+def _flat_hiddens(intermediates: Dict[str, Any]):
+    """Ordered [(name, (B, S, D) array)] from the sown intermediates tree."""
+    out = []
+    for name, value in intermediates.items():
+        while isinstance(value, (tuple, list)):
+            value = value[0]
+        if isinstance(value, dict):
+            continue
+        out.append((name, value))
+    return out
+
+
+def _cosine_align(source: jax.Array, target: jax.Array) -> jax.Array:
+    s = source.astype(jnp.float32)
+    t = jax.lax.stop_gradient(target.astype(jnp.float32))
+    s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-6)
+    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-6)
+    return jnp.mean(1.0 - jnp.sum(s * t, axis=-1))
+
+
+def repa_auxiliary_loss(
+    repa: RepaConfig,
+    intermediates: Dict[str, Any],
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    hiddens = _flat_hiddens(intermediates)
+    total = jnp.zeros([], jnp.float32)
+    logs: Dict[str, jax.Array] = {}
+    if not hiddens:
+        return total, logs
+
+    if repa.layersync_gamma > 0 and len(hiddens) >= 2:
+        src = hiddens[repa.layersync_source_layer % len(hiddens)][1]
+        dst = hiddens[repa.layersync_target_layer % len(hiddens)][1]
+        value = _cosine_align(src, dst)
+        total = total + repa.layersync_gamma * value
+        logs["layersync_loss"] = value
+
+    if repa.crepa_weight > 0 and "teacher_embeds" in batch:
+        layer = hiddens[repa.crepa_layer % len(hiddens)][1]
+        teacher = batch["teacher_embeds"]  # (B, S, D_t) — pooled per token group
+        # project hidden to teacher width by mean pooling the channel groups
+        d_h, d_t = layer.shape[-1], teacher.shape[-1]
+        if d_h != d_t:
+            if d_h % d_t == 0:
+                layer = layer.reshape(*layer.shape[:-1], d_t, d_h // d_t).mean(-1)
+            else:
+                layer = layer[..., :d_t]
+        if layer.shape[1] != teacher.shape[1]:
+            ratio = max(layer.shape[1] // teacher.shape[1], 1)
+            layer = layer[:, : teacher.shape[1] * ratio].reshape(
+                layer.shape[0], teacher.shape[1], ratio, -1
+            ).mean(2)
+        value = _cosine_align(layer, teacher)
+        total = total + repa.crepa_weight * value
+        logs["crepa_loss"] = value
+    return total, logs
