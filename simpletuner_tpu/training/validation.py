@@ -89,9 +89,20 @@ class Validation:
             return
         try:
             self._embeds = self.model.encode_text(self.prompts)
+            # negative embeds for CFG (reference: validation negative embeds
+            # cached up front, text_embeds.py:323-349)
+            if self._wants_cfg():
+                negative = str(getattr(self.config, "validation_negative_prompt", "") or "")
+                self._negative_embeds = self.model.encode_text([negative])[0]
         except Exception as exc:
             logger.warning("validation embed precompute failed (%s); disabling validation", exc)
             self.disabled = True
+
+    def _wants_cfg(self) -> bool:
+        """True CFG (two forward passes) for families without guidance embeds."""
+        guidance = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
+        has_guidance_embed = bool(getattr(getattr(self.model, "arch", None), "guidance_embed", False))
+        return guidance > 1.0 and not has_guidance_embed
 
     # ---- scheduling ------------------------------------------------------------------------
     def would_validate(self, step: int, force: bool = False) -> bool:
@@ -166,12 +177,32 @@ class Validation:
                 batch[key] = jnp.asarray(value)[None]
         cond = self.model.inference_conditioning(batch)
 
+        uncond = None
+        if self._wants_cfg() and getattr(self, "_negative_embeds", None) is not None:
+            neg_batch = {"latents": batch["latents"]}
+            for key, value in self._negative_embeds.items():
+                if hasattr(value, "shape"):
+                    neg_batch[key] = jnp.asarray(value)[None]
+            uncond = self.model.inference_conditioning(neg_batch)
+        guidance_scale = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
+
         if self._sample_jit is None:
             model = self.model
             decode = self.decode_fn
 
-            def sample(variables, cond, noise):
-                denoise = model.denoise_fn(variables, cond)
+            def sample(variables, cond, uncond, noise):
+                if uncond is not None:
+                    from ..schedulers import classifier_free_guidance
+
+                    cond_fn = model.denoise_fn(variables, cond)
+                    uncond_fn = model.denoise_fn(variables, uncond)
+
+                    def denoise(latents, t):
+                        return classifier_free_guidance(
+                            cond_fn(latents, t), uncond_fn(latents, t), guidance_scale
+                        )
+                else:
+                    denoise = model.denoise_fn(variables, cond)
                 latents = sample_loop(scheduler, denoise, noise)
                 if decode is not None:
                     scaling = model.VAE_SCALING_FACTOR or 1.0
@@ -184,7 +215,7 @@ class Validation:
         noise = jax.random.normal(
             jax.random.fold_in(jax.random.PRNGKey(self.seed), index), latent_shape, jnp.float32
         )
-        out = np.asarray(self._sample_jit(variables, cond, noise))[0]
+        out = np.asarray(self._sample_jit(variables, cond, uncond, noise))[0]
         if self.decode_fn is not None and getattr(self.model, "MODALITY", "image") != "audio":
             out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
         return out

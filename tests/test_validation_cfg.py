@@ -1,0 +1,56 @@
+"""Validation CFG: negative-prompt guidance for non-guidance-embed families."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.sd1x.model import SD1x
+from simpletuner_tpu.models.text_encoders import load_text_encoders
+from simpletuner_tpu.training.validation import Validation
+
+
+def test_cfg_render(tmp_path):
+    cfg = TrainingConfig(
+        {
+            "model_family": "sd1x",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            "validation_prompt": "a cat",
+            "validation_negative_prompt": "blurry",
+            "validation_guidance": 5.0,
+            "validation_num_inference_steps": 2,
+            "validation_resolution": 64,
+        }
+    )
+    model = SD1x(cfg)
+    model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
+    validation = Validation(model, cfg, output_dir=str(tmp_path))
+    assert validation._wants_cfg()
+    validation.precompute_embeds()
+    assert validation._negative_embeds is not None
+
+    batch = model.example_batch(batch_size=1, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    paths = validation.run_validations(variables, step=1, force=True)
+    assert paths and os.path.exists(paths[0])
+
+
+def test_flux_guidance_embed_skips_cfg():
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+
+    cfg = TrainingConfig(
+        {"model_family": "flux", "model_type": "lora", "lora_rank": 4,
+         "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10,
+         "validation_prompt": "x", "validation_guidance": 5.0}
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    validation = Validation(model, cfg)
+    assert not validation._wants_cfg()  # distilled guidance embed, no CFG
