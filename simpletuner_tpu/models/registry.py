@@ -20,6 +20,7 @@ _FAMILIES: Dict[str, tuple] = {
     "ace_step": ("simpletuner_tpu.models.ace_step.model", "ACEStep", {"modality": "audio", "prediction": "flow_matching"}),
     "chroma": ("simpletuner_tpu.models.chroma.model", "Chroma", {"modality": "image", "prediction": "flow_matching"}),
     "kolors": ("simpletuner_tpu.models.kolors.model", "Kolors", {"modality": "image", "prediction": "epsilon"}),
+    "hunyuanvideo": ("simpletuner_tpu.models.hunyuanvideo.model", "HunyuanVideo", {"modality": "video", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {

@@ -68,3 +68,29 @@ def test_wan_i2v_conditioning():
     prepared = model3.prepare_batch(jax.random.PRNGKey(1), batch)
     pred = model3.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
+
+
+def test_hunyuanvideo_forward_and_step():
+    from simpletuner_tpu.models.hunyuanvideo import HunyuanVideo
+    from simpletuner_tpu.training.optimizers import get_optimizer
+    from simpletuner_tpu.training.schedules import get_lr_schedule
+    from simpletuner_tpu.training.train_state import build_train_step, create_train_state
+
+    cfg = TrainingConfig(
+        {"model_family": "hunyuanvideo", "model_type": "lora", "model_arch_preset": "tiny",
+         "lora_rank": 4, "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10}
+    )
+    assert ModelRegistry.get("hunyuanvideo") is HunyuanVideo
+    model = HunyuanVideo(cfg)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = jax.jit(lambda v, p: model.model_predict(v, p))(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+
+    schedule = get_lr_schedule(cfg, 10)
+    tx = get_optimizer(cfg, schedule)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(build_train_step(model, tx, schedule), donate_argnums=(0,))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
