@@ -96,6 +96,18 @@ def build_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(trainable, micro_batch, micro_rng):
+            # slider LoRA: ± adapter polarity per batch (reference
+            # trainer.py:6584-6603 slider strength alternation); LoRA output is
+            # linear in B, so scaling lora_B flips/scales the whole adapter
+            if "slider_scale" in micro_batch and "lora" in trainable:
+                scale = micro_batch["slider_scale"]
+                trainable = dict(trainable)
+                trainable["lora"] = jax.tree_util.tree_map_with_path(
+                    lambda p, leaf: leaf * scale
+                    if any("lora_B" in str(k) or "lokr_w2" in str(k) for k in p)
+                    else leaf,
+                    trainable["lora"],
+                )
             variables = {**dequantize_params(state.frozen), **trainable}
             if distiller is None:
                 loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
@@ -184,14 +196,12 @@ def jit_train_step(step_fn: Callable, mesh, state: TrainState, grad_accum_steps:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     s_shard = state_shardings(mesh, state)
-    if grad_accum_steps > 1:
-        b_shard = NamedSharding(mesh, P(None, ("data", "fsdp")))
-    else:
-        b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
+    # batch shardings are committed by the caller's device_put (batch dim over
+    # data×fsdp, scalars replicated) — None lets jit adopt them per-leaf
     return jax.jit(
         step_fn,
-        in_shardings=(s_shard, b_shard, r_shard),
+        in_shardings=(s_shard, None, r_shard),
         out_shardings=(s_shard, r_shard),
         donate_argnums=(0,),
     )

@@ -226,6 +226,16 @@ class Trainer:
             webhook_handler=self.webhook_handler,
         )
         self.validation.precompute_embeds()
+        # slider LoRA prompt pair (reference trainer.py:6584 slider training):
+        # encoded now while the text encoders are alive
+        self._slider_embeds = None
+        if self.config.get("slider_positive_prompt") and self.config.get("slider_negative_prompt"):
+            pos = self.model.encode_text([str(self.config.get("slider_positive_prompt"))])
+            neg = self.model.encode_text([str(self.config.get("slider_negative_prompt"))])
+            self._slider_embeds = (
+                self.model.collate_text_embeds(pos),
+                self.model.collate_text_embeds(neg),
+            )
         from .evaluation import EvalLoss
 
         self.eval_loss = EvalLoss(
@@ -420,6 +430,11 @@ class Trainer:
         for key, value in raw.items():
             if not isinstance(value, np.ndarray) or value.dtype.kind not in "fiub":
                 continue
+            if value.ndim == 0:  # scalars (e.g. slider_scale) replicate
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                out[key] = jax.device_put(jnp.asarray(value), NamedSharding(self.mesh, P()))
+                continue
             if self.grad_accum_steps > 1:
                 accum = self.grad_accum_steps
                 if value.shape[0] % accum:
@@ -448,6 +463,8 @@ class Trainer:
             while self.global_step < self.max_train_steps and not self.should_abort:
                 raw = self.data_plane.iterator.next_batch(step=self.global_step)
                 self.epoch = self.data_plane.iterator.epoch
+                if getattr(self, "_slider_embeds", None) is not None:
+                    raw = self._apply_slider_polarity(raw)
                 batch = self._device_batch(raw)
                 step_rng = jax.random.fold_in(train_rng, self.global_step)
                 self._state, metrics = self._step_fn(self._state, batch, step_rng)
@@ -545,6 +562,17 @@ class Trainer:
             for tracker in self.trackers:
                 tracker.finish()
             self.webhook_handler.flush()
+
+    def _apply_slider_polarity(self, raw: Dict[str, Any]) -> Dict[str, Any]:
+        """Alternate ± adapter polarity with the matching prompt embeds."""
+        positive = self.global_step % 2 == 0
+        embeds = self._slider_embeds[0 if positive else 1]
+        batch_size = raw["latents"].shape[0]
+        out = dict(raw)
+        for key, value in embeds.items():
+            out[key] = np.broadcast_to(value, (batch_size,) + value.shape[1:]).copy()
+        out["slider_scale"] = np.asarray(1.0 if positive else -1.0, np.float32)
+        return out
 
     def _consume_signals(self) -> None:
         """Manual validation/checkpoint/abort triggers from a signal file
