@@ -116,6 +116,12 @@ class Trainer:
     def init_seed(self) -> None:
         self.seed = int(self.config.get("seed", 42) or 42)
         self.rng = jax.random.PRNGKey(self.seed)
+        cache_dir = self.config.get("compile_cache_dir")
+        if cache_dir:
+            # persistent XLA compile cache: warm restarts skip the ~minutes-long
+            # first compile (reference analogue: torch.compile cache warmup)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     def init_preprocessing_models(self) -> None:
         """Load text encoders + VAE for the caching passes."""
@@ -212,6 +218,10 @@ class Trainer:
             num_processes=num_processes,
             global_batch_size=self.global_batch_size,
         )
+        from ..data.bucket_report import data_plane_report, format_report
+
+        for report in data_plane_report(self.data_plane):
+            logger.info("\n%s", format_report(report))
         self._stage("init_data_backend", "completed")
 
     def init_validations(self) -> None:
@@ -375,6 +385,21 @@ class Trainer:
                 self.data_plane.load_state(extra["data_plane"])
             logger.info("resumed from %s at step %d", resume, self.global_step)
         self._stage("resume_and_prepare", "completed")
+
+    def init_benchmark_base_model(self) -> None:
+        """Render base-model images for before/after stitching (reference
+        trainer.py:4434 init_benchmark_base_model)."""
+        if (
+            self.validation is None
+            or self.validation.disabled
+            or self.config.get("disable_benchmark")
+            or self.model.lora_rank <= 0
+        ):
+            return
+        base_vars = dict(self._state.variables())
+        if "lora" in base_vars:
+            base_vars["lora"] = jax.tree_util.tree_map(jnp.zeros_like, base_vars["lora"])
+        self.validation.run_benchmark(base_vars)
 
     def init_trackers(self) -> None:
         self.trackers = build_trackers(self.config, self.output_dir)
@@ -608,6 +633,7 @@ class Trainer:
         self.init_ema_model()
         self.init_distillation()
         self.resume_and_prepare()
+        self.init_benchmark_base_model()
         self.init_trackers()
         self.init_huggingface_hub()
         self.train()

@@ -112,6 +112,23 @@ class Validation:
             return True
         return bool(self.interval) and step > 0 and step % int(self.interval) == 0
 
+    # ---- benchmark (base-model renders for stitching; reference
+    # init_benchmark_base_model + stitching at validation.py:2219) ---------------------------
+    def run_benchmark(self, base_variables) -> None:
+        if self.disabled or getattr(self.model, "MODALITY", "image") != "image":
+            return
+        self._benchmark_images = []
+        for index, embeds in enumerate(self._embeds):
+            image = self._render(base_variables, embeds, index)
+            path = os.path.join(self.output_dir, "benchmark", f"base_{index}.png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            self._save_png(image, path)
+            self._benchmark_images.append(image)
+
+    def _stitch(self, base: np.ndarray, current: np.ndarray) -> np.ndarray:
+        height = min(base.shape[0], current.shape[0])
+        return np.concatenate([base[:height], current[:height]], axis=1)
+
     # ---- run -------------------------------------------------------------------------------
     def _latent_shape(self, batch_size: int):
         channels = self.model.latent_channels
@@ -153,6 +170,15 @@ class Validation:
                 image = image[image.shape[0] // 2]  # middle frame for trackers
             else:
                 self._save_png(image, filename)
+                benchmarks = getattr(self, "_benchmark_images", None)
+                if benchmarks and index < len(benchmarks):
+                    stitched = self._stitch(benchmarks[index], image)
+                    self._save_png(
+                        stitched,
+                        os.path.join(
+                            self.output_dir, "validation", f"step_{step}_{index}_vs_base.png"
+                        ),
+                    )
             paths.append(filename)
             images.append(image)
             if self.webhook_handler is not None:

@@ -246,3 +246,13 @@ def test_dataplane_state_roundtrip(tiny_pipeline):
     state = plane.save_state()
     encoded = json.dumps(state)
     plane.load_state(json.loads(encoded))
+
+
+def test_bucket_report(tiny_pipeline):
+    from simpletuner_tpu.data.bucket_report import data_plane_report, format_report
+
+    args, model, plane = tiny_pipeline
+    reports = data_plane_report(plane)
+    assert reports and reports[0]["total_samples"] > 0
+    text = format_report(reports[0])
+    assert "dataset images" in text and "%" in text
