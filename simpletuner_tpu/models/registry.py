@@ -21,6 +21,9 @@ _FAMILIES: Dict[str, tuple] = {
     "chroma": ("simpletuner_tpu.models.chroma.model", "Chroma", {"modality": "image", "prediction": "flow_matching"}),
     "kolors": ("simpletuner_tpu.models.kolors.model", "Kolors", {"modality": "image", "prediction": "epsilon"}),
     "hunyuanvideo": ("simpletuner_tpu.models.hunyuanvideo.model", "HunyuanVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "flux2": ("simpletuner_tpu.models.flux2.model", "Flux2", {"modality": "image", "prediction": "flow_matching"}),
+    "lumina2": ("simpletuner_tpu.models.lumina2.model", "Lumina2", {"modality": "image", "prediction": "flow_matching"}),
+    "sana": ("simpletuner_tpu.models.sana.model", "Sana", {"modality": "image", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {

@@ -86,3 +86,29 @@ def test_kolors_chatglm_dims():
     model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
     embeds = model.encode_text(["a kolors prompt"])
     assert embeds[0]["text_embeds"].shape[-1] == model.arch.cross_attention_dim
+
+
+@pytest.mark.parametrize("family", ["flux2", "lumina2", "sana"])
+def test_new_wave_families(family):
+    model = make_model(family)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+    assert "sigmas" in prepared  # all three are flow families
+
+
+def test_sana_linear_attention_math():
+    import jax.numpy as jnp
+
+    from simpletuner_tpu.models.sana.model import relu_linear_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 2, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 2, 8))
+    out = relu_linear_attention(q, k, v)
+    assert out.shape == (1, 6, 2, 8)
+    # mixes tokens: perturbing token 5 changes token 0's output
+    out2 = relu_linear_attention(q, k.at[:, 5].add(2.0), v.at[:, 5].add(2.0))
+    assert float(jnp.abs(out[:, 0] - out2[:, 0]).max()) > 1e-6
