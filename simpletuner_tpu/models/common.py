@@ -60,6 +60,7 @@ class ModelFoundation:
     PREDICTION_TYPE: PredictionType = "flow_matching"
     MODEL_TYPE: str = "transformer"  # transformer | unet
     MODALITY: str = "image"  # image | video | audio
+    REQUIRES_VAE: bool = True  # False = pixel-space family (e.g. DeepFloyd)
     LATENT_CHANNEL_COUNT: int = 4
     DEFAULT_RESOLUTION: int = 1024
     HUGGINGFACE_PATHS: Dict[str, str] = {}

@@ -24,6 +24,7 @@ _FAMILIES: Dict[str, tuple] = {
     "flux2": ("simpletuner_tpu.models.flux2.model", "Flux2", {"modality": "image", "prediction": "flow_matching"}),
     "lumina2": ("simpletuner_tpu.models.lumina2.model", "Lumina2", {"modality": "image", "prediction": "flow_matching"}),
     "sana": ("simpletuner_tpu.models.sana.model", "Sana", {"modality": "image", "prediction": "flow_matching"}),
+    "deepfloyd": ("simpletuner_tpu.models.deepfloyd.model", "DeepFloyd", {"modality": "image", "prediction": "epsilon"}),
 }
 
 _ALIASES = {

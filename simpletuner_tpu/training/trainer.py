@@ -140,6 +140,12 @@ class Trainer:
         self._stage("init_preprocessing_models", "completed")
 
     def _init_vae(self, tiny: bool) -> None:
+        if not getattr(self.model, "REQUIRES_VAE", True):
+            # pixel-space family (reference deepfloyd — no VAE): the "latent"
+            # cache stores normalized pixels directly
+            self.vae = None
+            self.vae_params = None
+            return
         if getattr(self.model, "MODALITY", "image") == "audio":
             from ..models.audio_vae import AudioAutoencoderKL
 
@@ -182,6 +188,8 @@ class Trainer:
             )
 
     def _vae_encode_fn(self):
+        if not getattr(self.model, "REQUIRES_VAE", True):
+            return lambda images, count: np.asarray(images, np.float32)  # pixel space
         if self.vae is None:
             return None
         vae, params = self.vae, self.vae_params

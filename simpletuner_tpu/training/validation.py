@@ -144,7 +144,8 @@ class Validation:
             frames = int(getattr(self.config, "validation_num_video_frames", 9) or 9)
             latent_frames = (frames - 1) // vae_cfg.temporal_factor + 1
             return (batch_size, latent_frames, size, size, channels)
-        size = self.resolution // 8
+        factor = 8 if getattr(self.model, "REQUIRES_VAE", True) else 1
+        size = self.resolution // factor
         return (batch_size, size, size, channels)
 
     def run_validations(self, variables, step: int, force: bool = False) -> List[str]:

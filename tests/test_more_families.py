@@ -112,3 +112,14 @@ def test_sana_linear_attention_math():
     # mixes tokens: perturbing token 5 changes token 0's output
     out2 = relu_linear_attention(q, k.at[:, 5].add(2.0), v.at[:, 5].add(2.0))
     assert float(jnp.abs(out[:, 0] - out2[:, 0]).max()) > 1e-6
+
+
+def test_deepfloyd_pixel_space():
+    model = make_model("deepfloyd")
+    assert not model.REQUIRES_VAE
+    batch = model.example_batch(batch_size=1, resolution=32)
+    assert batch["latents"].shape == (1, 32, 32, 3)  # pixels, not latents
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
