@@ -37,9 +37,6 @@ class ContextParallelConfig:
     def __post_init__(self):
         if self.strategy not in ("allgather", "alltoall", "ring", "ulysses"):
             raise ValueError(f"unknown CP strategy {self.strategy!r}")
-        # reference names: ring -> allgather path, ulysses -> alltoall
-        if self.strategy == "ring":
-            self.strategy = "allgather"
         if self.strategy == "ulysses":
             self.strategy = "alltoall"
 
@@ -81,6 +78,65 @@ def alltoall_attention(
     return gather_heads(out)
 
 
+def ring_attention(
+    q: jax.Array,  # (B, S_local, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    inner_fn: Callable = None,  # unused: ring computes its own blockwise math
+) -> jax.Array:
+    """True ring attention: KV shards rotate around the ICI ring via
+    ``ppermute`` while each step's partial attention merges online-softmax
+    style — comm overlaps compute under XLA's scheduler and no rank ever holds
+    the full KV.  Expressed as ``lax.scan`` so reverse-mode AD works.
+    """
+    size = jax.lax.axis_size(axis_name)
+    index = jax.lax.axis_index(axis_name)
+    del index  # masking-free (full bidirectional attention)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    q_f = q.astype(jnp.float32) * scale
+
+    def partial_attention(k_blk, v_blk):
+        # (B, S, H, Sk) logits; returns unnormalized acc + (m, l) statistics
+        logits = jnp.einsum("bshd,bthd->bhst", q_f, k_blk.astype(jnp.float32))
+        m = jnp.max(logits, axis=-1)  # (B, H, S)
+        p = jnp.exp(logits - m[..., None])
+        l = jnp.sum(p, axis=-1)  # (B, H, S)
+        acc = jnp.einsum("bhst,bthd->bshd", p, v_blk.astype(jnp.float32))
+        return acc, m, l
+
+    perm = [(i, (i + 1) % size) for i in range(size)]
+
+    def step(carry, _):
+        acc, m_run, l_run, k_cur, v_cur = carry
+        acc_new, m_new, l_new = partial_attention(k_cur, v_cur)
+        m_tot = jnp.maximum(m_run, m_new)
+        w_old = jnp.exp(m_run - m_tot)
+        w_new = jnp.exp(m_new - m_tot)
+        # acc carries (B, S, H, D); stats are (B, H, S) -> move to (B, S, H, 1)
+        w_old_b = jnp.transpose(w_old, (0, 2, 1))[..., None]
+        w_new_b = jnp.transpose(w_new, (0, 2, 1))[..., None]
+        acc = acc * w_old_b + acc_new * w_new_b
+        l_run = l_run * w_old + l_new * w_new
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (acc, m_tot, l_run, k_next, v_next), None
+
+    # derive the init carry from q so every component is "varying" over the
+    # manual mesh axes (a plain jnp.zeros constant would mismatch the outputs)
+    zeros_stat = jnp.transpose(jnp.sum(q_f, axis=-1) * 0.0, (0, 2, 1))  # (B, H, S)
+    init = (
+        q_f * 0.0,
+        zeros_stat - jnp.inf,
+        zeros_stat,
+        k,
+        v,
+    )
+    (acc, _m, l, _k, _v), _ = jax.lax.scan(step, init, None, length=size)
+    l_b = jnp.transpose(l, (0, 2, 1))[..., None]
+    return (acc / jnp.maximum(l_b, 1e-30)).astype(q.dtype)
+
+
 def context_parallel_attention(
     q: jax.Array,  # global (B, S, H, D) inside jit
     k: jax.Array,
@@ -93,7 +149,11 @@ def context_parallel_attention(
     from jax import shard_map
 
     spec = P((DATA_AXIS, FSDP_AXIS), CONTEXT_AXIS, None, None)
-    strategy = allgather_attention if config.strategy == "allgather" else alltoall_attention
+    strategy = {
+        "allgather": allgather_attention,
+        "alltoall": alltoall_attention,
+        "ring": ring_attention,
+    }[config.strategy]
 
     def local(q_l, k_l, v_l):
         return strategy(q_l, k_l, v_l, config.axis_name, inner_fn)

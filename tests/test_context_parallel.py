@@ -32,7 +32,7 @@ def cp_mesh():
     return build_mesh(MeshConfig(fsdp_size=1, context_size=4))
 
 
-@pytest.mark.parametrize("strategy", ["allgather", "alltoall"])
+@pytest.mark.parametrize("strategy", ["allgather", "alltoall", "ring"])
 def test_cp_matches_single_device(qkv, cp_mesh, strategy):
     q, k, v = qkv
     reference = dot_product_attention(q, k, v)
@@ -45,7 +45,7 @@ def test_cp_matches_single_device(qkv, cp_mesh, strategy):
     np.testing.assert_allclose(np.asarray(out), np.asarray(reference), atol=2e-5)
 
 
-@pytest.mark.parametrize("strategy", ["allgather", "alltoall"])
+@pytest.mark.parametrize("strategy", ["allgather", "alltoall", "ring"])
 def test_cp_gradients_match(qkv, cp_mesh, strategy):
     q, k, v = qkv
 
@@ -76,9 +76,9 @@ def test_cp_skipped_for_cross_attention(qkv, cp_mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(reference), atol=1e-6)
 
 
-def test_ring_alias_maps_to_allgather(cp_mesh):
+def test_strategy_aliases(cp_mesh):
     config = ContextParallelConfig(mesh=cp_mesh, strategy="ring")
-    assert config.strategy == "allgather"
+    assert config.strategy == "ring"  # true ppermute ring
     config = ContextParallelConfig(mesh=cp_mesh, strategy="ulysses")
     assert config.strategy == "alltoall"
 
