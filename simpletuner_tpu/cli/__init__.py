@@ -99,6 +99,55 @@ def _cmd_server(args, extra: List[str]) -> int:
     return server_main(["--host", args.host, "--port", str(args.port)])
 
 
+def _cmd_jobs(args, extra: List[str]) -> int:
+    """Jobs client against the training API server (reference cli jobs
+    subcommands: list/submit/cancel/logs)."""
+    import urllib.request
+
+    def request(method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            args.server + path, data=data, method=method,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        with urllib.request.urlopen(req, timeout=30) as response:
+            return json.loads(response.read() or b"null")
+
+    if args.action == "list":
+        for job in request("GET", "/api/training/jobs"):
+            print(f"{job['job_id']:14s} {job['state']:10s} rc={job['return_code']}")
+        return 0
+    if args.action == "submit":
+        if not args.config:
+            print("submit requires --config", file=sys.stderr)
+            return 2
+        config = json.load(open(args.config))
+        job = request("POST", "/api/training/start", {"config": config})
+        print(job["job_id"])
+        return 0
+    if not args.job_id:
+        print(f"{args.action} requires a job id", file=sys.stderr)
+        return 2
+    if args.action == "status":
+        print(json.dumps(request("GET", f"/api/training/status/{args.job_id}"), indent=2))
+    elif args.action == "logs":
+        for line in request("GET", f"/api/training/logs/{args.job_id}?tail={args.tail}")["logs"]:
+            print(line)
+    elif args.action == "cancel":
+        print(request("POST", f"/api/training/cancel/{args.job_id}"))
+    elif args.action == "signal":
+        print(request("POST", f"/api/training/signal/{args.job_id}", {"action": args.signal_action}))
+    return 0
+
+
+def _cmd_docs(args, extra: List[str]) -> int:
+    from ..configuration.doc_generator import write_options_doc
+
+    path = write_options_doc(args.output)
+    print(f"wrote {path}")
+    return 0
+
+
 def _cmd_version(args, extra: List[str]) -> int:
     from .. import __version__
 
@@ -147,6 +196,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8005)
     p.set_defaults(fn=_cmd_server)
+
+    p = sub.add_parser("jobs", help="manage jobs on a training API server")
+    p.add_argument("action", choices=["list", "submit", "status", "logs", "cancel", "signal"])
+    p.add_argument("job_id", nargs="?", default=None)
+    p.add_argument("--server", default="http://127.0.0.1:8005")
+    p.add_argument("--config", default=None, help="config path for submit")
+    p.add_argument("--signal-action", default="checkpoint", choices=["validation", "checkpoint", "abort"])
+    p.add_argument("--tail", type=int, default=50)
+    p.set_defaults(fn=_cmd_jobs)
+
+    p = sub.add_parser("docs", help="generate OPTIONS.md from the field registry")
+    p.add_argument("--output", default="OPTIONS.md")
+    p.set_defaults(fn=_cmd_docs)
 
     p = sub.add_parser("version", help="print version")
     p.set_defaults(fn=_cmd_version)

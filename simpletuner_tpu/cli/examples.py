@@ -122,6 +122,45 @@ EXAMPLES: Dict[str, Dict[str, Any]] = {
 }
 
 
+def _family_example(family: str, meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Baseline LoRA recipe for a family (reference: one examples/ dir per
+    family with a runnable config)."""
+    modality = meta.get("modality", "image")
+    resolution = {"image": 1024, "video": 480, "audio": 0}[modality]
+    config: Dict[str, Any] = {
+        "model_family": family,
+        "model_type": "lora",
+        "lora_rank": 16,
+        "train_batch_size": 1,
+        "max_train_steps": 5000,
+        "optimizer": "adamw_bf16",
+        "learning_rate": 1e-4,
+        "lr_scheduler": "constant_with_warmup",
+        "lr_warmup_steps": 100,
+        "gradient_checkpointing": True,
+        "checkpointing_steps": 500,
+        "report_to": "tensorboard",
+        "data_backend_config": "config/multidatabackend.json",
+        "output_dir": f"output/{family}-lora",
+    }
+    if resolution:
+        config["resolution"] = resolution
+        config["resolution_type"] = "pixel_area"
+    return {"description": f"{family} rank-16 LoRA baseline ({modality})", "config": config}
+
+
+def _register_family_examples() -> None:
+    from ..models.registry import ModelRegistry
+
+    for family in ModelRegistry.families():
+        key = f"{family}.lora"
+        if key not in EXAMPLES and not any(n.startswith(family + ".") for n in EXAMPLES):
+            EXAMPLES[key] = _family_example(family, ModelRegistry.metadata(family))
+
+
+_register_family_examples()
+
+
 def write_example(name: str, output_dir: str) -> str:
     if name not in EXAMPLES:
         raise SystemExit(f"unknown example {name!r}; run `simpletuner-tpu examples` to list")

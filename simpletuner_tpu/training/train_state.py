@@ -29,8 +29,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
     ema: Optional[Dict[str, Any]] = None
 
-    def variables(self) -> Dict[str, Any]:
-        return {**dequantize_params(self.frozen), **self.trainable}
+    def variables(self, use_ema: bool = False) -> Dict[str, Any]:
+        trainable = self.ema if (use_ema and self.ema is not None) else self.trainable
+        return {**dequantize_params(self.frozen), **trainable}
 
 
 def create_train_state(

@@ -555,7 +555,10 @@ class Trainer:
                             tracker.log({"eval_loss": value}, self.global_step)
 
                 if self.validation is not None and self.validation.would_validate(self.global_step):
-                    self.validation.run_validations(self._state.variables(), self.global_step)
+                    use_ema = bool(self.config.get("use_ema_for_validation")) and self._state.ema is not None
+                    self.validation.run_validations(
+                        self._state.variables(use_ema=use_ema), self.global_step
+                    )
 
                 self._consume_signals()
 
