@@ -152,10 +152,12 @@ def _validate(configs: Sequence[DatasetConfig]) -> None:
         if config.type == "local" and config.dataset_type in PRIMARY_DATASET_TYPES and not config.disabled:
             if not config.instance_data_dir:
                 errors.append(f"{config.id}: local dataset requires instance_data_dir")
-        for link_attr in ("text_embeds", "image_embeds", "conditioning_image_embeds"):
+        for link_attr in ("text_embeds", "image_embeds"):
             target = getattr(config, link_attr)
             if target and target not in ids:
                 errors.append(f"{config.id}: {link_attr} references unknown dataset {target!r}")
+        # conditioning_image_embeds may name a dataset entry OR an implicit
+        # auto-built cache id (the factory creates the vision-embed cache)
         if config.conditioning_data:
             targets = config.conditioning_data if isinstance(config.conditioning_data, list) else [config.conditioning_data]
             for target in targets:

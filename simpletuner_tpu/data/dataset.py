@@ -32,6 +32,7 @@ class DatasetBundle:
         vae_cache=None,
         text_cache=None,
         conditioning_bundles: Optional[List["DatasetBundle"]] = None,
+        image_embed_cache=None,
     ):
         self.id = id
         self.config = config
@@ -41,6 +42,7 @@ class DatasetBundle:
         self.vae_cache = vae_cache
         self.text_cache = text_cache
         self.conditioning_bundles = conditioning_bundles or []
+        self.image_embed_cache = image_embed_cache
 
 
 def collate_batch(
@@ -128,6 +130,18 @@ def collate_batch(
                 batch["control_latents"] = np.stack(control).astype(np.float32)
             except KeyError:
                 pass  # unmatched conditioning sample: train unconditioned this batch
+
+    # image-embed conditioning (IP-adapter style / CREPA teacher features;
+    # reference collate.py conditioning image embeds)
+    if bundle.image_embed_cache is not None:
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                teacher = list(
+                    pool.map(lambda s: bundle.image_embed_cache.get(s["image_path"]), samples)
+                )
+            batch["teacher_embeds"] = np.stack(teacher).astype(np.float32)
+        except (KeyError, IOError):
+            pass
 
     # size conditioning (SDXL/PixArt time-ids; reference collate.py)
     metas = [s.get("metadata", {}) for s in samples]

@@ -195,6 +195,26 @@ def configure_multi_databackend(
             seed=int(args.get("seed", 42) or 42),
         )
 
+        # image-embed cache (reference conditioning_image_embeds linkage):
+        # CLIP-vision features per sample, used as IP-adapter conditioning or
+        # CREPA teacher embeds
+        image_embed_cache = None
+        if config.conditioning_image_embeds:
+            from ..caching.image_embed import ImageEmbedCache, build_clip_vision_encode_fn
+
+            tiny = args.get("model_arch_preset") == "tiny"
+            encode_fn, image_size = build_clip_vision_encode_fn(
+                args.get("image_embed_model"), tiny=tiny
+            )
+            embed_dir = os.path.join(args.get("cache_dir", "cache"), "image_embeds", config.id)
+            image_embed_cache = ImageEmbedCache(
+                id=f"{config.id}-image-embeds",
+                data_backend=backend,
+                cache_dir=embed_dir,
+                encode_fn=lambda arrs: encode_fn(arrs),
+                image_size=image_size,
+            )
+
         text_id = config.text_embeds or default_text_id
         bundles[config.id] = DatasetBundle(
             id=config.id,
@@ -204,6 +224,7 @@ def configure_multi_databackend(
             sampler=sampler,
             vae_cache=vae_cache,
             text_cache=text_caches.get(text_id),
+            image_embed_cache=image_embed_cache,
         )
 
     # conditioning links
@@ -252,6 +273,15 @@ def configure_multi_databackend(
             if vae_encode_fn is not None and not args.get("vae_cache_disable"):
                 bundle.vae_cache.process_buckets(
                     process_index=process_index, num_processes=num_processes
+                )
+            if bundle.image_embed_cache is not None:
+                files = [
+                    path
+                    for file_list in bundle.metadata_backend.aspect_ratio_bucket_indices.values()
+                    for path in file_list
+                ]
+                bundle.image_embed_cache.process_files(
+                    files, process_index=process_index, num_processes=num_processes
                 )
 
     train_bundles = [b for b in bundles.values() if b.config.dataset_type in ("image", "video", "audio")]
