@@ -25,12 +25,17 @@ _FAMILIES: Dict[str, tuple] = {
     "lumina2": ("simpletuner_tpu.models.lumina2.model", "Lumina2", {"modality": "image", "prediction": "flow_matching"}),
     "sana": ("simpletuner_tpu.models.sana.model", "Sana", {"modality": "image", "prediction": "flow_matching"}),
     "deepfloyd": ("simpletuner_tpu.models.deepfloyd.model", "DeepFloyd", {"modality": "image", "prediction": "epsilon"}),
+    "mageflow": ("simpletuner_tpu.models.mageflow.model", "MageFlow", {"modality": "image", "prediction": "flow_matching"}),
+    "z_image": ("simpletuner_tpu.models.mageflow.model", "ZImage", {"modality": "image", "prediction": "flow_matching"}),
+    "cosmos3": ("simpletuner_tpu.models.cosmos3.model", "Cosmos3", {"modality": "video", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {
     "sd15": "sd1x",
     "sd21": "sd2x",
     "pixart": "pixart_sigma",
+    "ltxvideo2": "ltxvideo",  # LTX-Video 2 flavours ride the same family class
+    "krea2": "flux",  # Krea arch is a Flux flavour
 }
 
 

@@ -123,3 +123,18 @@ def test_deepfloyd_pixel_space():
     prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
+
+
+@pytest.mark.parametrize("family", ["mageflow", "z_image", "cosmos3"])
+def test_latest_wave_families(family):
+    model = make_model(family)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+
+
+def test_family_aliases():
+    assert ModelRegistry.get("ltxvideo2").__name__ == "LTXVideo"
+    assert ModelRegistry.get("krea2").__name__ == "Flux"
