@@ -28,6 +28,7 @@ _FAMILIES: Dict[str, tuple] = {
     "mageflow": ("simpletuner_tpu.models.mageflow.model", "MageFlow", {"modality": "image", "prediction": "flow_matching"}),
     "z_image": ("simpletuner_tpu.models.mageflow.model", "ZImage", {"modality": "image", "prediction": "flow_matching"}),
     "cosmos3": ("simpletuner_tpu.models.cosmos3.model", "Cosmos3", {"modality": "video", "prediction": "flow_matching"}),
+    "hidream": ("simpletuner_tpu.models.hidream.model", "HiDream", {"modality": "image", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {
