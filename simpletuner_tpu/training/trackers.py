@@ -114,8 +114,27 @@ def build_trackers(config, output_dir: str) -> List[BaseTracker]:
                 trackers.append(TensorBoardTracker(output_dir, run_name))
             elif name == "wandb":
                 trackers.append(WandbTracker(project, run_name, config.to_dict() if hasattr(config, "to_dict") else None))
+            elif name.endswith(".py") or "/" in name:
+                tracker = _load_custom_tracker(name, config, output_dir)
+                if tracker is not None:
+                    trackers.append(tracker)
             else:
                 logger.warning("unknown tracker %r; skipping", name)
         except Exception as exc:
             logger.warning("tracker %r unavailable: %s", name, exc)
     return trackers
+
+
+def _load_custom_tracker(path: str, config, output_dir: str):
+    """Drop-in tracker module (reference: custom-trackers/<name>.py loaded at
+    trainer.py:485-540) — the module must expose ``Tracker(config, output_dir)``
+    with log/log_images/finish."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("custom_tracker", path)
+    if spec is None or spec.loader is None:
+        logger.warning("cannot load custom tracker %s", path)
+        return None
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module.Tracker(config, output_dir)
