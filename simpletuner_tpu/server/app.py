@@ -71,6 +71,37 @@ class SSEManager:
                 self._clients.remove(q)
 
 
+_UI_PAGE = """<!doctype html>
+<html><head><title>simpletuner-tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;background:#111;color:#eee}
+ table{border-collapse:collapse;width:100%;margin:1rem 0}
+ td,th{border:1px solid #333;padding:.4rem .6rem;text-align:left;font-size:.9rem}
+ .running{color:#7c4} .failed{color:#e66} .completed{color:#6ae}
+ #events{background:#000;padding:.8rem;height:14rem;overflow:auto;font-family:monospace;font-size:.8rem}
+</style></head>
+<body>
+<h1>simpletuner-tpu</h1>
+<h2>Jobs</h2><table id=jobs><tr><th>id</th><th>state</th><th>rc</th><th>output</th></tr></table>
+<h2>Events</h2><div id=events></div>
+<script>
+async function refresh(){
+  const jobs = await (await fetch('/api/training/jobs')).json();
+  const t = document.getElementById('jobs');
+  t.innerHTML = '<tr><th>id</th><th>state</th><th>rc</th><th>output</th></tr>' +
+    jobs.map(j=>`<tr><td>${j.job_id}</td><td class=${j.state}>${j.state}</td>`+
+      `<td>${j.return_code??''}</td><td>${j.output_dir??''}</td></tr>`).join('');
+}
+refresh(); setInterval(refresh, 3000);
+const es = new EventSource('/api/events');
+es.onmessage = e => {
+  const d = document.getElementById('events');
+  d.textContent += e.data + '\\n'; d.scrollTop = d.scrollHeight;
+};
+</script></body></html>
+"""
+
+
 def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPServer:
     keeper = ProcessKeeper()
     sse = SSEManager()
@@ -97,11 +128,42 @@ def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPSer
                 return {}
             return json.loads(self.rfile.read(length) or b"{}")
 
+        def _html(self, body: str, status: int = 200) -> None:
+            data = body.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         # ---- GET --------------------------------------------------------------------------
         def do_GET(self):
             path = self.path.split("?")[0]
             if path == "/health":
                 return self._json({"status": "ok", "time": time.time()})
+            if path in ("/", "/ui"):
+                return self._html(_UI_PAGE)
+            if path == "/metrics":
+                # Prometheus text exposition (reference
+                # server/services/cloud/prometheus_metrics.py)
+                states: Dict[str, int] = {}
+                for job in keeper.jobs.values():
+                    states[job.state] = states.get(job.state, 0) + 1
+                lines = [
+                    "# HELP simpletuner_jobs_total Jobs by state",
+                    "# TYPE simpletuner_jobs_total gauge",
+                ]
+                for state_name in ("pending", "running", "completed", "failed", "cancelled"):
+                    lines.append(
+                        f'simpletuner_jobs_total{{state="{state_name}"}} {states.get(state_name, 0)}'
+                    )
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if path == "/api/models":
                 from ..models.registry import ModelRegistry
 

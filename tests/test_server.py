@@ -104,3 +104,26 @@ def test_events_callback_roundtrip(server):
     )
     assert status == 200 and data["received"]
     assert any(e.get("global_step") == 5 for e in srv.sse._history)
+
+
+def test_ui_page(server):
+    _, port = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/")
+    response = conn.getresponse()
+    body = response.read().decode()
+    conn.close()
+    assert response.status == 200
+    assert "simpletuner-tpu" in body and "EventSource" in body
+
+
+def test_prometheus_metrics(server):
+    _, port = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/metrics")
+    response = conn.getresponse()
+    body = response.read().decode()
+    conn.close()
+    assert response.status == 200
+    assert "simpletuner_jobs_total" in body
+    assert 'state="failed"' in body
