@@ -264,9 +264,7 @@ def get_optimizer(
         else:
             chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(tx)
-    tx = optax.chain(*chain)
-
-    accumulation = int(config.get("gradient_accumulation_steps", 1) or 1)
-    if accumulation > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulation)
-    return tx
+    # NOTE: gradient accumulation happens in the train step (scan over a
+    # leading micro-batch axis, train_state.build_train_step) — wrapping the
+    # optimizer in optax.MultiSteps here would accumulate twice.
+    return optax.chain(*chain)
