@@ -213,6 +213,41 @@ class VAECache:
         self.save(filepath, latent)
         return latent
 
+    def scan_cache_consistency(self) -> Dict[str, List[str]]:
+        """Metadata↔cache audit (reference vae.py VAE-cache consistency repair,
+        metadata/backends/base.py:1438-1533): returns files missing latents and
+        orphaned cache entries no longer backed by metadata."""
+        expected = {}
+        for files in self.metadata_backend.aspect_ratio_bucket_indices.values():
+            for path in files:
+                cache_path, _ = self.generate_vae_cache_filename(path)
+                expected[cache_path] = path
+        missing = [src for cache_path, src in expected.items()
+                   if not self.cache_data_backend.exists(cache_path)]
+        orphans: List[str] = []
+        if os.path.isdir(self.cache_dir):
+            for name in os.listdir(self.cache_dir):
+                full = os.path.join(self.cache_dir, name)
+                if name.endswith(".pt") and full not in expected:
+                    orphans.append(full)
+        return {"missing": missing, "orphans": orphans}
+
+    def repair_consistency(self, delete_orphans: bool = True) -> Dict[str, int]:
+        """Re-encode missing latents and drop orphaned cache files."""
+        report = self.scan_cache_consistency()
+        encoded = 0
+        if report["missing"] and self.encode_fn is not None:
+            encoded = self.process_buckets()
+        removed = 0
+        if delete_orphans:
+            for path in report["orphans"]:
+                try:
+                    os.remove(path)
+                    removed += 1
+                except OSError:
+                    pass
+        return {"encoded": encoded, "orphans_removed": removed}
+
     def clear_cache(self) -> None:
         for files in self.metadata_backend.aspect_ratio_bucket_indices.values():
             for path in files:

@@ -256,3 +256,25 @@ def test_bucket_report(tiny_pipeline):
     assert reports and reports[0]["total_samples"] > 0
     text = format_report(reports[0])
     assert "dataset images" in text and "%" in text
+
+
+def test_vae_cache_consistency_repair(tiny_pipeline):
+    import glob as _glob
+
+    args, model, plane = tiny_pipeline
+    cache = plane.bundles["images"].vae_cache
+    report = cache.scan_cache_consistency()
+    assert report["missing"] == [] and report["orphans"] == []
+
+    # delete one cached latent + plant an orphan, then repair
+    cached = _glob.glob(os.path.join(cache.cache_dir, "*.pt"))
+    os.remove(cached[0])
+    orphan = os.path.join(cache.cache_dir, "deadbeef-orphan.pt")
+    open(orphan, "wb").write(b"junk")
+    report = cache.scan_cache_consistency()
+    assert len(report["missing"]) == 1 and len(report["orphans"]) == 1
+
+    result = cache.repair_consistency()
+    assert result["encoded"] >= 1 and result["orphans_removed"] == 1
+    final = cache.scan_cache_consistency()
+    assert final["missing"] == [] and final["orphans"] == []
