@@ -73,8 +73,49 @@ class SD1x(ModelFoundation):
             "encoder_hidden_states": prepared["text_embeds"],
         }
 
+    # ---- controlnet (reference sd1x/sdxl controlnet pipelines) --------------------------
+    def controlnet_module(self):
+        if not hasattr(self, "_controlnet_module"):
+            from ..unet_controlnet import UNetControlNet
+
+            self._controlnet_module = UNetControlNet(
+                config=self.arch,
+                remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+            )
+        return self._controlnet_module
+
+    def init_controlnet_params(self, rng: jax.Array, batch: Dict[str, jax.Array]):
+        prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
+        inputs = self.get_model_inputs(prepared)
+        control = batch.get("control_latents", batch["latents"])
+        module = self.controlnet_module()
+        init_fn = jax.jit(
+            lambda r: module.init(
+                {"params": r},
+                sample=inputs["sample"],
+                control=control,
+                timesteps=inputs["timesteps"],
+                encoder_hidden_states=inputs["encoder_hidden_states"],
+                added_cond=inputs.get("added_cond"),
+            )
+        )
+        return init_fn(rng)["params"]
+
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
-        return self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        inputs = self.get_model_inputs(prepared)
+        if "controlnet" in variables and "control_latents" in prepared:
+            residuals, mid = self.controlnet_module().apply(
+                {"params": variables["controlnet"]},
+                sample=inputs["sample"],
+                control=prepared["control_latents"].astype(inputs["sample"].dtype),
+                timesteps=inputs["timesteps"],
+                encoder_hidden_states=inputs["encoder_hidden_states"],
+                added_cond=inputs.get("added_cond"),
+            )
+            inputs["controlnet_skip_residuals"] = residuals
+            inputs["controlnet_mid_residual"] = mid
+        main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
+        return self.module.apply(main_vars, **inputs, rngs=rngs)
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return {"text_embeds": batch["text_embeds"]}

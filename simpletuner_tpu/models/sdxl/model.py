@@ -104,8 +104,13 @@ class SDXL(ModelFoundation):
             "added_cond": added,
         }
 
-    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
-        return self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+    # controlnet support reuses the UNet control branch (same helpers as sd1x)
+    from ..sd1x.model import SD1x as _SD1x
+
+    controlnet_module = _SD1x.controlnet_module
+    init_controlnet_params = _SD1x.init_controlnet_params
+    model_predict = _SD1x.model_predict
+    del _SD1x
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         batch_size = batch["latents"].shape[0]

@@ -259,6 +259,8 @@ class UNet2DCondition(nn.Module):
         timesteps: jax.Array,  # (B,) integer or float timesteps
         encoder_hidden_states: jax.Array,  # (B, T, cross_dim)
         added_cond: Optional[jax.Array] = None,  # SDXL: concat(fourier(time_ids), pooled)
+        controlnet_skip_residuals: Optional[Tuple[jax.Array, ...]] = None,
+        controlnet_mid_residual: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         time_dim = cfg.block_out_channels[0] * 4
@@ -328,6 +330,13 @@ class UNet2DCondition(nn.Module):
             **common,
         )(x, context)
         x = resnet_cls(mid_ch, cfg.norm_groups, name="mid_res_1", **common)(x, temb)
+        if controlnet_mid_residual is not None:
+            x = x + controlnet_mid_residual
+
+        # ControlNet residuals add onto the skip stack before the up path
+        # (classic ControlNet: one zero-conv residual per skip)
+        if controlnet_skip_residuals is not None:
+            skips = [s + r for s, r in zip(skips, controlnet_skip_residuals)]
 
         # ---- up ------------------------------------------------------------------------------
         for level, out_ch in reversed(list(enumerate(cfg.block_out_channels))):
