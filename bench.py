@@ -128,7 +128,10 @@ def main() -> None:
 
     schedule = get_lr_schedule(cfg, 1000)
     tx = get_optimizer(cfg, schedule)
-    state = create_train_state(model, variables, tx)
+    quant = os.environ.get("BENCH_QUANT") or None  # int8 | fp8
+    state = create_train_state(model, variables, tx, quantize_mode=quant)
+    if quant:
+        log(f"base weights quantized: {quant}")
     step_fn = build_train_step(model, tx, schedule)
 
     # K steps fused into one program: block_until_ready is unreliable over the
