@@ -23,6 +23,7 @@ def sample_loop(
     scheduler,
     denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
     noise: jax.Array,
+    collect_intermediates: bool = False,
 ) -> jax.Array:
     """Run the full denoise loop.
 
@@ -30,23 +31,34 @@ def sample_loop(
     params/conditioning (and CFG if wanted).  Works with any scheduler exposing
     ``timestep(i)`` + ``step(i, latents, pred)``; schedulers with internal state
     (UniPC) expose ``init_state``/``step_with_state`` and are handled too.
+
+    With ``collect_intermediates`` the per-step latents come back stacked
+    (num_steps, ...) alongside the final latents — the TAE-preview hook
+    (reference ValidationPreviewer, validation.py:1633) decodes them cheaply.
     """
     latents0 = scheduler.init_latents(noise)
     stateful = hasattr(scheduler, "step_with_state")
 
     if stateful:
-        def body(i, carry):
+        def scan_body(carry, i):
             latents, state = carry
             pred = denoise_fn(latents, scheduler.timestep(i))
-            return scheduler.step_with_state(i, latents, pred, state)
+            new_latents, new_state = scheduler.step_with_state(i, latents, pred, state)
+            return (new_latents, new_state), (new_latents if collect_intermediates else None)
 
-        latents, _ = jax.lax.fori_loop(
-            0, scheduler.num_steps, body, (latents0, scheduler.init_state(noise))
+        (latents, _), collected = jax.lax.scan(
+            scan_body,
+            (latents0, scheduler.init_state(noise)),
+            jnp.arange(scheduler.num_steps),
         )
-        return latents
+        return (latents, collected) if collect_intermediates else latents
 
-    def body(i, latents):
+    def scan_body(latents, i):
         pred = denoise_fn(latents, scheduler.timestep(i))
-        return scheduler.step(i, latents, pred)
+        new_latents = scheduler.step(i, latents, pred)
+        return new_latents, (new_latents if collect_intermediates else None)
 
-    return jax.lax.fori_loop(0, scheduler.num_steps, body, latents0)
+    latents, collected = jax.lax.scan(
+        scan_body, latents0, jnp.arange(scheduler.num_steps)
+    )
+    return (latents, collected) if collect_intermediates else latents

@@ -213,6 +213,7 @@ class Validation:
             uncond = self.model.inference_conditioning(neg_batch)
         guidance_scale = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
 
+        preview = bool(getattr(self.config, "validation_preview", False))
         if self._sample_jit is None:
             model = self.model
             decode = self.decode_fn
@@ -230,19 +231,45 @@ class Validation:
                         )
                 else:
                     denoise = model.denoise_fn(variables, cond)
-                latents = sample_loop(scheduler, denoise, noise)
-                if decode is not None:
+                result = sample_loop(
+                    scheduler, denoise, noise, collect_intermediates=preview
+                )
+                latents, intermediates = result if preview else (result, None)
+
+                def maybe_decode(z):
+                    if decode is None:
+                        return z
                     scaling = model.VAE_SCALING_FACTOR or 1.0
                     shift = model.VAE_SHIFT_FACTOR or 0.0
-                    return decode(latents / scaling + shift)
-                return latents
+                    return decode(z / scaling + shift)
+
+                out = maybe_decode(latents)
+                if preview:
+                    # TAE-style preview: decode up to 4 evenly-spaced steps
+                    # (reference ValidationPreviewer, validation.py:1633)
+                    steps = intermediates.shape[0]
+                    picks = jnp.linspace(0, steps - 1, min(4, steps)).astype(jnp.int32)
+                    frames = maybe_decode(intermediates[picks][:, 0])
+                    return out, frames
+                return out
 
             self._sample_jit = jax.jit(sample)
 
         noise = jax.random.normal(
             jax.random.fold_in(jax.random.PRNGKey(self.seed), index), latent_shape, jnp.float32
         )
-        out = np.asarray(self._sample_jit(variables, cond, uncond, noise))[0]
+        result = self._sample_jit(variables, cond, uncond, noise)
+        if preview:
+            out, frames = result
+            out = np.asarray(out)[0]
+            strip = np.concatenate(list(np.asarray(frames)), axis=1)
+            path = os.path.join(self.output_dir, "validation", f"preview_{index}.png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            if self.decode_fn is not None:
+                strip = np.clip((strip + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            self._save_png(strip, path)
+        else:
+            out = np.asarray(result)[0]
         if self.decode_fn is not None and getattr(self.model, "MODALITY", "image") != "audio":
             out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
         return out

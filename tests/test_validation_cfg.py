@@ -54,3 +54,30 @@ def test_flux_guidance_embed_skips_cfg():
     model = Flux(cfg, arch=FluxConfig.tiny())
     validation = Validation(model, cfg)
     assert not validation._wants_cfg()  # distilled guidance embed, no CFG
+
+
+def test_validation_preview_strip(tmp_path):
+    cfg = TrainingConfig(
+        {
+            "model_family": "sd1x",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            "validation_prompt": "a cat",
+            "validation_num_inference_steps": 4,
+            "validation_resolution": 64,
+            "validation_preview": True,
+        }
+    )
+    model = SD1x(cfg)
+    model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
+    validation = Validation(model, cfg, output_dir=str(tmp_path))
+    validation.precompute_embeds()
+    batch = model.example_batch(batch_size=1, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    paths = validation.run_validations(variables, step=1, force=True)
+    assert paths
+    assert os.path.exists(os.path.join(str(tmp_path), "validation", "preview_0.png"))
