@@ -31,12 +31,15 @@ class CheckpointManager:
         output_dir: str,
         total_limit: Optional[int] = None,
         rolling_total_limit: int = 1,
+        async_save: bool = False,
     ):
         self.output_dir = os.path.abspath(output_dir)
         os.makedirs(self.output_dir, exist_ok=True)
         self.total_limit = total_limit
         self.rolling_total_limit = rolling_total_limit
+        self.async_save = async_save
         self._checkpointer = ocp.StandardCheckpointer()
+        self._pending = None  # in-flight async finalize thread
 
     # ---- paths --------------------------------------------------------------------------
     def path_for_step(self, step: int, rolling: bool = False) -> str:
@@ -74,8 +77,16 @@ class CheckpointManager:
         state,
         extra_state: Optional[Dict[str, Any]] = None,
         rolling: bool = False,
+        on_complete: Optional[Any] = None,  # callable(final_path) after finalize
     ) -> str:
-        """Atomic: write to tmp dir, fsync metadata, rename, then guard file."""
+        """Atomic: write to tmp dir, fsync metadata, rename, then guard file.
+
+        With ``async_save`` the Orbax write and the finalize (manifest + rename
+        + guard + retention) run on a background thread so the train loop
+        resumes immediately (SURVEY.md §5.4 Orbax async mapping); the next save
+        joins any in-flight one first.
+        """
+        self.wait()
         final_path = self.path_for_step(step, rolling)
         tmp_path = final_path + ".tmp"
         if os.path.exists(tmp_path):
@@ -85,23 +96,41 @@ class CheckpointManager:
         os.makedirs(tmp_path, exist_ok=True)
 
         self._checkpointer.save(os.path.join(tmp_path, "state"), state)
-        self._checkpointer.wait_until_finished()
-        if extra_state:
-            with open(os.path.join(tmp_path, "trainer_state.json"), "w") as handle:
-                json.dump(extra_state, handle)
-        manifest = {
-            "step": step,
-            "rolling": rolling,
-            "created_at": time.time(),
-            "format_version": 1,
-        }
-        with open(os.path.join(tmp_path, MANIFEST_FILE), "w") as handle:
-            json.dump(manifest, handle)
-        os.replace(tmp_path, final_path)
-        with open(os.path.join(final_path, GUARD_FILE), "w") as handle:
-            handle.write(str(step))
-        self._cleanup(rolling)
+
+        def finalize():
+            self._checkpointer.wait_until_finished()
+            if extra_state:
+                with open(os.path.join(tmp_path, "trainer_state.json"), "w") as handle:
+                    json.dump(extra_state, handle)
+            manifest = {
+                "step": step,
+                "rolling": rolling,
+                "created_at": time.time(),
+                "format_version": 1,
+            }
+            with open(os.path.join(tmp_path, MANIFEST_FILE), "w") as handle:
+                json.dump(manifest, handle)
+            os.replace(tmp_path, final_path)
+            with open(os.path.join(final_path, GUARD_FILE), "w") as handle:
+                handle.write(str(step))
+            self._cleanup(rolling)
+            if on_complete is not None:
+                on_complete(final_path)
+
+        if self.async_save:
+            import threading
+
+            self._pending = threading.Thread(target=finalize, daemon=True)
+            self._pending.start()
+        else:
+            finalize()
         return final_path
+
+    def wait(self) -> None:
+        """Join any in-flight async save (call before resume/exit)."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
 
     def _cleanup(self, rolling: bool) -> None:
         limit = self.rolling_total_limit if rolling else self.total_limit
@@ -119,6 +148,7 @@ class CheckpointManager:
     # ---- restore --------------------------------------------------------------------------
     def restore(self, path: str, target_state):
         """Restore into the structure/shardings of ``target_state``."""
+        self.wait()
         restored = self._checkpointer.restore(
             os.path.join(path, "state"), target=target_state
         )

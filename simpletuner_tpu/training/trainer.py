@@ -96,6 +96,7 @@ class Trainer:
             self.output_dir,
             total_limit=self.config.get("checkpoints_total_limit"),
             rolling_total_limit=int(self.config.get("checkpointing_rolling_total_limit", 1) or 1),
+            async_save=bool(self.config.get("checkpointing_use_async", False)),
         )
 
     # ---- lifecycle plumbing ---------------------------------------------------------------
@@ -424,23 +425,34 @@ class Trainer:
             "epoch": self.epoch,
             "data_plane": self.data_plane.save_state() if self.data_plane else None,
         }
-        path = self.checkpoint_manager.save(self.global_step, self._state, extra, rolling)
-        self.webhook_handler.send_raw(
-            checkpoint_event(path, self.global_step, rolling, self.job_id)
-        )
-        self._export_lora(path)
-        if getattr(self, "publishing", None) is not None:
-            self.publishing.on_checkpoint(path)
-        return path
+        step_at_save = self.global_step
+        # snapshot the adapter now: an async finalize must not read state that
+        # later steps have already donated/overwritten
+        lora_snapshot = None
+        if self.model.lora_rank > 0 and "lora" in self._state.trainable:
+            lora_snapshot = jax.device_get(self._state.trainable["lora"])
 
-    def _export_lora(self, checkpoint_path: str) -> None:
+        def on_complete(final_path: str) -> None:
+            self.webhook_handler.send_raw(
+                checkpoint_event(final_path, step_at_save, rolling, self.job_id)
+            )
+            self._export_lora(final_path, lora_snapshot)
+            if getattr(self, "publishing", None) is not None:
+                self.publishing.on_checkpoint(final_path)
+
+        return self.checkpoint_manager.save(
+            self.global_step, self._state, extra, rolling, on_complete=on_complete
+        )
+
+    def _export_lora(self, checkpoint_path: str, lora=None) -> None:
         if self.model.lora_rank <= 0:
             return
         try:
             from ..publishing import safetensors_modelspec
             from .lora import save_lora_safetensors
 
-            lora = jax.device_get(self._state.trainable.get("lora"))
+            if lora is None:
+                lora = jax.device_get(self._state.trainable.get("lora"))
             if lora is not None:
                 save_lora_safetensors(
                     self.model,
@@ -593,6 +605,7 @@ class Trainer:
                 raise SystemExit(1) from exc
             raise
         finally:
+            self.checkpoint_manager.wait()
             if getattr(self, "profiler", None) is not None:
                 self.profiler.close()
             for tracker in self.trackers:

@@ -139,3 +139,18 @@ def test_grad_accumulation_runs(image_dir, tmp_path_factory):
     trainer = Trainer(config=config)
     trainer.run()
     assert trainer.global_step == 2
+
+
+def test_async_checkpointing(image_dir, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("async_run"))
+    config = make_config(
+        image_dir, workdir, max_train_steps=4, checkpointing_steps=2,
+        checkpointing_use_async=True, validation_prompt=None,
+    )
+    trainer = Trainer(config=config)
+    trainer.run()
+    trainer.checkpoint_manager.wait()
+    ckpts = trainer.checkpoint_manager.list_checkpoints()
+    steps = sorted(int(p.rsplit("-", 1)[1]) for p in ckpts)
+    assert 4 in steps
+    assert os.path.exists(os.path.join(ckpts[-1], "pytorch_lora_weights.safetensors"))
