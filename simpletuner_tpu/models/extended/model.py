@@ -1,0 +1,204 @@
+"""Extended model families assembled from the shared TPU blocks.
+
+Each class mirrors the corresponding reference family's architecture class
+(dims read from the reference's vendored transformers; cited per class) and
+rides an existing block implementation here — double/single-stream (Flux),
+self+cross DiT (Wan), or linear-attention (Sana).  Checkpoint importers for
+these families follow the same key-mapping pattern as flux/sd3/wan in
+``models/weight_import.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..common import TextEncoderSpec
+from ..flux.transformer import FluxConfig
+from ..mageflow.model import MageFlow
+from ..pixart.model import PixartConfig, PixartSigma
+from ..sana.model import Sana, SanaConfig
+from ..wan.model import Wan
+from ..wan.transformer import WanConfig
+
+
+class QwenImage(MageFlow):
+    """reference: helpers/models/qwen_image/transformer.py:1051-1053 — 60
+    double-stream layers, 24 heads × 128, Qwen2.5-VL 3584-dim context."""
+
+    NAME = "qwen_image"
+    DEFAULT_FLAVOUR = "v1"
+    HUGGINGFACE_PATHS = {"v1": "Qwen/Qwen-Image", "edit": "Qwen/Qwen-Image-Edit"}
+    LATENT_CHANNEL_COUNT = 16
+    TEXT_ENCODER_CONFIGURATION = (
+        TextEncoderSpec(name="qwen2.5-vl", family="t5-xxl", subfolder="text_encoder", max_length=1024),
+    )
+
+    def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = FluxConfig(
+                in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
+                depth_double=60, depth_single=0, txt_in_features=3584,
+                vec_in_features=3584, guidance_embed=False,
+            )
+        super().__init__(config, arch=arch)
+
+
+class LongcatImage(MageFlow):
+    """reference: helpers/models/longcat_image/transformer.py:296-300 — Flux
+    topology (19 double + 38 single), 24 heads × 128, 3584-dim context."""
+
+    NAME = "longcat_image"
+    DEFAULT_FLAVOUR = "v1"
+    HUGGINGFACE_PATHS = {"v1": "meituan-longcat/LongCat-Image"}
+    LATENT_CHANNEL_COUNT = 16
+
+    def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = FluxConfig(
+                in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
+                depth_double=19, depth_single=38, txt_in_features=3584,
+                vec_in_features=3584, guidance_embed=False,
+            )
+        super().__init__(config, arch=arch)
+
+
+class Anima(PixartSigma):
+    """reference: helpers/models/anima/transformer.py:347-349 — 28-layer DiT,
+    16 heads × 128; flow matching with AnyFlow conditioning support."""
+
+    NAME = "anima"
+    PREDICTION_TYPE = "flow_matching"
+    DEFAULT_FLAVOUR = "release"
+    HUGGINGFACE_PATHS = {"release": "circulus/anima"}
+    LATENT_CHANNEL_COUNT = 16
+
+    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = PixartConfig(
+                in_channels=16, hidden_size=2048, depth=28, num_heads=16,
+                head_dim=128, text_dim=2304,
+            )
+        super().__init__(config, arch=arch)
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
+            raise ValueError("anima is a flow-matching family")
+
+
+class Ideogram(PixartSigma):
+    """reference: helpers/models/ideogram/transformer.py:38 — 34-layer DiT,
+    FP8-first deployment (int8/fp8 path here via base_model_precision)."""
+
+    NAME = "ideogram"
+    PREDICTION_TYPE = "flow_matching"
+    DEFAULT_FLAVOUR = "v3"
+    HUGGINGFACE_PATHS = {"v3": "ideogram-ai/ideogram-v3"}
+    LATENT_CHANNEL_COUNT = 16
+
+    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = PixartConfig(
+                in_channels=16, hidden_size=2560, depth=34, num_heads=20,
+                head_dim=128, text_dim=4096,
+            )
+        super().__init__(config, arch=arch)
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
+            raise ValueError("ideogram is a flow-matching family")
+
+
+class KandinskyImage(PixartSigma):
+    """reference: helpers/models/kandinsky5_image — latent DiT with
+    Qwen2.5-VL + CLIP conditioning (kandinsky_lora_loader.py key layout)."""
+
+    NAME = "kandinsky5_image"
+    PREDICTION_TYPE = "flow_matching"
+    DEFAULT_FLAVOUR = "lite"
+    HUGGINGFACE_PATHS = {"lite": "ai-forever/Kandinsky-5.0-Lite"}
+    LATENT_CHANNEL_COUNT = 16
+
+    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = PixartConfig(
+                in_channels=16, hidden_size=2048, depth=28, num_heads=16,
+                head_dim=128, text_dim=3584,
+            )
+        super().__init__(config, arch=arch)
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
+            raise ValueError("kandinsky5_image is a flow-matching family")
+
+
+class KandinskyVideo(Wan):
+    """reference: helpers/models/kandinsky5_video — video latent DiT
+    (self-attn 3D RoPE + text cross-attn), Qwen2.5-VL conditioning."""
+
+    NAME = "kandinsky5_video"
+    DEFAULT_FLAVOUR = "lite-t2v"
+    HUGGINGFACE_PATHS = {"lite-t2v": "ai-forever/Kandinsky-5.0-T2V-Lite"}
+    TEXT_ENCODER_CONFIGURATION = (
+        TextEncoderSpec(name="qwen2.5-vl", family="t5-xxl", subfolder="text_encoder", max_length=512),
+    )
+
+    def __init__(self, config: Any, arch: Optional[WanConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = WanConfig(hidden_size=1792, depth=32, num_heads=14, text_dim=3584)
+        super().__init__(config, arch=arch)
+
+
+class LongcatVideo(Wan):
+    """reference: helpers/models/longcat_video — 13.6B video DiT."""
+
+    NAME = "longcat_video"
+    DEFAULT_FLAVOUR = "v1"
+    HUGGINGFACE_PATHS = {"v1": "meituan-longcat/LongCat-Video"}
+
+    def __init__(self, config: Any, arch: Optional[WanConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = WanConfig(hidden_size=4096, depth=48, num_heads=32, text_dim=4096)
+        super().__init__(config, arch=arch)
+
+
+class SanaVideo(Sana):
+    """reference: helpers/models/sanavideo — Sana's linear-attention DiT over
+    video-latent tokens (O(N) attention makes the long token streams cheap)."""
+
+    NAME = "sanavideo"
+    MODALITY = "video"
+    DEFAULT_FLAVOUR = "2b"
+    HUGGINGFACE_PATHS = {"2b": "Efficient-Large-Model/SANA-Video_2B_480p"}
+
+    def video_vae_config(self):
+        from ..video_vae import VideoVAEConfig
+
+        if getattr(self.config, "model_arch_preset", None) == "tiny":
+            return VideoVAEConfig.tiny()
+        return VideoVAEConfig.wan()
+
+    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
+        vae_cfg = self.video_vae_config()
+        latent = resolution // vae_cfg.spatial_factor
+        return {
+            "latents": jnp.zeros((batch_size, 3, latent, latent, self.arch.in_channels), jnp.float32),
+            "text_embeds": jnp.zeros((batch_size, 32, self.arch.text_dim), jnp.float32),
+        }
+
+    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        noisy = prepared["noisy_latents"]
+        b, t, h, w, c = noisy.shape
+        return {
+            # fold time into the row axis: patch-1 tokens = every latent cell
+            "latents": noisy.reshape(b, t * h, w, c),
+            "timesteps": prepared["timesteps"],
+            "context": prepared["text_embeds"],
+        }
+
+    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
+        out = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        b, t, h, w, c = prepared["noisy_latents"].shape
+        return out.reshape(b, t, h, w, c)

@@ -29,6 +29,14 @@ _FAMILIES: Dict[str, tuple] = {
     "z_image": ("simpletuner_tpu.models.mageflow.model", "ZImage", {"modality": "image", "prediction": "flow_matching"}),
     "cosmos3": ("simpletuner_tpu.models.cosmos3.model", "Cosmos3", {"modality": "video", "prediction": "flow_matching"}),
     "hidream": ("simpletuner_tpu.models.hidream.model", "HiDream", {"modality": "image", "prediction": "flow_matching"}),
+    "qwen_image": ("simpletuner_tpu.models.extended.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
+    "longcat_image": ("simpletuner_tpu.models.extended.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
+    "longcat_video": ("simpletuner_tpu.models.extended.model", "LongcatVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "anima": ("simpletuner_tpu.models.extended.model", "Anima", {"modality": "image", "prediction": "flow_matching"}),
+    "ideogram": ("simpletuner_tpu.models.extended.model", "Ideogram", {"modality": "image", "prediction": "flow_matching"}),
+    "kandinsky5_image": ("simpletuner_tpu.models.extended.model", "KandinskyImage", {"modality": "image", "prediction": "flow_matching"}),
+    "kandinsky5_video": ("simpletuner_tpu.models.extended.model", "KandinskyVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "sanavideo": ("simpletuner_tpu.models.extended.model", "SanaVideo", {"modality": "video", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {
@@ -37,6 +45,10 @@ _ALIASES = {
     "pixart": "pixart_sigma",
     "ltxvideo2": "ltxvideo",  # LTX-Video 2 flavours ride the same family class
     "krea2": "flux",  # Krea arch is a Flux flavour
+    "cosmos": "cosmos3",
+    "z_image_omni": "z_image",
+    "zlab_i1": "z_image",
+    "kandinsky5-image": "kandinsky5_image",  # examples use the dashed spelling
 }
 
 

@@ -138,3 +138,22 @@ def test_latest_wave_families(family):
 def test_family_aliases():
     assert ModelRegistry.get("ltxvideo2").__name__ == "LTXVideo"
     assert ModelRegistry.get("krea2").__name__ == "Flux"
+
+
+@pytest.mark.parametrize("family", [
+    "qwen_image", "longcat_image", "longcat_video", "anima", "ideogram",
+    "kandinsky5_image", "kandinsky5_video", "sanavideo",
+])
+def test_extended_families(family):
+    model = make_model(family)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+
+
+def test_extended_aliases():
+    assert ModelRegistry.get("cosmos").__name__ == "Cosmos3"
+    assert ModelRegistry.get("z_image_omni").__name__ == "ZImage"
+    assert ModelRegistry.get("zlab_i1").__name__ == "ZImage"
