@@ -67,4 +67,4 @@ def test_implemented_family_coverage_of_examples():
     implemented = {f for f in families if f and _implemented(f and {"model_family": f})}
     # we should cover a majority of the families the reference ships examples for
     coverage = len(implemented) / max(len(families), 1)
-    assert coverage >= 0.4, f"family coverage {coverage:.0%} ({sorted(implemented)} of {sorted(families)})"
+    assert coverage >= 0.7, f"family coverage {coverage:.0%} ({sorted(implemented)} of {sorted(families)})"

@@ -154,3 +154,22 @@ def test_async_checkpointing(image_dir, tmp_path_factory):
     steps = sorted(int(p.rsplit("-", 1)[1]) for p in ckpts)
     assert 4 in steps
     assert os.path.exists(os.path.join(ckpts[-1], "pytorch_lora_weights.safetensors"))
+
+
+def test_trainer_with_context_parallel(image_dir, tmp_path_factory):
+    """Whole Trainer lifecycle on the 3D mesh (data=2, fsdp=2, context=2)."""
+    workdir = str(tmp_path_factory.mktemp("cp_run"))
+    config = make_config(
+        image_dir, workdir, max_train_steps=2, checkpointing_steps=None,
+        validation_prompt=None, fsdp=True, fsdp_size=2, context_parallel_size=2,
+        context_parallel_comm_strategy="ring", train_batch_size=2,
+    )
+    trainer = Trainer(config=config)
+    try:
+        assert dict(trainer.mesh.shape) == {"data": 2, "fsdp": 2, "context": 2}
+        trainer.run()
+        assert trainer.global_step == 2
+    finally:
+        from simpletuner_tpu.ops.attention import set_context_parallel
+
+        set_context_parallel(None)
