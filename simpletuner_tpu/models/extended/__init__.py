@@ -1,5 +1,8 @@
 from .model import (
     Anima,
+    BooguImage,
+    Ernie,
+    StableCascade,
     Ideogram,
     KandinskyImage,
     KandinskyVideo,

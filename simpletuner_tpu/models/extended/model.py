@@ -164,6 +164,67 @@ class LongcatVideo(Wan):
         super().__init__(config, arch=arch)
 
 
+class BooguImage(MageFlow):
+    """reference: helpers/models/boogu_image — image model with edit
+    (reference-image) conditioning; edit tokens ride the Kontext-style
+    concat path inherited from Flux."""
+
+    NAME = "boogu_image"
+    DEFAULT_FLAVOUR = "v0.1"
+    HUGGINGFACE_PATHS = {"v0.1": "boogu/boogu-image-v0.1"}
+
+    @property
+    def is_kontext(self) -> bool:
+        # boogu always trains with paired edit conditioning when present
+        return True
+
+
+class Ernie(PixartSigma):
+    """reference: helpers/models/ernie — ERNIE-conditioned image DiT."""
+
+    NAME = "ernie"
+    PREDICTION_TYPE = "flow_matching"
+    DEFAULT_FLAVOUR = "v1"
+    HUGGINGFACE_PATHS = {"v1": "baidu/ERNIE-4.5-VL-image"}
+    LATENT_CHANNEL_COUNT = 16
+
+    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = PixartConfig(
+                in_channels=16, hidden_size=2304, depth=28, num_heads=18,
+                head_dim=128, text_dim=4096,
+            )
+        super().__init__(config, arch=arch)
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
+            raise ValueError("ernie is a flow-matching family")
+
+
+class StableCascade(PixartSigma):
+    """reference: helpers/models/stable_cascade — Stage C prior: an
+    epsilon-prediction DiT over heavily-compressed (42x) EffNet latents.
+    The latent encoder plugs in through the factory's ``vae_encode_fn``."""
+
+    NAME = "stable_cascade"
+    PREDICTION_TYPE = "epsilon"
+    DEFAULT_FLAVOUR = "stage-c"
+    HUGGINGFACE_PATHS = {"stage-c": "stabilityai/stable-cascade-prior"}
+    LATENT_CHANNEL_COUNT = 16
+
+    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
+        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
+            arch = PixartConfig(
+                in_channels=16, patch_size=1, hidden_size=2048, depth=42,
+                num_heads=32, head_dim=64, text_dim=1280,
+            )
+        super().__init__(config, arch=arch)
+
+    def check_user_config(self) -> None:
+        if getattr(self.config, "prediction_type", None) == "flow_matching":
+            raise ValueError("stable_cascade is an epsilon-prediction family")
+
+
 class SanaVideo(Sana):
     """reference: helpers/models/sanavideo — Sana's linear-attention DiT over
     video-latent tokens (O(N) attention makes the long token streams cheap)."""

@@ -37,6 +37,9 @@ _FAMILIES: Dict[str, tuple] = {
     "kandinsky5_image": ("simpletuner_tpu.models.extended.model", "KandinskyImage", {"modality": "image", "prediction": "flow_matching"}),
     "kandinsky5_video": ("simpletuner_tpu.models.extended.model", "KandinskyVideo", {"modality": "video", "prediction": "flow_matching"}),
     "sanavideo": ("simpletuner_tpu.models.extended.model", "SanaVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "boogu_image": ("simpletuner_tpu.models.extended.model", "BooguImage", {"modality": "image", "prediction": "flow_matching"}),
+    "ernie": ("simpletuner_tpu.models.extended.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
+    "stable_cascade": ("simpletuner_tpu.models.extended.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),
 }
 
 _ALIASES = {

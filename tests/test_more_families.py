@@ -143,6 +143,7 @@ def test_family_aliases():
 @pytest.mark.parametrize("family", [
     "qwen_image", "longcat_image", "longcat_video", "anima", "ideogram",
     "kandinsky5_image", "kandinsky5_video", "sanavideo",
+    "boogu_image", "ernie", "stable_cascade",
 ])
 def test_extended_families(family):
     model = make_model(family)
