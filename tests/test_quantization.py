@@ -101,3 +101,40 @@ class TestQuantizedTraining:
         tx = get_optimizer(cfg, get_lr_schedule(cfg, 1))
         with pytest.raises(ValueError, match="model_type=lora"):
             create_train_state(model, variables, tx, quantize_mode="int8")
+
+
+def test_quantized_state_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore with QuantizedParam nodes in frozen state."""
+    import jax
+
+    from simpletuner_tpu.training.checkpoints import CheckpointManager
+
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+        }
+    )
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+    from simpletuner_tpu.training.optimizers import get_optimizer
+    from simpletuner_tpu.training.schedules import get_lr_schedule
+
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    tx = get_optimizer(cfg, get_lr_schedule(cfg, 10))
+    state = create_train_state(model, variables, tx, quantize_mode="int8")
+
+    manager = CheckpointManager(str(tmp_path))
+    manager.save(1, state)
+    restored, _ = manager.restore(manager.path_for_step(1), state)
+    assert has_quantized(restored.frozen)
+    ref = dequantize_params(state.frozen, jnp.float32)
+    got = dequantize_params(restored.frozen, jnp.float32)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
