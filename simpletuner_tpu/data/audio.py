@@ -25,6 +25,28 @@ def duration_bucket(duration_seconds: float, bucket_seconds: float = 1.0) -> str
     return f"{steps * bucket_seconds:g}s"
 
 
+def waveform_features(
+    waveform: np.ndarray,  # (samples, channels) float32 [-1, 1]
+    sample_rate: int = 16000,
+    hop: int = 320,
+    n_fft: int = 512,
+    n_bins: int = 64,
+) -> np.ndarray:
+    """Log-magnitude STFT features (frames, n_bins) — the host-side audio
+    conditioning features for S2V pairing (reference wan_s2v audio pairing;
+    the reference uses wav2vec-style features, same plumbing)."""
+    from scipy.signal import stft
+
+    mono = waveform.mean(axis=1) if waveform.ndim > 1 else waveform
+    _, _, spec = stft(mono, fs=sample_rate, nperseg=n_fft, noverlap=n_fft - hop)
+    mag = np.abs(spec)  # (freq, frames)
+    # pool frequency bins down to n_bins
+    freq = mag.shape[0]
+    usable = (freq // n_bins) * n_bins
+    pooled = mag[:usable].reshape(n_bins, -1, mag.shape[1]).mean(axis=1)
+    return np.log1p(pooled.T).astype(np.float32)  # (frames, n_bins)
+
+
 def probe_audio(data_backend, path: str) -> Optional[Dict[str, Any]]:
     try:
         import io

@@ -131,6 +131,33 @@ def collate_batch(
             except KeyError:
                 pass  # unmatched conditioning sample: train unconditioned this batch
 
+    # S2V audio pairing: same-stem .wav next to each video becomes audio
+    # features (reference wan_s2v audio pairing; sampler.py
+    # connect_conditioning_samples S2V branch)
+    if (getattr(cfg, "audio", None) or {}).get("pair_with_video"):
+        import os as _os
+
+        from .audio import load_audio, waveform_features
+
+        audio_cfg = cfg.audio or {}
+        sample_rate = int(audio_cfg.get("sample_rate", 16000))
+        max_frames = int(audio_cfg.get("max_feature_frames", 128))
+        features = []
+        for sample in samples:
+            wav_path = _os.path.splitext(sample["image_path"])[0] + ".wav"
+            wave = load_audio(bundle.data_backend, wav_path, sample_rate=sample_rate)
+            if wave is None:
+                features = []
+                break
+            feats = waveform_features(wave, sample_rate=sample_rate)
+            if feats.shape[0] >= max_frames:
+                feats = feats[:max_frames]
+            else:
+                feats = np.pad(feats, ((0, max_frames - feats.shape[0]), (0, 0)))
+            features.append(feats)
+        if features:
+            batch["audio_embeds"] = np.stack(features)
+
     # image-embed conditioning (IP-adapter style / CREPA teacher features;
     # reference collate.py conditioning image embeds)
     if bundle.image_embed_cache is not None:

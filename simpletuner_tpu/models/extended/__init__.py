@@ -10,4 +10,5 @@ from .model import (
     LongcatVideo,
     QwenImage,
     SanaVideo,
+    WanS2V,
 )

@@ -225,6 +225,43 @@ class StableCascade(PixartSigma):
             raise ValueError("stable_cascade is an epsilon-prediction family")
 
 
+class WanS2V(Wan):
+    """reference: helpers/models/wan_s2v — speech-to-video: Wan DiT whose
+    cross-attention context is text ++ projected audio features (the data
+    plane pairs same-stem .wav files and supplies ``audio_embeds``)."""
+
+    NAME = "wan_s2v"
+    DEFAULT_FLAVOUR = "s2v-14b"
+    HUGGINGFACE_PATHS = {"s2v-14b": "Wan-AI/Wan2.2-S2V-14B"}
+
+    def __init__(self, config: Any, arch=None):
+        super().__init__(config, arch=arch)
+        self.audio_feature_dim = int(getattr(config, "s2v_audio_feature_dim", 64) or 64)
+
+    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
+        batch = super().example_batch(batch_size, resolution)
+        batch["audio_embeds"] = jnp.zeros((batch_size, 16, self.audio_feature_dim), jnp.float32)
+        return batch
+
+    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        inputs = super().get_model_inputs(prepared)
+        if "audio_embeds" in prepared:
+            audio = prepared["audio_embeds"].astype(inputs["context"].dtype)
+            text_dim = inputs["context"].shape[-1]
+            if audio.shape[-1] < text_dim:  # zero-pad features to the text width
+                audio = jnp.pad(audio, ((0, 0), (0, 0), (0, text_dim - audio.shape[-1])))
+            elif audio.shape[-1] > text_dim:
+                audio = audio[..., :text_dim]
+            inputs["context"] = jnp.concatenate([inputs["context"], audio], axis=1)
+        return inputs
+
+    def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        cond = super().inference_conditioning(batch)
+        if "audio_embeds" in batch:
+            cond["audio_embeds"] = batch["audio_embeds"]
+        return cond
+
+
 class SanaVideo(Sana):
     """reference: helpers/models/sanavideo — Sana's linear-attention DiT over
     video-latent tokens (O(N) attention makes the long token streams cheap)."""

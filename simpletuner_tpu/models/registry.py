@@ -40,6 +40,7 @@ _FAMILIES: Dict[str, tuple] = {
     "boogu_image": ("simpletuner_tpu.models.extended.model", "BooguImage", {"modality": "image", "prediction": "flow_matching"}),
     "ernie": ("simpletuner_tpu.models.extended.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
     "stable_cascade": ("simpletuner_tpu.models.extended.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),
+    "wan_s2v": ("simpletuner_tpu.models.extended.model", "WanS2V", {"modality": "video", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {

@@ -158,3 +158,29 @@ def test_extended_aliases():
     assert ModelRegistry.get("cosmos").__name__ == "Cosmos3"
     assert ModelRegistry.get("z_image_omni").__name__ == "ZImage"
     assert ModelRegistry.get("zlab_i1").__name__ == "ZImage"
+
+
+def test_wan_s2v_audio_context():
+    import jax.numpy as jnp
+
+    model = make_model("wan_s2v")
+    batch = model.example_batch(batch_size=1, resolution=32)
+    assert "audio_embeds" in batch
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+    # audio actually reaches the context axis
+    inputs = model.get_model_inputs(prepared)
+    assert inputs["context"].shape[1] == batch["text_embeds"].shape[1] + batch["audio_embeds"].shape[1]
+
+
+def test_waveform_features():
+    import numpy as np
+
+    from simpletuner_tpu.data.audio import waveform_features
+
+    wave = np.random.default_rng(0).standard_normal((16000, 1)).astype(np.float32) * 0.1
+    feats = waveform_features(wave, sample_rate=16000)
+    assert feats.ndim == 2 and feats.shape[1] == 64
+    assert np.all(np.isfinite(feats))
