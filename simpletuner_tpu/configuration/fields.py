@@ -424,7 +424,7 @@ _f(
     "distillation_method",
     FieldType.STR,
     None,
-    choices=["lcm", "dcm", "dmd", "perflow", "flow-dpo", "self-forcing", "anyflow"],
+    choices=["lcm", "teacher_matching", "dcm", "dmd", "perflow", "flow_dpo", "self_forcing", "anyflow"],
     section="distillation",
 )
 _f("distillation_config", FieldType.JSON, None, section="distillation")
@@ -438,3 +438,34 @@ _f("input_perturbation", FieldType.FLOAT, 0.0, section="misc")
 _f("input_perturbation_steps", FieldType.INT, 0, section="misc")
 _f("offset_noise", FieldType.BOOL, False, section="misc")
 _f("diff2flow_enabled", FieldType.BOOL, False, section="misc")
+
+# --- tpu-build additions (registered so CLI flags + OPTIONS.md cover them) ----------------------
+_f("layersync_gamma", FieldType.FLOAT, 0.0, help="LayerSync hidden-state regularizer weight", section="loss")
+_f("layersync_source_layer", FieldType.INT, 2, section="loss")
+_f("layersync_target_layer", FieldType.INT, -1, section="loss")
+_f("crepa_weight", FieldType.FLOAT, 0.0, help="CREPA teacher-alignment weight (needs conditioning_image_embeds)", section="loss")
+_f("crepa_layer", FieldType.INT, 8, section="loss")
+_f("moe_gate_loss_weight", FieldType.FLOAT, 0.01, help="MoE gate load-balance aux weight (hidream)", section="loss")
+_f("scheduled_sampling_max_steps", FieldType.INT, 0, help="Self-rollout steps for exposure-bias training", section="loss")
+_f("scheduled_sampling_probability", FieldType.FLOAT, 0.5, section="loss")
+_f("scheduled_sampling_step_size", FieldType.FLOAT, 0.05, section="loss")
+_f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
+_f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
+_f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")
+_f("assistant_lora_path", FieldType.STR, None, help="Frozen guidance adapter merged into the base at load", section="model")
+_f("assistant_lora_scale", FieldType.FLOAT, 1.0, section="model")
+_f("validation_preview", FieldType.BOOL, False, help="Save intermediate-step preview strips during validation", section="validation")
+_f("validation_negative_prompt_2", FieldType.STR, None, section="validation")
+_f("validation_audio_duration", FieldType.FLOAT, 5.0, section="validation")
+_f("validation_audio_sample_rate", FieldType.INT, 44100, section="validation")
+_f("profile_steps", FieldType.STR, None, help="jax.profiler trace window, e.g. '10-15'", section="observability")
+_f("disk_space_threshold_gb", FieldType.FLOAT, 5.0, section="observability")
+_f("disk_space_action", FieldType.STR, "warn", choices=["warn", "stop"], section="observability")
+_f("compile_cache_dir", FieldType.STR, None, help="Persistent XLA compile cache directory", section="acceleration")
+_f("gradient_checkpointing_policy", FieldType.STR, "full",
+   choices=["full", "dots", "single"], help="Remat policy (single = remat only single-stream blocks)",
+   section="acceleration")
+_f("use_ema_for_validation", FieldType.BOOL, False, section="validation")
+_f("controlnet_depth", FieldType.INT, 2, help="ControlNet branch depth (DiT families)", section="model")
+_f("image_embed_model", FieldType.STR, None, help="CLIP-vision repo for image-embed caches", section="data")
+_f("s2v_audio_feature_dim", FieldType.INT, 64, section="model")

@@ -173,18 +173,40 @@ class ModelFoundation:
         noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
         prepared = dict(batch)
         batch_size = latents.shape[0]
+
+        # offset noise (reference --noise_offset/--noise_offset_probability):
+        # channel-wise low-frequency offsets, applied per-sample with prob p
+        offset = float(getattr(self.config, "noise_offset", 0.0) or 0.0)
+        if offset > 0:
+            rng_off, rng_gate = jax.random.split(jax.random.fold_in(rng, 0x0F))
+            off_shape = (batch_size,) + (1,) * (latents.ndim - 2) + (latents.shape[-1],)
+            gate = (
+                jax.random.uniform(rng_gate, (batch_size,) + (1,) * (latents.ndim - 1))
+                < float(getattr(self.config, "noise_offset_probability", 0.25) or 0.25)
+            ).astype(jnp.float32)
+            noise = noise + gate * offset * jax.random.normal(rng_off, off_shape, jnp.float32)
+
+        # input perturbation (reference --input_perturbation): extra noise on
+        # the *input* only; the target keeps the clean ε
+        perturbation = float(getattr(self.config, "input_perturbation", 0.0) or 0.0)
+        input_noise = noise
+        if perturbation > 0:
+            rng_pert = jax.random.fold_in(rng, 0x1F)
+            input_noise = noise + perturbation * jax.random.normal(
+                rng_pert, latents.shape, jnp.float32
+            )
         if self.is_flow:
             seq_len = (latents.shape[1] // 2) * (latents.shape[2] // 2) if latents.ndim == 4 else None
             sigmas = sample_flow_sigmas(rng_t, batch_size, self.flow_schedule_config(), seq_len)
             prepared["sigmas"] = sigmas
             prepared["timesteps"] = sigmas  # flow models take σ∈(0,1) as the timestep
-            prepared["noisy_latents"] = flow_interpolate(latents.astype(jnp.float32), noise, sigmas)
+            prepared["noisy_latents"] = flow_interpolate(latents.astype(jnp.float32), input_noise, sigmas)
             prepared["target"] = flow_target(latents.astype(jnp.float32), noise)
         else:
             timesteps = sample_timesteps(rng_t, batch_size, self.timestep_sampling_config())
             prepared["timesteps"] = timesteps
             prepared["noisy_latents"] = add_noise(
-                latents.astype(jnp.float32), noise, timesteps, self.alphas_cumprod
+                latents.astype(jnp.float32), input_noise, timesteps, self.alphas_cumprod
             )
             if self.prediction_type == "v_prediction":
                 prepared["target"] = velocity_target(

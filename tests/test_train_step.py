@@ -155,3 +155,19 @@ def test_optimizer_names_exported():
     names = optimizer_names()
     for expected in ("adamw", "adamw_bf16", "lion", "prodigy", "muon", "soap", "bnb-lion8bit"):
         assert expected in names
+
+
+def test_noise_offset_and_input_perturbation():
+    model, state, step_fn, batch = _tiny_setup(
+        noise_offset=0.1, noise_offset_probability=1.0, input_perturbation=0.1
+    )
+    prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
+    # target is the (offset) noise, input carries extra perturbation on top
+    diff = prepared["noisy_latents"] - (
+        (1 - prepared["sigmas"].reshape(-1, 1, 1, 1)) * batch["latents"]
+        + prepared["sigmas"].reshape(-1, 1, 1, 1) * prepared["noise"]
+    )
+    assert float(jnp.abs(diff).max()) > 0  # perturbation visible on the input
+    step = jax.jit(step_fn)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(metrics["loss"])
