@@ -9,7 +9,7 @@ from .common import DistillationBase
 
 _METHODS: Dict[str, Any] = {}
 # methods in the reference not yet ported; named so configs fail loudly
-_PLANNED = ("dcm", "dmd", "perflow", "flow_dpo", "self_forcing", "anyflow")
+_PLANNED = ("dcm", "perflow", "flow_dpo", "self_forcing", "anyflow")
 
 
 def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
@@ -19,11 +19,13 @@ def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
 
 def _ensure_builtin():
     if "lcm" not in _METHODS:
+        from .dmd import DMDDistillation
         from .lcm import LCMDistillation
         from .teacher_matching import TeacherMatchingDistillation
 
         _METHODS["lcm"] = LCMDistillation
         _METHODS["teacher_matching"] = TeacherMatchingDistillation
+        _METHODS["dmd"] = DMDDistillation
 
 
 def available_methods():

@@ -41,6 +41,7 @@ def create_train_state(
     ema_config: Optional[EMAConfig] = None,
     quantize_mode: Optional[str] = None,
     teacher_params: Optional[Dict[str, Any]] = None,
+    critic_params: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
     """Split variables into frozen/trainable by model_type and initialize optimizer.
 
@@ -65,6 +66,9 @@ def create_train_state(
         frozen = {k: v for k, v in variables.items() if k != "params"}
     if teacher_params is not None:
         frozen["teacher"] = teacher_params
+    if critic_params is not None:
+        # second adapter set trained jointly (DMD fake-score critic)
+        trainable["critic_lora"] = critic_params
     if quantize_mode:
         if not train_lora:
             raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")

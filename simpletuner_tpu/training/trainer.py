@@ -331,10 +331,19 @@ class Trainer:
 
         self.distiller = init_distillation(self.config)
         self.teacher_params = None
+        self.critic_params = None
         if self.distiller is not None and self.model.lora_rank == 0:
             # full-rank student: snapshot the loaded base as the frozen teacher
             self.teacher_params = jax.tree_util.tree_map(
                 jnp.array, self.variables["params"]
+            )
+        if getattr(self.distiller, "requires_critic", False):
+            if "lora" not in self.variables:
+                raise ValueError("DMD-style distillation requires model_type=lora")
+            # fresh adapter clone for the fake-score critic (B=0 → critic
+            # starts exactly at the base/real score)
+            self.critic_params = jax.tree_util.tree_map(
+                jnp.array, self.variables["lora"]
             )
 
     def resume_and_prepare(self) -> None:
@@ -369,6 +378,7 @@ class Trainer:
             self.ema_config,
             quantize_mode=resolve_precision(self.config),
             teacher_params=getattr(self, "teacher_params", None),
+            critic_params=getattr(self, "critic_params", None),
         )
         step_fn = build_train_step(
             self.model,

@@ -37,7 +37,7 @@ class TestRegistry:
 
     def test_unimplemented_raises_not_implemented(self):
         with pytest.raises(NotImplementedError):
-            get_distillation_method("dmd")
+            get_distillation_method("perflow")
 
     def test_unknown_raises_key_error(self):
         with pytest.raises(KeyError):
@@ -76,3 +76,36 @@ def test_lora_zero_adapter_teacher_matches_base():
     pred = model.model_predict(variables, prepared)
     loss, logs = distiller.distill_loss(model, variables, prepared, pred, jax.random.PRNGKey(2))
     assert float(logs["distill_match_loss"]) < 1e-8
+
+
+class TestDMD:
+    def test_dmd_registered(self):
+        assert "dmd" in available_methods()
+
+    def test_dmd_train_step_moves_both_adapters(self):
+        model = make_model(distillation_method="dmd")
+        batch = model.example_batch(batch_size=2, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        schedule = get_lr_schedule(model.config, 10)
+        tx = get_optimizer(model.config, schedule)
+        distiller = init_distillation(model.config)
+        assert distiller.requires_critic
+        critic = jax.tree_util.tree_map(jnp.array, variables["lora"])
+        state = create_train_state(model, variables, tx, critic_params=critic)
+        assert "critic_lora" in state.trainable
+
+        step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller))
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "dmd_generator_loss" in metrics and "dmd_critic_loss" in metrics
+
+        def moved(tree_a, tree_b):
+            return any(
+                bool(jnp.any(a != b))
+                for a, b in zip(jax.tree_util.tree_leaves(tree_a), jax.tree_util.tree_leaves(tree_b))
+            )
+
+        assert moved(state.trainable["critic_lora"], state2.trainable["critic_lora"])
+        # second step: generator receives nonzero DM gradient once critic departs
+        state3, metrics3 = step(state2, batch, jax.random.PRNGKey(2))
+        assert moved(state2.trainable["lora"], state3.trainable["lora"])
