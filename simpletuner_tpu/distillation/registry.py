@@ -9,7 +9,7 @@ from .common import DistillationBase
 
 _METHODS: Dict[str, Any] = {}
 # methods in the reference not yet ported; named so configs fail loudly
-_PLANNED = ("dcm", "perflow", "flow_dpo", "self_forcing", "anyflow")
+_PLANNED = ("dcm", "flow_dpo", "self_forcing", "anyflow")
 
 
 def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
@@ -21,11 +21,13 @@ def _ensure_builtin():
     if "lcm" not in _METHODS:
         from .dmd import DMDDistillation
         from .lcm import LCMDistillation
+        from .perflow import PerFlowDistillation
         from .teacher_matching import TeacherMatchingDistillation
 
         _METHODS["lcm"] = LCMDistillation
         _METHODS["teacher_matching"] = TeacherMatchingDistillation
         _METHODS["dmd"] = DMDDistillation
+        _METHODS["perflow"] = PerFlowDistillation
 
 
 def available_methods():

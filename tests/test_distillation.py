@@ -37,7 +37,7 @@ class TestRegistry:
 
     def test_unimplemented_raises_not_implemented(self):
         with pytest.raises(NotImplementedError):
-            get_distillation_method("perflow")
+            get_distillation_method("dcm")
 
     def test_unknown_raises_key_error(self):
         with pytest.raises(KeyError):
@@ -50,7 +50,7 @@ class TestRegistry:
         assert init_distillation(make_model().config) is None
 
 
-@pytest.mark.parametrize("method", ["lcm", "teacher_matching"])
+@pytest.mark.parametrize("method", ["lcm", "teacher_matching", "perflow"])
 def test_distilled_lora_train_step(method):
     model = make_model(distillation_method=method)
     batch = model.example_batch(batch_size=2, resolution=32)
@@ -62,7 +62,11 @@ def test_distilled_lora_train_step(method):
     step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller), donate_argnums=(0,))
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
-    key = "distill_consistency_loss" if method == "lcm" else "distill_match_loss"
+    key = {
+        "lcm": "distill_consistency_loss",
+        "teacher_matching": "distill_match_loss",
+        "perflow": "perflow_loss",
+    }[method]
     assert key in metrics and np.isfinite(float(metrics[key]))
 
 
