@@ -8,9 +8,9 @@ The metric is model FLOPs utilization (MFU) of the full LoRA train step
 512px-equivalent sequence lengths, bf16 base weights.  Baseline = the driver
 north star of 40% MFU (BASELINE.json); vs_baseline = MFU / 0.40.
 
-Measured on one v5e chip: 75.6% MFU at bs4 without remat (the default here);
-60.4% at bs8 with single-stream-only remat (BENCH_REMAT=1
-BENCH_REMAT_POLICY=single BENCH_BATCH=8); 55.6% at bs8 full remat.
+Measured on one v5e chip: 75.6% MFU at 512px bs4 without remat (the default
+here); 71.7% at 1024px bs1 (3.0 samples/s/chip); 60.4% at 512px bs8 with
+single-stream-only remat; 55.6% at bs8 full remat.
 Extra context (samples/sec, step time, config) goes to stderr.
 """
 
