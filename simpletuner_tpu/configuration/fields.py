@@ -23,6 +23,7 @@ class FieldType(enum.Enum):
     BOOL = "bool"
     JSON = "json"  # dict / list parsed from a JSON string or passed through
     STR_LIST = "str_list"  # comma-separated string or list
+    PATH_OR_JSON = "path_or_json"  # filesystem path, or an inline parsed list/dict
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +69,9 @@ class ConfigField:
             import json
 
             return json.loads(value)
+        if self.type == FieldType.PATH_OR_JSON:
+            # inline structures pass through untouched; strings stay paths
+            return value if isinstance(value, (dict, list)) else str(value)
         raise ValueError(f"unknown field type {self.type}")
 
 
@@ -190,7 +194,7 @@ _f("slider_lora_target_strength", FieldType.FLOAT, 1.0, section="lora")
 _f("slider_lora_negative_strength", FieldType.FLOAT, -1.0, section="lora")
 
 # --- data -----------------------------------------------------------------------------
-_f("data_backend_config", FieldType.STR, "config/multidatabackend.json", section="data")
+_f("data_backend_config", FieldType.PATH_OR_JSON, "config/multidatabackend.json", section="data")
 _f("aspect_bucket_rounding", FieldType.INT, 2, section="data")
 _f("aspect_bucket_alignment", FieldType.INT, 64, choices=[8, 16, 32, 64], section="data")
 _f("resolution", FieldType.FLOAT, 1024, section="data")

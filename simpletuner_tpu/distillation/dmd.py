@@ -53,15 +53,26 @@ class DMDDistillation(DistillationBase):
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         if not model.is_flow:
             raise NotImplementedError("DMD here targets flow-matching families")
+        # student x0 (keeps gradients to the generator adapters)
+        x0_student = self.flow_x0(prepared["noisy_latents"], model_pred, prepared["sigmas"])
+        return self._dmd_losses(model, variables, x0_student, prepared, rng)
+
+    def _dmd_losses(
+        self,
+        model,
+        variables: Dict[str, Any],
+        x0_student: jax.Array,
+        prepared: Dict[str, jax.Array],
+        rng: jax.Array,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Distribution-matching generator loss + fake-score critic loss for a
+        student sample ``x0_student`` (gradients flow into the generator)."""
         if "critic_lora" not in variables:
             raise KeyError("DMD requires critic adapters (state.trainable['critic_lora'])")
 
         sigmas = prepared["sigmas"]
-        noisy = prepared["noisy_latents"]
+        noisy = x0_student
         shape = (sigmas.shape[0],) + (1,) * (noisy.ndim - 1)
-
-        # student x0 (keeps gradients to the generator adapters)
-        x0_student = self.flow_x0(noisy, model_pred, sigmas)
 
         # re-noise the student sample at a fresh sigma
         rng_s, rng_n = jax.random.split(rng)

@@ -9,7 +9,7 @@ from .common import DistillationBase
 
 _METHODS: Dict[str, Any] = {}
 # methods in the reference not yet ported; named so configs fail loudly
-_PLANNED = ("dcm", "flow_dpo", "self_forcing", "anyflow")
+_PLANNED = ("anyflow",)
 
 
 def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
@@ -19,15 +19,21 @@ def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
 
 def _ensure_builtin():
     if "lcm" not in _METHODS:
+        from .dcm import DCMDistillation
         from .dmd import DMDDistillation
+        from .flow_dpo import FlowDPODistillation
         from .lcm import LCMDistillation
         from .perflow import PerFlowDistillation
+        from .self_forcing import SelfForcingDistillation
         from .teacher_matching import TeacherMatchingDistillation
 
         _METHODS["lcm"] = LCMDistillation
         _METHODS["teacher_matching"] = TeacherMatchingDistillation
         _METHODS["dmd"] = DMDDistillation
         _METHODS["perflow"] = PerFlowDistillation
+        _METHODS["dcm"] = DCMDistillation
+        _METHODS["flow_dpo"] = FlowDPODistillation
+        _METHODS["self_forcing"] = SelfForcingDistillation
 
 
 def available_methods():

@@ -612,6 +612,8 @@ class Trainer:
             self.webhook_handler.send_raw(error_event("training failed", exc, self.job_id))
             self._stage("train", "failed", str(exc))
             if self.exit_on_error:
+                # SystemExit suppresses the interpreter traceback — print it first
+                logger.exception("training failed")
                 raise SystemExit(1) from exc
             raise
         finally:

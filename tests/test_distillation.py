@@ -37,7 +37,7 @@ class TestRegistry:
 
     def test_unimplemented_raises_not_implemented(self):
         with pytest.raises(NotImplementedError):
-            get_distillation_method("dcm")
+            get_distillation_method("anyflow")
 
     def test_unknown_raises_key_error(self):
         with pytest.raises(KeyError):
@@ -50,7 +50,7 @@ class TestRegistry:
         assert init_distillation(make_model().config) is None
 
 
-@pytest.mark.parametrize("method", ["lcm", "teacher_matching", "perflow"])
+@pytest.mark.parametrize("method", ["lcm", "teacher_matching", "perflow", "dcm"])
 def test_distilled_lora_train_step(method):
     model = make_model(distillation_method=method)
     batch = model.example_batch(batch_size=2, resolution=32)
@@ -66,6 +66,7 @@ def test_distilled_lora_train_step(method):
         "lcm": "distill_consistency_loss",
         "teacher_matching": "distill_match_loss",
         "perflow": "perflow_loss",
+        "dcm": "dcm_loss",
     }[method]
     assert key in metrics and np.isfinite(float(metrics[key]))
 
@@ -112,4 +113,63 @@ class TestDMD:
         assert moved(state.trainable["critic_lora"], state2.trainable["critic_lora"])
         # second step: generator receives nonzero DM gradient once critic departs
         state3, metrics3 = step(state2, batch, jax.random.PRNGKey(2))
+        assert moved(state2.trainable["lora"], state3.trainable["lora"])
+
+
+class TestFlowDPO:
+    def test_requires_rejected_latents(self):
+        model = make_model(distillation_method="flow_dpo")
+        batch = model.example_batch(batch_size=2, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        distiller = init_distillation(model.config)
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+        pred = model.model_predict(variables, prepared)
+        with pytest.raises(KeyError):
+            distiller.distill_loss(model, variables, prepared, pred, jax.random.PRNGKey(2))
+
+    def test_train_step_with_paired_rejected(self):
+        model = make_model(distillation_method="flow_dpo")
+        batch = model.example_batch(batch_size=2, resolution=32)
+        batch["control_latents"] = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(9), batch["latents"].shape), np.float32
+        )
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        schedule = get_lr_schedule(model.config, 10)
+        tx = get_optimizer(model.config, schedule)
+        distiller = init_distillation(model.config)
+        state = create_train_state(model, variables, tx)
+        step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller), donate_argnums=(0,))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "flow_dpo_margin" in metrics and "flow_dpo_beta" in metrics
+        # fresh zero adapters: policy == reference, margin exactly 0, loss = log 2
+        assert abs(float(metrics["flow_dpo_margin"])) < 1e-5
+        assert abs(float(metrics["flow_dpo_loss"]) - float(np.log(2.0))) < 1e-4
+
+
+class TestSelfForcing:
+    def test_self_forcing_train_step(self):
+        model = make_model(distillation_method="self_forcing")
+        batch = model.example_batch(batch_size=2, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        schedule = get_lr_schedule(model.config, 10)
+        tx = get_optimizer(model.config, schedule)
+        distiller = init_distillation(model.config)
+        assert distiller.requires_critic
+        critic = jax.tree_util.tree_map(jnp.array, variables["lora"])
+        state = create_train_state(model, variables, tx, critic_params=critic)
+        step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller))
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "self_forcing_generator_loss" in metrics
+        # critic moves on step 1; generator moves once critic departs
+        state3, _ = step(state2, batch, jax.random.PRNGKey(2))
+
+        def moved(a, b):
+            return any(
+                bool(jnp.any(x != y))
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+
+        assert moved(state.trainable["critic_lora"], state2.trainable["critic_lora"])
         assert moved(state2.trainable["lora"], state3.trainable["lora"])
