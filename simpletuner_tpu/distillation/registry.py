@@ -8,8 +8,9 @@ from typing import Any, Dict, Optional, Type
 from .common import DistillationBase
 
 _METHODS: Dict[str, Any] = {}
-# methods in the reference not yet ported; named so configs fail loudly
-_PLANNED = ("anyflow",)
+# reference sub-features not ported fail loudly inside their method classes
+# (e.g. DCM "fine" adversarial mode); every reference method name is registered
+_PLANNED = ()
 
 
 def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
@@ -19,6 +20,7 @@ def register(cls: Type[DistillationBase]) -> Type[DistillationBase]:
 
 def _ensure_builtin():
     if "lcm" not in _METHODS:
+        from .anyflow import AnyFlowDistillation
         from .dcm import DCMDistillation
         from .dmd import DMDDistillation
         from .flow_dpo import FlowDPODistillation
@@ -34,6 +36,7 @@ def _ensure_builtin():
         _METHODS["dcm"] = DCMDistillation
         _METHODS["flow_dpo"] = FlowDPODistillation
         _METHODS["self_forcing"] = SelfForcingDistillation
+        _METHODS["anyflow"] = AnyFlowDistillation
 
 
 def available_methods():

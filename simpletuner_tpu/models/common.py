@@ -104,7 +104,12 @@ class ModelFoundation:
         # jit the init: eager init dispatches thousands of tiny ops (very slow
         # over a remote-device tunnel); one compiled program instead
         init_fn = jax.jit(lambda r: self.module.init({"params": r}, **inputs))
-        return init_fn(rng)
+        return self.post_init_params(init_fn(rng))
+
+    def post_init_params(self, variables):
+        """Hook for families that seed fresh submodules from existing weights
+        (e.g. FlowMap delta embedders cloned from the time embedder)."""
+        return variables
 
     # ---- schedules ----------------------------------------------------------------------
     @property

@@ -57,9 +57,23 @@ class Flux(ModelFoundation):
         return self.arch.in_channels // 4  # 2x2 packing
 
     # ---- construction -----------------------------------------------------------------
+    def _flowmap_settings(self):
+        """FlowMap interval conditioning (reference helpers/models/flowmap.py),
+        enabled by AnyFlow distillation or an explicit flowmap_gate config."""
+        gate = getattr(self.config, "flowmap_gate", None)
+        deltatime = getattr(self.config, "flowmap_deltatime_type", None) or "r"
+        if gate is None and getattr(self.config, "distillation_method", None) == "anyflow":
+            mc = getattr(self.config, "distillation_config", None) or {}
+            gate = mc.get("gate_value", 0.25)
+            deltatime = mc.get("deltatime_type", "r")
+        if deltatime not in ("r", "t-r"):
+            raise ValueError("flowmap deltatime_type must be 'r' or 't-r'")
+        return float(gate or 0.0), deltatime
+
     def create_module(self):
         tread = getattr(self.config, "tread_config", None) or {}
         routes = tuple(tread.get("routes", ())) if isinstance(tread, dict) else tuple(tread or ())
+        flowmap_gate, flowmap_deltatime = self._flowmap_settings()
         return FluxTransformer(
             config=self.arch,
             dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
@@ -69,7 +83,22 @@ class Flux(ModelFoundation):
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
             remat_policy=getattr(self.config, "gradient_checkpointing_policy", None) or "full",
             tread_routes=routes,
+            flowmap_gate=flowmap_gate,
+            flowmap_deltatime_type=flowmap_deltatime,
         )
+
+    def post_init_params(self, variables):
+        # clone the time embedder into the FlowMap delta embedder (reference
+        # helpers/models/flowmap.py:7 clone_flowmap_embedder) so the interval
+        # pathway starts as a faithful copy of the time pathway
+        params = variables.get("params", {})
+        if "flowmap_delta_in" in params and "time_in" in params:
+            variables = dict(variables)
+            variables["params"] = dict(params)
+            variables["params"]["flowmap_delta_in"] = jax.tree_util.tree_map(
+                jnp.array, params["time_in"]
+            )
+        return variables
 
     def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
         latent = resolution // 8
@@ -132,6 +161,8 @@ class Flux(ModelFoundation):
         }
         if "tread_rng" in prepared:
             inputs["tread_rng"] = prepared["tread_rng"]
+        if "flowmap_r_timesteps" in prepared:
+            inputs["r_timesteps"] = prepared["flowmap_r_timesteps"]
         return inputs
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:

@@ -208,6 +208,12 @@ class FluxTransformer(nn.Module):
     # helpers/training/tread.py + flux tread_init; active only when a
     # ``tread_rng`` is passed, i.e. during training)
     tread_routes: Tuple[Any, ...] = ()
+    # FlowMap interval conditioning (reference helpers/models/flowmap.py:129
+    # blend_flowmap_embeddings, used by AnyFlow/MeanFlow distillation): a
+    # second time embedder encodes the interval endpoint and is blended into
+    # the time embedding with a fixed gate.  0.0 disables (no extra params).
+    flowmap_gate: float = 0.0
+    flowmap_deltatime_type: str = "r"  # embed r itself, or the width t - r
 
     @nn.compact
     def __call__(
@@ -219,6 +225,7 @@ class FluxTransformer(nn.Module):
         timesteps: jax.Array,
         vec: jax.Array,
         guidance: Optional[jax.Array] = None,
+        r_timesteps: Optional[jax.Array] = None,
         segment_ids: Optional[jax.Array] = None,
         tread_rng: Optional[jax.Array] = None,
         controlnet_double_residuals: Optional[Tuple[jax.Array, ...]] = None,
@@ -235,6 +242,15 @@ class FluxTransformer(nn.Module):
         time_vec = MLPEmbedder(dim, name="time_in", **common)(
             timestep_embedding(timesteps, 256).astype(self.dtype)
         )
+        if self.flowmap_gate > 0.0:
+            # r defaults to t (zero-width interval == plain flow matching)
+            r = timesteps if r_timesteps is None else r_timesteps
+            delta = r if self.flowmap_deltatime_type == "r" else timesteps - r
+            delta_vec = MLPEmbedder(dim, name="flowmap_delta_in", **common)(
+                timestep_embedding(delta, 256).astype(self.dtype)
+            )
+            gate = jnp.asarray(self.flowmap_gate, time_vec.dtype)
+            time_vec = (1.0 - gate) * time_vec + gate * delta_vec
         vec_cond = MLPEmbedder(dim, name="vector_in", **common)(vec.astype(self.dtype))
         cond = time_vec + vec_cond
         if cfg.guidance_embed:

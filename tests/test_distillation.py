@@ -35,9 +35,10 @@ class TestRegistry:
         methods = available_methods()
         assert "lcm" in methods and "teacher_matching" in methods
 
-    def test_unimplemented_raises_not_implemented(self):
+    def test_unimplemented_submode_raises(self):
+        model = make_model(distillation_method="dcm", distillation_config={"mode": "fine"})
         with pytest.raises(NotImplementedError):
-            get_distillation_method("anyflow")
+            init_distillation(model.config)
 
     def test_unknown_raises_key_error(self):
         with pytest.raises(KeyError):
@@ -173,3 +174,72 @@ class TestSelfForcing:
 
         assert moved(state.trainable["critic_lora"], state2.trainable["critic_lora"])
         assert moved(state2.trainable["lora"], state3.trainable["lora"])
+
+
+class TestAnyFlow:
+    def test_forward_stage_train_step(self):
+        model = make_model(distillation_method="anyflow")
+        batch = model.example_batch(batch_size=4, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        # flowmap delta embedder exists and is a clone of the time embedder
+        assert "flowmap_delta_in" in variables["params"]
+        a = jax.tree_util.tree_leaves(variables["params"]["flowmap_delta_in"])
+        b = jax.tree_util.tree_leaves(variables["params"]["time_in"])
+        assert all(bool(jnp.all(x == y)) for x, y in zip(a, b))
+        schedule = get_lr_schedule(model.config, 10)
+        tx = get_optimizer(model.config, schedule)
+        distiller = init_distillation(model.config)
+        assert not distiller.requires_critic
+        state = create_train_state(model, variables, tx)
+        step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller), donate_argnums=(0,))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "anyflow_forward_loss" in metrics
+        assert 0.0 <= float(metrics["anyflow_interval"]) <= 1.0
+
+    def test_onpolicy_stage_train_step(self):
+        model = make_model(
+            distillation_method="anyflow", distillation_config={"stage": "onpolicy", "rollout_step_counts": (1, 2)}
+        )
+        batch = model.example_batch(batch_size=2, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        schedule = get_lr_schedule(model.config, 10)
+        tx = get_optimizer(model.config, schedule)
+        distiller = init_distillation(model.config)
+        assert distiller.requires_critic
+        critic = jax.tree_util.tree_map(jnp.array, variables["lora"])
+        state = create_train_state(model, variables, tx, critic_params=critic)
+        step = jax.jit(build_train_step(model, tx, schedule, distiller=distiller))
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "anyflow_onpolicy_loss" in metrics
+
+    def test_diffusion_samples_get_plain_flow_target(self):
+        """r == t for the diffusion slice, so the MeanFlow target reduces to
+        noise - latents there (interval term vanishes)."""
+        model = make_model(distillation_method="anyflow")
+        distiller = init_distillation(model.config)
+        batch = model.example_batch(batch_size=4, resolution=32)
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+        prepared = distiller.prepare_batch(jax.random.PRNGKey(2), prepared, model)
+        mask = np.asarray(prepared["anyflow_diffusion_mask"])
+        assert mask[:2].all() and not mask[2:].any()  # ratio 0.5 of 4
+        t = np.asarray(prepared["sigmas"]); r = np.asarray(prepared["flowmap_r_timesteps"])
+        assert np.allclose(t[:2], r[:2])
+        assert (t[2:] >= r[2:]).all()
+
+    def test_batch_without_diffusion_samples_has_nonzero_loss(self):
+        """batch=1 -> round(0.5*1)=0 diffusion rows; adaptive weighting must
+        not zero the loss (regression: scale collapsed to 0/x)."""
+        model = make_model(distillation_method="anyflow")
+        batch = model.example_batch(batch_size=1, resolution=32)
+        batch["latents"] = jnp.asarray(
+            jax.random.normal(jax.random.PRNGKey(3), batch["latents"].shape), jnp.float32
+        )
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        distiller = init_distillation(model.config)
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+        prepared = distiller.prepare_batch(jax.random.PRNGKey(2), prepared, model)
+        pred = model.model_predict(variables, prepared)
+        loss, logs = distiller.distill_loss(model, variables, prepared, pred, jax.random.PRNGKey(4))
+        assert float(loss) > 0.0
