@@ -41,6 +41,8 @@ _FAMILIES: Dict[str, tuple] = {
     "ernie": ("simpletuner_tpu.models.extended.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
     "stable_cascade": ("simpletuner_tpu.models.extended.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),
     "wan_s2v": ("simpletuner_tpu.models.extended.model", "WanS2V", {"modality": "video", "prediction": "flow_matching"}),
+    "heartmula": ("simpletuner_tpu.models.heartmula.model", "HeartMuLa", {"modality": "audio", "prediction": "autoregressive"}),
+    "omnigen": ("simpletuner_tpu.models.omnigen.model", "OmniGen", {"modality": "image", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {
