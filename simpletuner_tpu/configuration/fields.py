@@ -404,6 +404,15 @@ _f(
 )
 _f("sageattention_usage", FieldType.STR, "untrained", section="acceleration")
 _f("tread_config", FieldType.JSON, None, help="TREAD token-dropout router config", section="acceleration")
+_f("flowmap_gate", FieldType.FLOAT, None, help="FlowMap interval-embedding gate (AnyFlow; enables a delta time embedder)", section="distillation")
+_f(
+    "flowmap_deltatime_type",
+    FieldType.STR,
+    None,
+    choices=["r", "t-r"],
+    help="FlowMap delta-time parameterisation: embed r itself or the width t-r",
+    section="distillation",
+)
 _f("fuse_qkv_projections", FieldType.BOOL, False, section="acceleration")
 
 # --- observability --------------------------------------------------------------------------
