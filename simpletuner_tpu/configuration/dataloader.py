@@ -58,6 +58,10 @@ class DatasetConfig:
     only_instance_prompt: bool = False
     caption_filter_list: Optional[str] = None
     parquet: Optional[Dict[str, Any]] = None
+    # regularization (DreamBooth prior preservation: LoRA batches from this
+    # dataset regress the parent/base model prediction, reference
+    # trainer.py:6565-6581)
+    is_regularisation_data: bool = False
     # sampling
     repeats: int = 0
     probability: float = 1.0
@@ -102,6 +106,8 @@ class DatasetConfig:
         for key, value in raw.items():
             if key in ("disable",):  # reference also accepts this spelling
                 kwargs["disabled"] = bool(value)
+            elif key == "is_regularization_data":  # reference accepts both spellings
+                kwargs["is_regularisation_data"] = bool(value)
             elif key in known:
                 kwargs[key] = value
             else:

@@ -178,6 +178,10 @@ def collate_batch(
         batch["crop_coordinates"] = np.asarray([m["crop_coordinates"] for m in metas], np.int32)
     if all("target_size" in m for m in metas):
         batch["target_sizes"] = np.asarray([m["target_size"] for m in metas], np.int32)
+    if getattr(cfg, "is_regularisation_data", False):
+        # prior-preservation flag: the train step swaps the target for the
+        # parent (adapter-disabled) prediction (reference trainer.py:6565)
+        batch["is_regularisation_data"] = np.asarray(1.0, np.float32)
     return batch
 
 

@@ -239,6 +239,27 @@ class ModelFoundation:
         prepared: Dict[str, jax.Array],
     ) -> jax.Array:
         timesteps = prepared.get("timesteps")
+        if getattr(self.config, "diff2flow_enabled", False) and not self.is_flow:
+            # diff2flow bridge (reference simpletuner/diff2flow/bridge.py):
+            # convert the ε/v prediction to a flow field and regress against
+            # ε − x0 at the flow-equivalent σ
+            from ..training.diff2flow import flow_sigma_from_timesteps, prediction_to_flow
+
+            flow_pred = prediction_to_flow(
+                model_pred, prepared["noisy_latents"], timesteps,
+                self.alphas_cumprod, self.prediction_type,
+            )
+            flow_target = prepared["noise"] - prepared["latents"].astype(jnp.float32)
+            return diffusion_loss(
+                flow_pred,
+                flow_target,
+                self.loss_config(),
+                timesteps=None,
+                alphas_cumprod=None,
+                sigmas=flow_sigma_from_timesteps(self.alphas_cumprod, timesteps),
+                mask=prepared.get("loss_mask"),
+                loss_weight=prepared.get("loss_weight"),
+            )
         return diffusion_loss(
             model_pred,
             prepared["target"],
@@ -261,6 +282,29 @@ class ModelFoundation:
     def loss_fn(self, variables, rng: jax.Array, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Single fused prepare→predict→loss, the body of the train step."""
         prepared = self.prepare_batch(rng, batch)
+        if self.lora_rank > 0 and self.lora_algo == "tlora":
+            # T-LoRA: per-sample rank gating by noise level (reference
+            # trainer calls apply_tlora_timestep_mask before the forward)
+            from .layers import set_tlora_mask, tlora_rank_mask
+
+            lyc = getattr(self.config, "lycoris_config", None) or {}
+            lyc = lyc if isinstance(lyc, dict) else {}
+            set_tlora_mask(
+                tlora_rank_mask(
+                    prepared["timesteps"],
+                    max_rank=self.lora_rank,
+                    min_rank=int(lyc.get("min_rank", 1)),
+                    alpha=float(lyc.get("mask_alpha", 1.0)),
+                    max_timestep=1.0 if self.is_flow else 1000.0,
+                )
+            )
+            try:
+                return self._loss_fn_body(variables, rng, prepared)
+            finally:
+                set_tlora_mask(None)
+        return self._loss_fn_body(variables, rng, prepared)
+
+    def _loss_fn_body(self, variables, rng: jax.Array, prepared: Dict[str, jax.Array]):
         if getattr(self.config, "scheduled_sampling_max_steps", 0):
             from ..training.scheduled_sampling import (
                 ScheduledSamplingConfig,
@@ -274,6 +318,21 @@ class ModelFoundation:
                 jax.random.fold_in(rng, 0x55),
                 ScheduledSamplingConfig.from_config(self.config),
             )
+        if (
+            self.lora_rank > 0
+            and "is_regularisation_data" in prepared
+            and "target" in prepared
+        ):
+            # prior preservation (reference trainer.py:6565-6581): for
+            # regularisation batches the target is the parent model's own
+            # prediction (adapters zeroed), keeping the base distribution
+            zero_lora = jax.tree_util.tree_map(jnp.zeros_like, variables["lora"])
+            parent = jax.lax.stop_gradient(
+                self.model_predict({**variables, "lora": zero_lora}, prepared)
+            )
+            flag = prepared["is_regularisation_data"].reshape((1,) * prepared["target"].ndim)
+            prepared = dict(prepared)
+            prepared["target"] = jnp.where(flag > 0, parent, prepared["target"])
         from ..training.repa import RepaConfig, repa_auxiliary_loss
 
         repa = RepaConfig.from_config(self.config)
@@ -354,11 +413,18 @@ class ModelFoundation:
                 else:
                     lyc = {}
             algo = ((lyc or {}).get("algo") or "lokr").lower()
-            if algo != "lokr":
-                raise NotImplementedError(
-                    f"lycoris algo {algo!r} not ported yet; available: lokr"
-                )
-            return "lokr"
+            if algo in ("lokr",):
+                return "lokr"
+            if algo in ("tlora", "t-lora"):
+                return "tlora"
+            raise NotImplementedError(
+                f"lycoris algo {algo!r} not ported yet; available: lokr, tlora"
+            )
+        # reference --peft_lora_mode=singlora / --lora_type=singlora (peft-singlora)
+        if lora_type == "singlora" or (
+            (getattr(self.config, "peft_lora_mode", None) or "standard").lower() == "singlora"
+        ):
+            return "singlora"
         return "lora"
 
     def huggingface_path(self) -> Optional[str]:

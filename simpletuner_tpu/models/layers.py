@@ -20,6 +20,27 @@ from ..ops import apply_rope, dot_product_attention
 
 Dtype = Any
 
+# T-LoRA per-sample rank mask, set for the duration of one traced forward
+# (same trace-context-global pattern as ops.attention's CP config).  Shape
+# (B, rank); None disables.
+_TLORA_MASK: Optional[jax.Array] = None
+
+
+def set_tlora_mask(mask: Optional[jax.Array]) -> None:
+    global _TLORA_MASK
+    _TLORA_MASK = mask
+
+
+def tlora_rank_mask(
+    timesteps: jax.Array, max_rank: int, min_rank: int = 1,
+    alpha: float = 1.0, max_timestep: float = 1.0,
+) -> jax.Array:
+    """(B, max_rank) 0/1 mask: fewer active ranks at higher noise (reference
+    lycoris tlora compute_timestep_mask; t in [0, max_timestep])."""
+    frac = jnp.clip(1.0 - timesteps.astype(jnp.float32) / max_timestep, 0.0, 1.0)
+    active = min_rank + (max_rank - min_rank) * frac**alpha
+    return (jnp.arange(max_rank)[None, :] < active[:, None]).astype(jnp.float32)
+
 
 def lokr_factorize(n: int, factor: int = -1) -> Tuple[int, int]:
     """LyCORIS LoKr dimension factorization: n = m * k with m <= k.
@@ -69,7 +90,9 @@ class LoRADense(nn.Module):
         if self.lora_rank > 0:
             if self.lora_algo == "lokr":
                 y = y + self._lokr_delta(x, in_features)
-            else:
+            elif self.lora_algo == "singlora":
+                y = y + self._singlora_delta(x, in_features)
+            else:  # "lora" and "tlora" share the two-matrix form
                 y = y + self._lora_delta(x, in_features)
         return y
 
@@ -89,9 +112,38 @@ class LoRADense(nn.Module):
             None,
         )
         scale = alpha / rank
+        h = jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype))
+        if self.lora_algo == "tlora" and _TLORA_MASK is not None:
+            # T-LoRA per-sample rank gating (reference helpers/training/
+            # lycoris.py:13 apply_tlora_timestep_mask): mask shape (B, rank)
+            mask = _TLORA_MASK.reshape(
+                (_TLORA_MASK.shape[0],) + (1,) * (h.ndim - 2) + (rank,)
+            )
+            h = h * mask.astype(h.dtype)
+        return scale * jnp.dot(h, lora_b.value.astype(self.dtype))
+
+    def _singlora_delta(self, x: jax.Array, in_features: int) -> jax.Array:
+        """SingLoRA (reference: peft-singlora, --peft_lora_mode=singlora):
+        one matrix A (max(in,out) × r), ΔW = A[:in] @ A[:out]ᵀ — half the
+        adapter params of LoRA and symmetric-by-construction for square W.
+        The paper's u(t) warm-up ramp is handled by the LR schedule here
+        (jit keeps weights step-independent)."""
+        rank = self.lora_rank
+        alpha = self.lora_alpha if self.lora_alpha is not None else float(rank)
+        size = max(in_features, self.features)
+        # small (not zero) init: ΔW = A Aᵀ is quadratic in A, so A=0 is a
+        # saddle with zero gradient; tiny A gives ΔW≈0 with usable gradients
+        a = self.variable(
+            "lora",
+            "singlora_A",
+            lambda rng: nn.initializers.normal(stddev=1e-3)(rng, (size, rank), self.param_dtype),
+            self.make_rng("params") if self.is_initializing() else None,
+        )
+        mat = a.value.astype(self.dtype)
+        scale = alpha / rank
+        # ΔW = A_in @ A_outᵀ, applied without materialising ΔW
         return scale * jnp.dot(
-            jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype)),
-            lora_b.value.astype(self.dtype),
+            jnp.dot(x.astype(self.dtype), mat[:in_features]), mat[: self.features].T
         )
 
     def _lokr_delta(self, x: jax.Array, in_features: int) -> jax.Array:

@@ -311,7 +311,11 @@ class Trainer:
     def _example_batch(self) -> Dict[str, jax.Array]:
         if self.data_plane is not None:
             raw = self.data_plane.iterator.next_batch()
-            return {k: jnp.asarray(v[:1]) for k, v in raw.items() if isinstance(v, np.ndarray)}
+            return {
+                k: jnp.asarray(v if v.ndim == 0 else v[:1])
+                for k, v in raw.items()
+                if isinstance(v, np.ndarray)
+            }
         return self.model.example_batch()
 
     def init_trainable_peft_adapter(self) -> None:
