@@ -124,9 +124,11 @@ class VAECache:
                 prepared, meta = prepare_video(frames, self.bucket_config, self.crop_style, rng)
                 return path, video_to_array(prepared), meta
 
-            from PIL import Image
+            from PIL import Image, ImageOps
 
             image = Image.open(io.BytesIO(self.data_backend.read(path)))
+            # honor EXIF orientation (reference image_manipulation/load.py)
+            image = ImageOps.exif_transpose(image)
             sample = prepare_image(image, self.bucket_config, self.crop_style, rng)
             meta = {
                 "original_size": list(sample.original_size),

@@ -56,6 +56,10 @@ class MetadataBackend:
             from PIL import Image
 
             with Image.open(io.BytesIO(self.data_backend.read(path))) as img:
+                # EXIF orientations 5-8 rotate 90°: displayed W/H are swapped
+                orientation = (img.getexif() or {}).get(0x0112, 1)
+                if orientation in (5, 6, 7, 8):
+                    return img.size[1], img.size[0]
                 return img.size
         except Exception:
             return None

@@ -518,10 +518,22 @@ class Trainer:
 
         train_rng = jax.random.fold_in(self.rng, 0xBEEF)
         start_step = self.global_step
+        fetcher = None
+        if self.config.get("dataloader_prefetch"):
+            from ..data.batch_fetcher import BatchFetcher
+
+            fetcher = BatchFetcher(
+                self.data_plane.iterator,
+                start_step=self.global_step,
+                depth=int(self.config.get("dataloader_prefetch_qlen", 10) or 10),
+            )
         try:
             while self.global_step < self.max_train_steps and not self.should_abort:
-                raw = self.data_plane.iterator.next_batch(step=self.global_step)
-                self.epoch = self.data_plane.iterator.epoch
+                if fetcher is not None:
+                    raw, self.epoch = fetcher.next_batch()
+                else:
+                    raw = self.data_plane.iterator.next_batch(step=self.global_step)
+                    self.epoch = self.data_plane.iterator.epoch
                 if getattr(self, "_slider_embeds", None) is not None:
                     raw = self._apply_slider_polarity(raw)
                 batch = self._device_batch(raw)
@@ -621,6 +633,8 @@ class Trainer:
                 raise SystemExit(1) from exc
             raise
         finally:
+            if fetcher is not None:
+                fetcher.stop()
             self.checkpoint_manager.wait()
             if getattr(self, "profiler", None) is not None:
                 self.profiler.close()
