@@ -462,6 +462,10 @@ _f("moe_gate_loss_weight", FieldType.FLOAT, 0.01, help="MoE gate load-balance au
 _f("scheduled_sampling_max_steps", FieldType.INT, 0, help="Self-rollout steps for exposure-bias training", section="loss")
 _f("scheduled_sampling_probability", FieldType.FLOAT, 0.5, section="loss")
 _f("scheduled_sampling_step_size", FieldType.FLOAT, 0.05, section="loss")
+_f("scheduled_sampling_reflexflow", FieldType.BOOL, None, help="ReflexFlow exposure weighting (default on with scheduled sampling on flow models)", section="loss")
+_f("scheduled_sampling_reflexflow_alpha", FieldType.FLOAT, 1.0, section="loss")
+_f("scheduled_sampling_reflexflow_beta1", FieldType.FLOAT, 10.0, help="ReflexFlow angular direction-regression scale", section="loss")
+_f("scheduled_sampling_reflexflow_beta2", FieldType.FLOAT, 1.0, section="loss")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

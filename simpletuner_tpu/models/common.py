@@ -260,7 +260,28 @@ class ModelFoundation:
                 mask=prepared.get("loss_mask"),
                 loss_weight=prepared.get("loss_weight"),
             )
-        return diffusion_loss(
+        elementwise = None
+        extra = 0.0
+        if "_reflexflow_clean_pred" in prepared:
+            # ReflexFlow (reference common.py:5753-5785): upweight components
+            # that vanish under rollout + angular direction regression
+            from ..training.scheduled_sampling import ScheduledSamplingConfig
+
+            ss = ScheduledSamplingConfig.from_config(self.config)
+            exposure = prepared["_reflexflow_clean_pred"] - prepared["_reflexflow_biased_pred"]
+            axes = tuple(range(1, exposure.ndim))
+            norm = jnp.maximum(jnp.sum(jnp.abs(exposure), axis=axes, keepdims=True), 1e-6)
+            elementwise = ss.reflexflow_beta2 * (
+                1.0 + ss.reflexflow_alpha * exposure / norm
+            )
+            if ss.reflexflow_beta1 != 0.0:
+                batch = model_pred.shape[0]
+                target_vec = (prepared["noisy_latents"] - prepared["latents"]).reshape(batch, -1)
+                pred_flat = model_pred.reshape(batch, -1).astype(jnp.float32)
+                t_dir = target_vec / jnp.maximum(jnp.linalg.norm(target_vec, axis=1, keepdims=True), 1e-6)
+                p_dir = pred_flat / jnp.maximum(jnp.linalg.norm(pred_flat, axis=1, keepdims=True), 1e-6)
+                extra = ss.reflexflow_beta1 * jnp.mean(jnp.sum((p_dir - t_dir) ** 2, axis=1))
+        return extra + diffusion_loss(
             model_pred,
             prepared["target"],
             self.loss_config(),
@@ -269,6 +290,7 @@ class ModelFoundation:
             sigmas=prepared.get("sigmas"),
             mask=prepared.get("loss_mask"),
             loss_weight=prepared.get("loss_weight"),
+            elementwise_weight=elementwise,
         )
 
     def model_predict_with_intermediates(self, variables, prepared):

@@ -242,16 +242,21 @@ def diffusion_loss(
     mask: Optional[jax.Array] = None,
     loss_weight: Optional[jax.Array] = None,
     num_train_timesteps: int = 1000,
+    elementwise_weight: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scalar training loss with SNR weighting and optional pixel mask.
 
-    ``mask``: broadcastable to pred (1 = keep); ``loss_weight``: per-sample weight.
+    ``mask``: broadcastable to pred (1 = keep); ``loss_weight``: per-sample
+    weight; ``elementwise_weight``: per-element multiplier applied before
+    reduction (ReflexFlow exposure weighting).
     """
     batch = model_pred.shape[0]
     huber_c = _huber_c_for(config, timesteps, num_train_timesteps)
     if huber_c.ndim:  # per-timestep schedule → broadcast over spatial dims
         huber_c = huber_c.reshape(batch, *([1] * (model_pred.ndim - 1)))
     loss = _pointwise_loss(model_pred, target, config, huber_c)
+    if elementwise_weight is not None:
+        loss = loss * elementwise_weight.astype(jnp.float32)
 
     if mask is not None:
         mask = mask.astype(jnp.float32)

@@ -25,13 +25,26 @@ class ScheduledSamplingConfig:
     max_steps: int = 0  # 0 = disabled
     probability: float = 0.5  # chance a batch uses rollout at all
     step_size: float = 0.05  # σ distance covered by each rollout step
+    # ReflexFlow (reference rollout.py:98 + common.py:5753-5785): weight the
+    # loss toward components that vanish under rollout, plus an angular
+    # direction-regression (ADR) term.  Default on for flow models with
+    # scheduled sampling (reference _maybe_enable_reflexflow_default).
+    reflexflow: bool = True
+    reflexflow_alpha: float = 1.0
+    reflexflow_beta1: float = 10.0  # ADR scale
+    reflexflow_beta2: float = 1.0  # global loss scale
 
     @classmethod
     def from_config(cls, config: Any) -> "ScheduledSamplingConfig":
+        reflex = config.get("scheduled_sampling_reflexflow", None)
         return cls(
             max_steps=int(config.get("scheduled_sampling_max_steps", 0) or 0),
             probability=float(config.get("scheduled_sampling_probability", 0.5) or 0.5),
             step_size=float(config.get("scheduled_sampling_step_size", 0.05) or 0.05),
+            reflexflow=True if reflex is None else bool(reflex),
+            reflexflow_alpha=float(config.get("scheduled_sampling_reflexflow_alpha", 1.0) or 0.0),
+            reflexflow_beta1=float(config.get("scheduled_sampling_reflexflow_beta1", 10.0) or 0.0),
+            reflexflow_beta2=float(config.get("scheduled_sampling_reflexflow_beta2", 1.0) or 1.0),
         )
 
 
@@ -87,4 +100,13 @@ def apply_scheduled_sampling(
     # target stays v = ε' − x0 for the re-noised trajectory where used
     new_target = noise - x0
     out["target"] = jnp.where(use.reshape(shape), new_target, prepared["target"])
+    if ss_config.reflexflow:
+        # exposure-bias probes: prediction at the analytic state vs the
+        # rolled-out state, both stop-grad (reference rollout.py:117-196)
+        clean = jax.lax.stop_gradient(model.model_predict(variables, prepared))
+        biased_prepared = dict(prepared)
+        biased_prepared["noisy_latents"] = out["noisy_latents"]
+        biased = jax.lax.stop_gradient(model.model_predict(variables, biased_prepared))
+        out["_reflexflow_clean_pred"] = clean
+        out["_reflexflow_biased_pred"] = biased
     return out

@@ -75,3 +75,39 @@ def test_loss_fn_with_scheduled_sampling_grads():
     value, grads = jax.jit(jax.value_and_grad(loss))(variables["lora"])
     assert np.isfinite(float(value))
     assert any(float(jnp.linalg.norm(g)) > 0 for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_reflexflow_taps_and_weighted_loss(setup):
+    """ReflexFlow records clean/biased probes and the weighted loss stays
+    finite; disabling it removes the probes."""
+    model, batch, variables = setup
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    ss = ScheduledSamplingConfig(max_steps=2, probability=1.0, step_size=0.1, reflexflow=True)
+    out = apply_scheduled_sampling(model, variables, prepared, jax.random.PRNGKey(2), ss)
+    assert "_reflexflow_clean_pred" in out and "_reflexflow_biased_pred" in out
+    assert out["_reflexflow_clean_pred"].shape == prepared["noisy_latents"].shape
+
+    ss_off = ScheduledSamplingConfig(max_steps=2, probability=1.0, step_size=0.1, reflexflow=False)
+    out_off = apply_scheduled_sampling(model, variables, prepared, jax.random.PRNGKey(2), ss_off)
+    assert "_reflexflow_clean_pred" not in out_off
+
+
+def test_reflexflow_loss_fn_end_to_end():
+    model = make_model(
+        scheduled_sampling_max_steps=2,
+        scheduled_sampling_probability=1.0,
+        scheduled_sampling_reflexflow=True,
+    )
+    batch = model.example_batch(batch_size=2, resolution=32)
+    batch["latents"] = jax.random.normal(jax.random.PRNGKey(5), batch["latents"].shape)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    loss, _ = jax.jit(lambda v, r: model.loss_fn(v, r, batch))(variables, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # ADR term (beta1=10) makes the reflexflow loss differ from the plain one
+    model_off = make_model(
+        scheduled_sampling_max_steps=2,
+        scheduled_sampling_probability=1.0,
+        scheduled_sampling_reflexflow=False,
+    )
+    loss_off, _ = jax.jit(lambda v, r: model_off.loss_fn(v, r, batch))(variables, jax.random.PRNGKey(1))
+    assert abs(float(loss) - float(loss_off)) > 1e-6
