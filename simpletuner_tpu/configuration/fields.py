@@ -466,6 +466,12 @@ _f("scheduled_sampling_reflexflow", FieldType.BOOL, None, help="ReflexFlow expos
 _f("scheduled_sampling_reflexflow_alpha", FieldType.FLOAT, 1.0, section="loss")
 _f("scheduled_sampling_reflexflow_beta1", FieldType.FLOAT, 10.0, help="ReflexFlow angular direction-regression scale", section="loss")
 _f("scheduled_sampling_reflexflow_beta2", FieldType.FLOAT, 1.0, section="loss")
+_f("twinflow_enabled", FieldType.BOOL, False, help="TwinFlow RCGM consistency aux losses for few-step flow models", section="loss")
+_f("twinflow_estimate_order", FieldType.INT, 2, section="loss")
+_f("twinflow_delta_t", FieldType.FLOAT, 0.01, section="loss")
+_f("twinflow_target_clamp", FieldType.FLOAT, 1.0, section="loss")
+_f("twinflow_realvel_weight", FieldType.FLOAT, 1.0, section="loss")
+_f("twinflow_adversarial_enabled", FieldType.BOOL, False, help="negative-time twin stage (not ported; fails loudly)", section="loss")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

@@ -356,7 +356,15 @@ class ModelFoundation:
             prepared = dict(prepared)
             prepared["target"] = jnp.where(flag > 0, parent, prepared["target"])
         from ..training.repa import RepaConfig, repa_auxiliary_loss
+        from ..training.twinflow import TwinFlowSettings, sample_tt, twinflow_losses
 
+        twinflow = TwinFlowSettings.from_config(self.config)
+        if twinflow.enabled:
+            # student is conditioned on (σ, tt); tt rides the FlowMap input
+            prepared = dict(prepared)
+            tt = sample_tt(jax.random.fold_in(rng, 0x72), prepared["sigmas"])
+            prepared["twinflow_tt"] = tt
+            prepared["flowmap_r_timesteps"] = tt
         repa = RepaConfig.from_config(self.config)
         aux: Dict[str, jax.Array] = {}
         if repa.enabled:
@@ -367,6 +375,12 @@ class ModelFoundation:
         else:
             pred = self.model_predict(variables, prepared)
             loss = self.compute_loss(pred, prepared)
+        if twinflow.enabled:
+            twin_loss, twin_logs = twinflow_losses(
+                self, variables, prepared, pred, rng, twinflow
+            )
+            loss = loss + twin_loss
+            aux.update(twin_logs)
         aux["timesteps"] = prepared["timesteps"]
         return loss, aux
 

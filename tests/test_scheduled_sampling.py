@@ -111,3 +111,26 @@ def test_reflexflow_loss_fn_end_to_end():
     )
     loss_off, _ = jax.jit(lambda v, r: model_off.loss_fn(v, r, batch))(variables, jax.random.PRNGKey(1))
     assert abs(float(loss) - float(loss_off)) > 1e-6
+
+
+class TestTwinFlow:
+    def test_twinflow_aux_losses(self):
+        model = make_model(twinflow_enabled=True, flowmap_gate=0.25)
+        batch = model.example_batch(batch_size=2, resolution=32)
+        batch["latents"] = jax.random.normal(jax.random.PRNGKey(5), batch["latents"].shape)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        loss, logs = jax.jit(lambda v, r: model.loss_fn(v, r, batch))(
+            variables, jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(loss))
+        assert "twinflow_base" in logs and "twinflow_realvel" in logs
+        assert float(logs["twinflow_base"]) >= 0
+
+    def test_adversarial_stage_fails_loudly(self):
+        import pytest
+
+        from simpletuner_tpu.training.twinflow import TwinFlowSettings
+
+        model = make_model(twinflow_enabled=True, twinflow_adversarial_enabled=True)
+        with pytest.raises(NotImplementedError):
+            TwinFlowSettings.from_config(model.config)
