@@ -472,6 +472,9 @@ _f("twinflow_delta_t", FieldType.FLOAT, 0.01, section="loss")
 _f("twinflow_target_clamp", FieldType.FLOAT, 1.0, section="loss")
 _f("twinflow_realvel_weight", FieldType.FLOAT, 1.0, section="loss")
 _f("twinflow_adversarial_enabled", FieldType.BOOL, False, help="negative-time twin stage (not ported; fails loudly)", section="loss")
+_f("urepa_enabled", FieldType.BOOL, False, help="U-REPA mid-block alignment for UNets (teacher features from cache)", section="loss")
+_f("urepa_lambda", FieldType.FLOAT, 0.5, section="loss")
+_f("urepa_manifold_weight", FieldType.FLOAT, 3.0, section="loss")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

@@ -330,6 +330,12 @@ class UNet2DCondition(nn.Module):
             **common,
         )(x, context)
         x = resnet_cls(mid_ch, cfg.norm_groups, name="mid_res_1", **common)(x, temb)
+        # mid-block tap for U-REPA alignment (reference crepa.py:756 UrepaRegularizer
+        # consumes mid-block features); flattened to (B, H·W, C) token layout
+        self.sow(
+            "intermediates", "mid_hidden",
+            x.reshape(x.shape[0], x.shape[1] * x.shape[2], x.shape[3]),
+        )
         if controlnet_mid_residual is not None:
             x = x + controlnet_mid_residual
 

@@ -28,6 +28,11 @@ class RepaConfig:
     layersync_target_layer: int = -1
     crepa_weight: float = 0.0  # weight of CREPA alignment; 0 = off
     crepa_layer: int = 8
+    # U-REPA (reference crepa.py:756 UrepaRegularizer): UNet mid-block tokens
+    # align to cached teacher features; manifold term matches the batch-pair
+    # similarity structure
+    urepa_weight: float = 0.0
+    urepa_manifold_weight: float = 3.0
 
     @classmethod
     def from_config(cls, config: Any) -> "RepaConfig":
@@ -37,11 +42,15 @@ class RepaConfig:
             layersync_target_layer=int(config.get("layersync_target_layer", -1) or -1),
             crepa_weight=float(config.get("crepa_weight", 0.0) or 0.0),
             crepa_layer=int(config.get("crepa_layer", 8) or 8),
+            urepa_weight=float(config.get("urepa_lambda", 0.0) or 0.0)
+            if config.get("urepa_enabled", False)
+            else 0.0,
+            urepa_manifold_weight=float(config.get("urepa_manifold_weight", 3.0) or 3.0),
         )
 
     @property
     def enabled(self) -> bool:
-        return self.layersync_gamma > 0 or self.crepa_weight > 0
+        return self.layersync_gamma > 0 or self.crepa_weight > 0 or self.urepa_weight > 0
 
 
 def _flat_hiddens(intermediates: Dict[str, Any]):
@@ -54,6 +63,24 @@ def _flat_hiddens(intermediates: Dict[str, Any]):
             continue
         out.append((name, value))
     return out
+
+
+def _match_tokens(layer: jax.Array, teacher: jax.Array) -> jax.Array:
+    """Adapt (B, S_h, D_h) hidden tokens to the teacher's (S_t, D_t) layout by
+    channel-group and token-group mean pooling (parameter-free stand-in for
+    the reference's learned projector, which would need its own optimizer)."""
+    d_h, d_t = layer.shape[-1], teacher.shape[-1]
+    if d_h != d_t:
+        if d_h % d_t == 0:
+            layer = layer.reshape(*layer.shape[:-1], d_t, d_h // d_t).mean(-1)
+        else:
+            layer = layer[..., :d_t]
+    if layer.shape[1] != teacher.shape[1]:
+        ratio = max(layer.shape[1] // teacher.shape[1], 1)
+        layer = layer[:, : teacher.shape[1] * ratio].reshape(
+            layer.shape[0], teacher.shape[1], ratio, -1
+        ).mean(2)
+    return layer
 
 
 def _cosine_align(source: jax.Array, target: jax.Array) -> jax.Array:
@@ -85,19 +112,30 @@ def repa_auxiliary_loss(
     if repa.crepa_weight > 0 and "teacher_embeds" in batch:
         layer = hiddens[repa.crepa_layer % len(hiddens)][1]
         teacher = batch["teacher_embeds"]  # (B, S, D_t) — pooled per token group
-        # project hidden to teacher width by mean pooling the channel groups
-        d_h, d_t = layer.shape[-1], teacher.shape[-1]
-        if d_h != d_t:
-            if d_h % d_t == 0:
-                layer = layer.reshape(*layer.shape[:-1], d_t, d_h // d_t).mean(-1)
-            else:
-                layer = layer[..., :d_t]
-        if layer.shape[1] != teacher.shape[1]:
-            ratio = max(layer.shape[1] // teacher.shape[1], 1)
-            layer = layer[:, : teacher.shape[1] * ratio].reshape(
-                layer.shape[0], teacher.shape[1], ratio, -1
-            ).mean(2)
+        layer = _match_tokens(layer, teacher)
         value = _cosine_align(layer, teacher)
         total = total + repa.crepa_weight * value
         logs["crepa_loss"] = value
+
+    if repa.urepa_weight > 0 and "teacher_embeds" in batch:
+        # U-REPA: mid-block tokens (sown as "mid_hidden") → cosine alignment
+        # plus batch-pair manifold matching (reference crepa.py:993
+        # _compute_manifold_loss ||sim(y_i,y_j) − sim(h_i,h_j)||²)
+        mid = dict(hiddens).get("mid_hidden")
+        if mid is None:
+            mid = hiddens[len(hiddens) // 2][1]
+        if mid.ndim == 4:  # (1, B, S, D) sow stacking
+            mid = mid[0]
+        teacher = jax.lax.stop_gradient(batch["teacher_embeds"].astype(jnp.float32))
+        mid = _match_tokens(mid, teacher)
+        align = _cosine_align(mid, teacher)
+        p = jnp.mean(mid.astype(jnp.float32), axis=1)
+        e = jnp.mean(teacher, axis=1)
+        p = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-6)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
+        manifold = jnp.mean((p @ p.T - e @ e.T) ** 2)
+        value = align + repa.urepa_manifold_weight * manifold
+        total = total + repa.urepa_weight * value
+        logs["urepa_alignment_loss"] = align
+        logs["urepa_manifold_loss"] = manifold
     return total, logs

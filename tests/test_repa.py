@@ -73,3 +73,21 @@ def test_wan_intermediates():
 def test_disabled_by_default():
     config = RepaConfig.from_config(make_flux().config)
     assert not config.enabled
+
+
+def test_urepa_unet_mid_block():
+    from simpletuner_tpu.models.sd1x.model import SD1x
+
+    cfg = TrainingConfig(
+        {"model_family": "sd1x", "model_type": "lora", "model_arch_preset": "tiny",
+         "lora_rank": 4, "optimizer": "adamw", "learning_rate": 1e-3,
+         "max_train_steps": 10, "urepa_enabled": True, "urepa_lambda": 0.5}
+    )
+    model = SD1x(cfg)
+    batch = model.example_batch(batch_size=2, resolution=32)
+    batch["latents"] = jax.random.normal(jax.random.PRNGKey(4), batch["latents"].shape)
+    batch["teacher_embeds"] = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 16))
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    value, aux = model.loss_fn(variables, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(value))
+    assert "urepa_alignment_loss" in aux and "urepa_manifold_loss" in aux
