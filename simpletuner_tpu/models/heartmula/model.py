@@ -56,11 +56,15 @@ class HeartMuLaModule(nn.Module):
         uncond_table = nn.Embed(1, d_backbone, param_dtype=self.param_dtype,
                                 name="unconditional_text_embedding")
 
-        # summed masked frame embedding (reference modeling_heartmula.py:166)
+        # summed masked frame embedding (reference modeling_heartmula.py:166);
+        # the uncond table is always materialised so the param exists even
+        # when caption dropout is off
         text_embeds = text_table(tokens[:, :, -1])
+        uncond = uncond_table(jnp.zeros((1,), jnp.int32))[0]
         if uncond_mask is not None:
-            uncond = uncond_table(jnp.zeros((1,), jnp.int32))[0]
             text_embeds = jnp.where(uncond_mask[:, None, None], uncond, text_embeds)
+        else:
+            text_embeds = text_embeds + 0.0 * uncond  # keep the param in the graph
         offsets = self.audio_vocab * jnp.arange(K)
         audio_embeds = audio_table(tokens[:, :, :K] + offsets)  # (B, S, K, D)
         embeds = jnp.concatenate([audio_embeds, text_embeds[:, :, None, :]], axis=2)
