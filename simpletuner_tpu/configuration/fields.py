@@ -475,6 +475,7 @@ _f("twinflow_adversarial_enabled", FieldType.BOOL, False, help="negative-time tw
 _f("urepa_enabled", FieldType.BOOL, False, help="U-REPA mid-block alignment for UNets (teacher features from cache)", section="loss")
 _f("urepa_lambda", FieldType.FLOAT, 0.5, section="loss")
 _f("urepa_manifold_weight", FieldType.FLOAT, 3.0, section="loss")
+_f("max_grounding_entities", FieldType.INT, 0, help="GLIGEN bbox grounding slots per sample (UNet families); 0 = off", section="model")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

@@ -61,17 +61,30 @@ class SD1x(ModelFoundation):
 
     def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
         latent = resolution // 8
-        return {
+        batch = {
             "latents": jnp.zeros((batch_size, latent, latent, self.arch.in_channels), jnp.float32),
             "text_embeds": jnp.zeros((batch_size, 77, self.arch.cross_attention_dim), jnp.float32),
         }
+        entities = int(getattr(self.config, "max_grounding_entities", 0) or 0)
+        if entities > 0:  # GLIGEN grounding slots (reference grounding/collate.py)
+            batch["grounding_boxes"] = jnp.zeros((batch_size, entities, 4), jnp.float32)
+            batch["grounding_phrases"] = jnp.zeros(
+                (batch_size, entities, self.arch.cross_attention_dim), jnp.float32
+            )
+            batch["grounding_masks"] = jnp.zeros((batch_size, entities), jnp.float32)
+        return batch
 
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        return {
+        inputs = {
             "sample": prepared["noisy_latents"],
             "timesteps": prepared["timesteps"],
             "encoder_hidden_states": prepared["text_embeds"],
         }
+        if "grounding_boxes" in prepared:
+            inputs["grounding_boxes"] = prepared["grounding_boxes"]
+            inputs["grounding_phrases"] = prepared["grounding_phrases"]
+            inputs["grounding_masks"] = prepared.get("grounding_masks")
+        return inputs
 
     # ---- controlnet (reference sd1x/sdxl controlnet pipelines) --------------------------
     def controlnet_module(self):

@@ -147,6 +147,36 @@ class CrossAttention(nn.Module):
         return LoRADense(inner, name="to_out", **common)(out)
 
 
+class PositionNet(nn.Module):
+    """GLIGEN grounding-token builder (reference
+    helpers/training/grounding/gligen_layers.py + diffusers PositionNet):
+    fourier-embedded boxes + phrase embeds → grounding tokens, with learned
+    null features filling masked-out entity slots."""
+
+    out_dim: int
+    fourier_freqs: int = 8
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, boxes: jax.Array, phrases: jax.Array, masks: jax.Array) -> jax.Array:
+        # boxes (B, N, 4) in [0,1] xyxy; phrases (B, N, D_text); masks (B, N)
+        freqs = 100.0 ** (jnp.arange(self.fourier_freqs) / self.fourier_freqs)
+        pos = boxes[..., None] * freqs  # (B, N, 4, F)
+        pos = jnp.concatenate([jnp.sin(pos), jnp.cos(pos)], axis=-1)
+        pos = pos.reshape(boxes.shape[0], boxes.shape[1], -1)  # (B, N, 8F)
+        null_pos = self.param("null_position_feature", nn.initializers.zeros, (pos.shape[-1],), self.param_dtype)
+        null_text = self.param("null_text_feature", nn.initializers.zeros, (phrases.shape[-1],), self.param_dtype)
+        m = masks[..., None].astype(jnp.float32)
+        text = phrases.astype(jnp.float32) * m + (1.0 - m) * null_text
+        pos = pos * m + (1.0 - m) * null_pos
+        h = jnp.concatenate([text, pos], axis=-1).astype(self.dtype)
+        dense = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.silu(LoRADense(self.out_dim // 2, name="linear_0", **dense)(h))
+        h = nn.silu(LoRADense(self.out_dim // 2, name="linear_1", **dense)(h))
+        return LoRADense(self.out_dim, name="linear_2", **dense)(h)
+
+
 class TransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
@@ -156,8 +186,19 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
+    def _gate(self, name: str) -> jax.Array:
+        """Zero-init fuser gate; lives in the ``lora`` collection under LoRA
+        training so GLIGEN layers learn alongside the adapters."""
+        if self.lora_rank > 0:
+            var = self.variable(
+                "lora", name, lambda rng: jnp.zeros((), self.param_dtype),
+                self.make_rng("params") if self.is_initializing() else None,
+            )
+            return var.value
+        return self.param(name, nn.initializers.zeros, (), self.param_dtype)
+
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, context: jax.Array, objs: Optional[jax.Array] = None) -> jax.Array:
         common = dict(
             num_heads=self.num_heads,
             head_dim=self.head_dim,
@@ -170,6 +211,25 @@ class TransformerBlock(nn.Module):
         x = x + CrossAttention(name="attn1", **common)(
             nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
         )
+        if objs is not None:
+            # GLIGEN gated self-attention fuser (diffusers
+            # GatedSelfAttentionDense; injected per reference gligen_layers.py:49)
+            inner = x.shape[-1]
+            dense = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                         lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                         lora_algo=self.lora_algo)
+            proj = LoRADense(inner, name="gligen_linear", **dense)(objs.astype(x.dtype))
+            n_vis = x.shape[1]
+            fused = jnp.concatenate([x, proj], axis=1)
+            h = CrossAttention(name="gligen_attn", **common)(
+                nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="gligen_norm1")(fused)
+            )[:, :n_vis]
+            x = x + jnp.tanh(self._gate("gligen_alpha_attn")) * h
+            h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="gligen_norm2")(x)
+            gate = LoRADense(inner * 8, name="gligen_ff_proj", **dense)(h)
+            a, b = jnp.split(gate, 2, axis=-1)
+            h = LoRADense(inner, name="gligen_ff_out", **dense)(a * nn.gelu(b))
+            x = x + jnp.tanh(self._gate("gligen_alpha_dense")) * h
         x = x + CrossAttention(name="attn2", **common)(
             nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x), context
         )
@@ -196,7 +256,7 @@ class SpatialTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, context: jax.Array, objs: Optional[jax.Array] = None) -> jax.Array:
         batch, height, width, channels = x.shape
         residual = x
         h = nn.GroupNorm(_gn(self.norm_groups, channels), dtype=jnp.float32)(x.astype(jnp.float32)).astype(self.dtype)
@@ -212,7 +272,7 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
-            )(h, context)
+            )(h, context, objs)
         h = h.reshape(batch, height, width, channels)
         h = LoRADense(channels, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
         return residual + h
@@ -261,6 +321,9 @@ class UNet2DCondition(nn.Module):
         added_cond: Optional[jax.Array] = None,  # SDXL: concat(fourier(time_ids), pooled)
         controlnet_skip_residuals: Optional[Tuple[jax.Array, ...]] = None,
         controlnet_mid_residual: Optional[jax.Array] = None,
+        grounding_boxes: Optional[jax.Array] = None,  # (B, N, 4) GLIGEN
+        grounding_phrases: Optional[jax.Array] = None,  # (B, N, cross_dim)
+        grounding_masks: Optional[jax.Array] = None,  # (B, N) 1 = real entity
     ) -> jax.Array:
         cfg = self.config
         time_dim = cfg.block_out_channels[0] * 4
@@ -283,6 +346,15 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(self.dtype)
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        objs = None
+        if grounding_boxes is not None:
+            # GLIGEN grounding tokens (reference grounding/gligen_layers.py)
+            if grounding_masks is None:
+                grounding_masks = jnp.ones(grounding_boxes.shape[:2], jnp.float32)
+            objs = PositionNet(
+                out_dim=cfg.cross_attention_dim, name="position_net", **common
+            )(grounding_boxes, grounding_phrases, grounding_masks)
 
         block_cls = SpatialTransformer
         resnet_cls = ResnetBlock
@@ -310,7 +382,7 @@ class UNet2DCondition(nn.Module):
                         name=f"down_{level}_attn_{j}",
                         **lora,
                         **common,
-                    )(x, context)
+                    )(x, context, objs)
                 skips.append(x)
             if level < len(cfg.block_out_channels) - 1:
                 x = Downsample(out_ch, name=f"down_{level}_downsample", **common)(x)
@@ -328,7 +400,7 @@ class UNet2DCondition(nn.Module):
             name="mid_attn",
             **lora,
             **common,
-        )(x, context)
+        )(x, context, objs)
         x = resnet_cls(mid_ch, cfg.norm_groups, name="mid_res_1", **common)(x, temb)
         # mid-block tap for U-REPA alignment (reference crepa.py:756 UrepaRegularizer
         # consumes mid-block features); flattened to (B, H·W, C) token layout
@@ -361,7 +433,7 @@ class UNet2DCondition(nn.Module):
                         name=f"up_{level}_attn_{j}",
                         **lora,
                         **common,
-                    )(x, context)
+                    )(x, context, objs)
             if level > 0:
                 x = Upsample(out_ch, name=f"up_{level}_upsample", **common)(x)
 
