@@ -44,7 +44,9 @@ class VAECache:
         ondemand: bool = False,
         max_workers: int = 8,
         seed: int = 42,
+        nsfw_filter=None,  # data.nsfw.NSFWFilter (reference vae.py:578 scan pass)
     ):
+        self.nsfw_filter = nsfw_filter
         self.id = id
         self.data_backend = data_backend
         self.cache_data_backend = cache_data_backend or data_backend
@@ -150,6 +152,19 @@ class VAECache:
         if self.encode_fn is None:
             raise RuntimeError(f"vae cache {self.id}: no encoder attached")
         todo = self.discover_unprocessed_files()[process_index::num_processes]
+        if todo and self.nsfw_filter is not None:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            rejected_before = set(todo)
+            todo = self.nsfw_filter.filter_files(
+                todo,
+                lambda p: _Image.open(_io.BytesIO(self.data_backend.read(p))).convert("RGB"),
+            )
+            for path in rejected_before - set(todo):
+                self.metadata_backend.remove_image(path)
+            self.nsfw_filter.write_report(self.cache_dir, self.id)
         if not todo:
             return 0
 

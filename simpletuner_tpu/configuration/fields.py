@@ -476,6 +476,9 @@ _f("urepa_enabled", FieldType.BOOL, False, help="U-REPA mid-block alignment for 
 _f("urepa_lambda", FieldType.FLOAT, 0.5, section="loss")
 _f("urepa_manifold_weight", FieldType.FLOAT, 3.0, section="loss")
 _f("max_grounding_entities", FieldType.INT, 0, help="GLIGEN bbox grounding slots per sample (UNet families); 0 = off", section="model")
+_f("enable_nsfw_check", FieldType.BOOL, False, help="Scan and reject NSFW images during VAE caching", section="data")
+_f("nsfw_check_models", FieldType.STR, None, help="CSV of model_id:threshold classifier specs", section="data")
+_f("nsfw_check_min_votes", FieldType.INT, 1, section="data")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

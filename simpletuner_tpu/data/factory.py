@@ -26,6 +26,19 @@ from .metadata import MetadataBackend, ParquetMetadataBackend
 from .sampler import MultiAspectSampler
 
 
+def _build_nsfw_filter(args):
+    """NSFW scan-and-filter for caching passes (reference --enable_nsfw_check,
+    factory.py:4177-4180)."""
+    if not args.get("enable_nsfw_check", False):
+        return None
+    from .nsfw import DEFAULT_NSFW_CHECK_MODELS, NSFWFilter
+
+    return NSFWFilter(
+        models_csv=args.get("nsfw_check_models") or DEFAULT_NSFW_CHECK_MODELS,
+        min_votes=int(args.get("nsfw_check_min_votes", 1) or 1),
+    )
+
+
 def build_storage_backend(config: DatasetConfig, compress_cache: bool = False) -> BaseDataBackend:
     if config.type == "local":
         return LocalDataBackend(config.id, config.instance_data_dir, compress_cache)
@@ -193,6 +206,7 @@ def configure_multi_databackend(
             hash_filenames=bool(config.hash_filenames),
             ondemand=bool(config.vae_cache_ondemand or args.get("vae_cache_ondemand", False)),
             seed=int(args.get("seed", 42) or 42),
+            nsfw_filter=_build_nsfw_filter(args),
         )
 
         # image-embed cache (reference conditioning_image_embeds linkage):
