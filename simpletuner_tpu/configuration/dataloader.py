@@ -16,7 +16,7 @@ import json
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
-PRIMARY_DATASET_TYPES = ("image", "video", "audio", "conditioning", "eval")
+PRIMARY_DATASET_TYPES = ("image", "video", "audio", "conditioning", "eval", "caption")
 EMBED_DATASET_TYPES = ("text_embeds", "image_embeds", "conditioning_image_embeds", "distillation_cache")
 ALL_DATASET_TYPES = PRIMARY_DATASET_TYPES + EMBED_DATASET_TYPES
 STORAGE_BACKEND_TYPES = ("local", "aws", "csv", "huggingface", "memory", "webshart")

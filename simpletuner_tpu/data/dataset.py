@@ -57,6 +57,35 @@ def collate_batch(
     rng = rng or random
     cfg = bundle.config
 
+    if cfg.dataset_type == "caption":
+        # caption-only batches (reference data_backend/caption_dataset.py):
+        # prompts + embeds + a latent-shaped placeholder (on-policy distillers
+        # like self_forcing generate their own samples; only the shape matters)
+        captions = []
+        for sample in samples:
+            captions.append(
+                get_caption(
+                    sample["image_path"], bundle.data_backend,
+                    strategy=cfg.caption_strategy or "textfile",
+                    instance_prompt=cfg.instance_prompt,
+                )
+            )
+        embeds = [bundle.text_cache.get(c) for c in captions]
+        res = float(cfg.resolution or 1.0)
+        side = int((res * 1_000_000) ** 0.5) if res < 32 else int(res)
+        side = max(side // 8, 4)
+        channels = getattr(model, "latent_channels", 4)
+        batch = {
+            "latents": np.zeros((len(samples), side, side, channels), np.float32),
+            "captions": captions,
+            "caption_only": np.asarray(1.0, np.float32),
+            "dataset_id": bundle.id,
+            "bucket": "caption",
+            "image_paths": [s["image_path"] for s in samples],
+        }
+        batch.update(model.collate_text_embeds(embeds))
+        return batch
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         latents = list(pool.map(lambda s: bundle.vae_cache.get(s["image_path"]), samples))
 

@@ -156,7 +156,7 @@ def configure_multi_databackend(
     # ---- primary datasets -------------------------------------------------------------------
     bundles: Dict[str, DatasetBundle] = {}
     for config in configs:
-        if config.dataset_type not in ("image", "video", "audio", "conditioning", "eval"):
+        if config.dataset_type not in ("image", "video", "audio", "conditioning", "eval", "caption"):
             continue
         backend = storage[config.id]
         bucket_cfg = bucket_config_for(config, args)
@@ -192,7 +192,9 @@ def configure_multi_databackend(
 
         vae_cache_dir = config.cache_dir_vae or os.path.join(args.get("cache_dir", "cache"), "vae", config.id)
         image_embed_backend = storage.get(config.image_embeds) if config.image_embeds else backend
-        vae_cache = VAECache(
+        # caption-only datasets (reference data_backend/caption_dataset.py)
+        # have no pixels: no VAE cache, latents are synthesized at collate
+        vae_cache = None if config.dataset_type == "caption" else VAECache(
             id=config.id,
             data_backend=backend,
             cache_data_backend=image_embed_backend,
@@ -284,7 +286,11 @@ def configure_multi_databackend(
                 bundle.text_cache.compute_embeddings_for_prompts(
                     captions, process_index=process_index, num_processes=num_processes
                 )
-            if vae_encode_fn is not None and not args.get("vae_cache_disable"):
+            if (
+                vae_encode_fn is not None
+                and bundle.vae_cache is not None
+                and not args.get("vae_cache_disable")
+            ):
                 bundle.vae_cache.process_buckets(
                     process_index=process_index, num_processes=num_processes
                 )
@@ -298,7 +304,7 @@ def configure_multi_databackend(
                     files, process_index=process_index, num_processes=num_processes
                 )
 
-    train_bundles = [b for b in bundles.values() if b.config.dataset_type in ("image", "video", "audio")]
+    train_bundles = [b for b in bundles.values() if b.config.dataset_type in ("image", "video", "audio", "caption")]
     iterator = MultiDatasetIterator(
         train_bundles,
         model,

@@ -70,6 +70,8 @@ class MetadataBackend:
             return self._discover_video(max_workers)
         if self.dataset_type == "audio":
             return self._discover_audio(max_workers)
+        if self.dataset_type == "caption":
+            return self._discover_caption()
         files = self.data_backend.list_files(instance_data_dir=self.instance_data_dir)
         known = set(self.image_metadata)
         new_files = [f for f in files if f not in known]
@@ -152,6 +154,21 @@ class MetadataBackend:
                 self.aspect_ratio_bucket_indices[key] = kept
             else:
                 del self.aspect_ratio_bucket_indices[key]
+        return self.aspect_ratio_bucket_indices
+
+    def _discover_caption(self) -> Dict[str, List[str]]:
+        """Caption-only datasets (reference helpers/metadata/backends/caption.py
+        + data_backend/caption_dataset.py): every .txt file is one record in a
+        single trivial bucket — no image probing, no VAE cache."""
+        files = self.data_backend.list_files(
+            file_extensions=(".txt",), instance_data_dir=self.instance_data_dir
+        )
+        for path in files:
+            if path in self.image_metadata:
+                continue
+            self.image_metadata[path] = {"bucket": "caption"}
+            self.aspect_ratio_bucket_indices.setdefault("caption", []).append(path)
+        self.save_cache()
         return self.aspect_ratio_bucket_indices
 
     def _discover_audio(self, max_workers: int = 16) -> Dict[str, List[str]]:
