@@ -84,10 +84,13 @@ def bucket_config_for(config: DatasetConfig, args) -> BucketConfig:
 class DataPlane:
     """The assembled data plane: bundles + iterator + caches."""
 
-    def __init__(self, bundles, text_caches, iterator):
+    def __init__(self, bundles, text_caches, iterator, startup_metrics=None):
         self.bundles: Dict[str, DatasetBundle] = bundles
         self.text_caches = text_caches
         self.iterator: MultiDatasetIterator = iterator
+        # per-stage startup durations + RSS (reference factory.py:1415-1451
+        # FactoryRegistry performance metrics)
+        self.startup_metrics: Dict[str, float] = startup_metrics or {}
 
     def save_state(self):
         return self.iterator.save_state()
@@ -129,6 +132,18 @@ def configure_multi_databackend(
         },
     )
     compress = bool(args.get("compress_disk_cache", False))
+    import logging
+    import time as _time
+
+    _logger = logging.getLogger(__name__)
+    metrics: Dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _stage(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        metrics[name] = round(now - _t0, 3)
+        _t0 = now
 
     storage: Dict[str, BaseDataBackend] = {}
     for config in configs:
@@ -152,6 +167,7 @@ def configure_multi_databackend(
             disabled=bool(config.text_cache_disable or args.get("text_cache_disable", False)),
         )
     default_text_id = get_default_text_embed_id(configs)
+    _stage("configure_backends_s")
 
     # ---- primary datasets -------------------------------------------------------------------
     bundles: Dict[str, DatasetBundle] = {}
@@ -304,6 +320,16 @@ def configure_multi_databackend(
                     files, process_index=process_index, num_processes=num_processes
                 )
 
+    _stage("caching_passes_s" if run_caching else "build_bundles_s")
+    try:
+        import resource
+
+        metrics["peak_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
+        )
+    except Exception:
+        pass
+    _logger.info("data plane ready: %s", metrics)
     train_bundles = [b for b in bundles.values() if b.config.dataset_type in ("image", "video", "audio", "caption")]
     iterator = MultiDatasetIterator(
         train_bundles,
@@ -311,4 +337,4 @@ def configure_multi_databackend(
         caption_dropout_probability=float(args.get("caption_dropout_probability", 0.0) or 0.0),
         seed=int(args.get("seed", 42) or 42),
     )
-    return DataPlane(bundles, text_caches, iterator)
+    return DataPlane(bundles, text_caches, iterator, startup_metrics=metrics)

@@ -102,8 +102,11 @@ es.onmessage = e => {
 """
 
 
-def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPServer:
+def create_server(host: str = "127.0.0.1", port: int = 8005, audit_path: Optional[str] = None) -> ThreadingHTTPServer:
+    from .audit import AuditLog
+
     keeper = ProcessKeeper()
+    audit = AuditLog(audit_path)
     sse = SSEManager()
     keeper.add_listener(sse.publish)
 
@@ -193,6 +196,11 @@ def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPSer
                 return self._json({"job_id": job.job_id, "logs": list(job.logs)[-tail:]})
             if path == "/api/events":
                 return self._sse()
+            if path == "/api/audit":
+                # audit trail with chain verification (reference
+                # documentation/experimental/server/AUDIT.md)
+                ok, bad = audit.verify()
+                return self._json({"verified": ok, "first_bad_seq": bad, "records": audit.records()})
             return self._json({"error": "not found"}, 404)
 
         def _sse(self):
@@ -237,11 +245,15 @@ def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPSer
                 if not config.get("model_family"):
                     return self._json({"error": "config.model_family required"}, 422)
                 job = keeper.submit_job(config, body.get("job_id"))
+                audit.append("job.submit", detail={"job_id": job.job_id,
+                                                   "model_family": config.get("model_family")})
                 return self._json(job.to_dict(), 201)
 
             match = re.match(r"^/api/training/cancel/([\w-]+)$", path)
             if match:
                 ok = keeper.cancel_job(match.group(1))
+                if ok:
+                    audit.append("job.cancel", detail={"job_id": match.group(1)})
                 return self._json({"cancelled": ok}, 200 if ok else 404)
 
             match = re.match(r"^/api/training/signal/([\w-]+)$", path)
@@ -250,6 +262,8 @@ def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPSer
                 if action not in ("validation", "checkpoint", "abort"):
                     return self._json({"error": "action must be validation|checkpoint|abort"}, 422)
                 ok = keeper.send_signal(match.group(1), action)
+                if ok:
+                    audit.append("job.signal", detail={"job_id": match.group(1), "action": action})
                 return self._json({"signalled": ok}, 200 if ok else 404)
 
             if path == "/api/events/callback":
@@ -261,6 +275,7 @@ def create_server(host: str = "127.0.0.1", port: int = 8005) -> ThreadingHTTPSer
     server = ThreadingHTTPServer((host, port), Handler)
     server.keeper = keeper  # type: ignore[attr-defined]
     server.sse = sse  # type: ignore[attr-defined]
+    server.audit = audit  # type: ignore[attr-defined]
     return server
 
 

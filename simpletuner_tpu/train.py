@@ -21,6 +21,10 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
+        # jax's import-time logging already installed a root handler at
+        # WARNING; without force=True this call is a no-op and every trainer
+        # INFO line (progress, data-plane metrics) is silently dropped
+        force=True,
     )
     config = TrainingConfig.from_cli(argv)
     trainer = Trainer(config=config, exit_on_error=True)

@@ -127,3 +127,30 @@ def test_prometheus_metrics(server):
     assert response.status == 200
     assert "simpletuner_jobs_total" in body
     assert 'state="failed"' in body
+
+
+class TestAuditLog:
+    def test_chain_append_and_verify(self, tmp_path):
+        from simpletuner_tpu.server.audit import AuditLog
+
+        log = AuditLog(str(tmp_path / "audit.jsonl"))
+        log.append("job.submit", detail={"job_id": "a"})
+        log.append("job.cancel", detail={"job_id": "a"})
+        ok, bad = log.verify()
+        assert ok and bad is None
+        # reload from disk: chain still verifies
+        log2 = AuditLog(str(tmp_path / "audit.jsonl"))
+        assert log2.verify() == (True, None)
+        # tamper with the middle record -> verification pinpoints it
+        log2._records[0]["action"] = "job.forged"
+        ok, bad = log2.verify()
+        assert not ok and bad == 1
+
+    def test_audit_endpoint(self, server):
+        srv, port = server
+        _request(port, "POST", "/api/training/start",
+                 {"config": {"model_family": "flux", "max_train_steps": 1}})
+        status, payload = _request(port, "GET", "/api/audit")
+        assert status == 200
+        assert payload["verified"] is True
+        assert any(r["action"] == "job.submit" for r in payload["records"])
