@@ -25,8 +25,32 @@ class PreparedSample:
     bucket_key: str
 
 
+def _detect_face_center(image_array) -> Optional[Tuple[int, int]]:
+    """Largest-face centre via the OpenCV Haar cascade (reference
+    image_manipulation/cropping.py:181 FaceCropping)."""
+    try:
+        import cv2
+        import numpy as np
+
+        cascade = cv2.CascadeClassifier(
+            cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
+        )
+        frame = np.asarray(image_array)
+        if frame.ndim == 4:  # video: detect on the first frame
+            frame = frame[0]
+        gray = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY) if frame.shape[-1] == 3 else frame
+        faces = cascade.detectMultiScale(gray, 1.1, 4)
+        if len(faces) == 0:
+            return None
+        x, y, w, h = max(faces, key=lambda f: f[2] * f[3])
+        return x + w // 2, y + h // 2
+    except Exception:
+        return None
+
+
 def _choose_crop(
-    crop_style: str, src_w: int, src_h: int, out_w: int, out_h: int, rng: Optional[random.Random]
+    crop_style: str, src_w: int, src_h: int, out_w: int, out_h: int,
+    rng: Optional[random.Random], image_array=None,
 ) -> Tuple[int, int]:
     max_left = max(src_w - out_w, 0)
     max_top = max(src_h - out_h, 0)
@@ -38,8 +62,16 @@ def _choose_crop(
         rng = rng or random
         return rng.randint(0, max_left), rng.randint(0, max_top)
     if crop_style == "face":
-        # Without a detector available we bias toward the upper-center region,
-        # which matches the reference's fallback behavior when no face is found.
+        if image_array is not None:
+            center = _detect_face_center(image_array)
+            if center is not None:
+                cx, cy = center
+                return (
+                    min(max(cx - out_w // 2, 0), max_left),
+                    min(max(cy - out_h // 2, 0), max_top),
+                )
+        # no detector / no face: bias toward the upper-center region
+        # (reference fallback behavior)
         return max_left // 2, min(max_top // 4, max_top)
     raise ValueError(f"unknown crop_style {crop_style!r}")
 
@@ -94,7 +126,10 @@ def prepare_image(
             inter_w = max(int(round(inter_w * scale)), target_w)
             inter_h = max(int(round(inter_h * scale)), target_h)
             image = image.resize((inter_w, inter_h), Image.LANCZOS)
-        left, top = _choose_crop(crop_style, inter_w, inter_h, target_w, target_h, rng)
+        import numpy as _np
+
+        face_src = _np.asarray(image) if crop_style == "face" else None
+        left, top = _choose_crop(crop_style, inter_w, inter_h, target_w, target_h, rng, face_src)
         image = image.crop((left, top, left + target_w, top + target_h))
         crop_coordinates = (left, top)
         intermediary = (inter_w, inter_h)
@@ -152,7 +187,10 @@ def _prepare_image_native(
             inter_w = max(int(round(inter_w * scale)), target_w)
             inter_h = max(int(round(inter_h * scale)), target_h)
             array = native.resize_u8(array, inter_h, inter_w)
-        left, top = _choose_crop(crop_style, inter_w, inter_h, target_w, target_h, rng)
+        left, top = _choose_crop(
+            crop_style, inter_w, inter_h, target_w, target_h, rng,
+            array if crop_style == "face" else None,
+        )
         array = native.crop_u8(array, top, left, target_h, target_w)
         crop_coordinates = (left, top)
         intermediary = (inter_w, inter_h)

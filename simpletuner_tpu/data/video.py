@@ -129,7 +129,10 @@ def prepare_video(
     scale = max(target_w / src_w, target_h / src_h)
     inter_w = max(int(round(src_w * scale)), target_w)
     inter_h = max(int(round(src_h * scale)), target_h)
-    left, top = _choose_crop(crop_style, inter_w, inter_h, target_w, target_h, rng)
+    left, top = _choose_crop(
+        crop_style, inter_w, inter_h, target_w, target_h, rng,
+        frames if crop_style == "face" else None,
+    )
 
     out = np.empty((t, target_h, target_w, 3), np.uint8)
     use_native = native.available()

@@ -18,14 +18,24 @@ from .training.trainer import Trainer
 
 
 def main(argv=None) -> int:
+    import os
+
+    # reference env knobs (README: SIMPLETUNER_LOG_LEVEL /
+    # SIMPLETUNER_TRAINING_LOOP_LOG_LEVEL for hot-loop stage timestamps)
+    level = getattr(logging, os.environ.get("SIMPLETUNER_LOG_LEVEL", "INFO").upper(), logging.INFO)
     logging.basicConfig(
-        level=logging.INFO,
+        level=level,
         format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
         # jax's import-time logging already installed a root handler at
         # WARNING; without force=True this call is a no-op and every trainer
         # INFO line (progress, data-plane metrics) is silently dropped
         force=True,
     )
+    loop_level = os.environ.get("SIMPLETUNER_TRAINING_LOOP_LOG_LEVEL")
+    if loop_level:
+        logging.getLogger("simpletuner_tpu.training.trainer").setLevel(
+            getattr(logging, loop_level.upper(), logging.INFO)
+        )
     config = TrainingConfig.from_cli(argv)
     trainer = Trainer(config=config, exit_on_error=True)
     trainer.run()

@@ -78,3 +78,21 @@ class TestPipelineIntegration:
         # same resample math; white-noise input maximizes quantization drift,
         # so gate on the mean difference (≈1 u8 level)
         assert np.mean(np.abs(a - b)) < (1.5 / 127.5)
+
+
+def test_face_crop_uses_cascade_or_fallback():
+    """crop_style=face: cascade path returns a valid window; noise falls back
+    to the upper-center heuristic without crashing."""
+    import numpy as np
+    from PIL import Image
+
+    from simpletuner_tpu.data.buckets import BucketConfig
+    from simpletuner_tpu.data.training_sample import prepare_image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (128, 256, 3), dtype=np.uint8))
+    cfg = BucketConfig(resolution=0.004096, crop=True, crop_aspect="square")
+    sample = prepare_image(img, cfg, crop_style="face")
+    assert sample.target_size == (64, 64)
+    left, top = sample.crop_coordinates
+    assert 0 <= left and 0 <= top
