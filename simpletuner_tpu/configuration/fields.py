@@ -479,6 +479,8 @@ _f("max_grounding_entities", FieldType.INT, 0, help="GLIGEN bbox grounding slots
 _f("enable_nsfw_check", FieldType.BOOL, False, help="Scan and reject NSFW images during VAE caching", section="data")
 _f("nsfw_check_models", FieldType.STR, None, help="CSV of model_id:threshold classifier specs", section="data")
 _f("nsfw_check_min_votes", FieldType.INT, 1, section="data")
+_f("validation_using_datasets", FieldType.BOOL, False, help="img2img validation seeded from training-set latents", section="validation")
+_f("validation_strength", FieldType.FLOAT, 0.2, help="img2img denoise strength (fraction of steps run)", section="validation")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

@@ -73,7 +73,6 @@ class LoRADense(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
-    lora_algo: str = "lora"
     lokr_factor: int = -1
     kernel_init: Callable = nn.initializers.lecun_normal()
 

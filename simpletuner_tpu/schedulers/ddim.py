@@ -50,6 +50,11 @@ class DDIMScheduler:
     def init_latents(self, noise: jax.Array) -> jax.Array:
         return noise
 
+    def add_noise(self, latents: jax.Array, noise: jax.Array, i) -> jax.Array:
+        """Noise clean latents to step ``i``'s ᾱ (img2img entry point)."""
+        a = self.alphas_cumprod[self.timesteps[i]]
+        return jnp.sqrt(a) * latents + jnp.sqrt(1.0 - a) * noise
+
     def timestep(self, i: jax.Array) -> jax.Array:
         return self.timesteps[i]
 

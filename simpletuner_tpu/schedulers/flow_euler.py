@@ -74,6 +74,11 @@ class FlowMatchEulerScheduler:
     def init_latents(self, noise: jax.Array) -> jax.Array:
         return noise  # flow starts at pure noise (σ=1)
 
+    def add_noise(self, latents: jax.Array, noise: jax.Array, i) -> jax.Array:
+        """Noise clean latents to step ``i``'s σ (img2img entry point)."""
+        sigma = self.sigmas[i]
+        return (1.0 - sigma) * latents + sigma * noise
+
     def timestep(self, i: jax.Array) -> jax.Array:
         return self.sigmas[i]
 

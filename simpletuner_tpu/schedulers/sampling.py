@@ -24,6 +24,8 @@ def sample_loop(
     denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
     noise: jax.Array,
     collect_intermediates: bool = False,
+    init_latents: jax.Array = None,
+    strength: float = 1.0,
 ) -> jax.Array:
     """Run the full denoise loop.
 
@@ -36,7 +38,15 @@ def sample_loop(
     (num_steps, ...) alongside the final latents — the TAE-preview hook
     (reference ValidationPreviewer, validation.py:1633) decodes them cheaply.
     """
-    latents0 = scheduler.init_latents(noise)
+    start = 0
+    if init_latents is not None and strength < 1.0:
+        # img2img (reference img2img pipelines): skip the first (1−strength)·N
+        # steps and enter the ladder from the reference image noised to that
+        # step's noise level
+        start = min(int(scheduler.num_steps * (1.0 - strength)), scheduler.num_steps - 1)
+        latents0 = scheduler.add_noise(init_latents.astype(jnp.float32), noise, start)
+    else:
+        latents0 = scheduler.init_latents(noise)
     stateful = hasattr(scheduler, "step_with_state")
 
     if stateful:
@@ -49,7 +59,7 @@ def sample_loop(
         (latents, _), collected = jax.lax.scan(
             scan_body,
             (latents0, scheduler.init_state(noise)),
-            jnp.arange(scheduler.num_steps),
+            jnp.arange(start, scheduler.num_steps),
         )
         return (latents, collected) if collect_intermediates else latents
 
@@ -59,6 +69,6 @@ def sample_loop(
         return new_latents, (new_latents if collect_intermediates else None)
 
     latents, collected = jax.lax.scan(
-        scan_body, latents0, jnp.arange(scheduler.num_steps)
+        scan_body, latents0, jnp.arange(start, scheduler.num_steps)
     )
     return (latents, collected) if collect_intermediates else latents

@@ -67,6 +67,9 @@ class UniPCScheduler:
     def init_latents(self, noise: jax.Array) -> jax.Array:
         return noise
 
+    def add_noise(self, latents: jax.Array, noise: jax.Array, i) -> jax.Array:
+        return self.alphas[i] * latents + self.sigmas[i] * noise
+
     def timestep(self, i: jax.Array) -> jax.Array:
         return self.timesteps[i]
 

@@ -237,12 +237,29 @@ class Trainer:
         """Built BEFORE encoder unload so validation embeds can precompute."""
         self._stage("init_validations")
         decode = self.vae_decode_fn()
+        init_latents_fn = None
+        if self.config.get("validation_using_datasets") and self.data_plane is not None:
+            # img2img validation: seed generation from a training-set latent
+            # (reference validation.py:2891 IMG2IMG pipeline selection)
+            def init_latents_fn():
+                for bundle in self.data_plane.bundles.values():
+                    if bundle.vae_cache is None:
+                        continue
+                    for files in bundle.metadata_backend.aspect_ratio_bucket_indices.values():
+                        if files:
+                            try:
+                                return bundle.vae_cache.get(files[0])
+                            except Exception:
+                                continue
+                return None
+
         self.validation = Validation(
             self.model,
             self.config,
             decode_fn=decode,
             output_dir=self.output_dir,
             webhook_handler=self.webhook_handler,
+            init_latents_fn=init_latents_fn,
         )
         self.validation.precompute_embeds()
         # slider LoRA prompt pair (reference trainer.py:6584 slider training):

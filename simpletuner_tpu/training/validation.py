@@ -53,7 +53,14 @@ class Validation:
         output_dir: str = "output",
         trackers: Optional[List] = None,
         webhook_handler=None,
+        init_latents_fn: Optional[Callable[[], Optional[np.ndarray]]] = None,
     ):
+        # img2img validation (reference validation.py:2891 — IMG2IMG pipeline
+        # when validation_using_datasets): init latents come from the data
+        # plane, denoising starts at validation_strength
+        self.init_latents_fn = init_latents_fn
+        self.strength = float(getattr(config, "validation_strength", 0.2) or 0.2)
+        self.img2img = bool(getattr(config, "validation_using_datasets", False))
         self.model = model
         self.config = config
         self.decode_fn = decode_fn
@@ -213,12 +220,19 @@ class Validation:
             uncond = self.model.inference_conditioning(neg_batch)
         guidance_scale = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
 
+        init_latents = None
+        if self.img2img and self.init_latents_fn is not None:
+            raw_init = self.init_latents_fn()
+            if raw_init is not None:
+                init_latents = jnp.asarray(raw_init, jnp.float32)[None]
+        strength = self.strength if init_latents is not None else 1.0
+
         preview = bool(getattr(self.config, "validation_preview", False))
         if self._sample_jit is None:
             model = self.model
             decode = self.decode_fn
 
-            def sample(variables, cond, uncond, noise):
+            def sample(variables, cond, uncond, noise, init_latents=None):
                 if uncond is not None:
                     from ..schedulers import classifier_free_guidance
 
@@ -232,7 +246,9 @@ class Validation:
                 else:
                     denoise = model.denoise_fn(variables, cond)
                 result = sample_loop(
-                    scheduler, denoise, noise, collect_intermediates=preview
+                    scheduler, denoise, noise, collect_intermediates=preview,
+                    init_latents=init_latents,
+                    strength=self.strength if init_latents is not None else 1.0,
                 )
                 latents, intermediates = result if preview else (result, None)
 
@@ -258,7 +274,7 @@ class Validation:
         noise = jax.random.normal(
             jax.random.fold_in(jax.random.PRNGKey(self.seed), index), latent_shape, jnp.float32
         )
-        result = self._sample_jit(variables, cond, uncond, noise)
+        result = self._sample_jit(variables, cond, uncond, noise, init_latents)
         if preview:
             out, frames = result
             out = np.asarray(out)[0]

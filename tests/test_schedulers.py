@@ -91,3 +91,45 @@ class TestUniPC:
 
         out = jax.jit(lambda n: sample_loop(sched, denoise, n))(noise)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-2)
+
+
+class TestImg2Img:
+    def test_strength_skips_steps_and_preserves_structure(self):
+        """Low strength keeps the result close to the init latents; strength=1
+        ignores them entirely."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from simpletuner_tpu.schedulers import FlowMatchEulerScheduler, sample_loop
+
+        sched = FlowMatchEulerScheduler.create(num_steps=8, shift=1.0)
+        init = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+        denoise = lambda latents, t: jnp.zeros_like(latents)  # identity flow
+
+        weak = sample_loop(sched, denoise, noise, init_latents=init, strength=0.25)
+        # v==0 leaves latents unchanged, so the output equals init noised at
+        # the entry sigma (sigma at step 6 of 8 = 0.25)
+        sigma = float(sched.sigmas[6])
+        expected = (1 - sigma) * np.asarray(init) + sigma * np.asarray(noise)
+        np.testing.assert_allclose(np.asarray(weak), expected, atol=1e-5)
+
+        full = sample_loop(sched, denoise, noise, init_latents=init, strength=1.0)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(noise), atol=1e-5)
+
+    def test_ddim_add_noise_endpoint(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from simpletuner_tpu.schedulers import DDIMScheduler
+
+        sched = DDIMScheduler.create(num_steps=10)
+        init = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4))
+        noised = sched.add_noise(init, noise, 9)  # lowest-noise step
+        # at the final step alpha_bar is close to 1 -> mostly the init image
+        err_init = float(jnp.mean((noised - init) ** 2))
+        err_noise = float(jnp.mean((noised - noise) ** 2))
+        assert err_init < err_noise
