@@ -481,6 +481,14 @@ _f("nsfw_check_models", FieldType.STR, None, help="CSV of model_id:threshold cla
 _f("nsfw_check_min_votes", FieldType.INT, 1, section="data")
 _f("validation_using_datasets", FieldType.BOOL, False, help="img2img validation seeded from training-set latents", section="validation")
 _f("validation_strength", FieldType.FLOAT, 0.2, help="img2img denoise strength (fraction of steps run)", section="validation")
+_f("validation_adapters", FieldType.JSON, None, help="Extra LoRA adapters to sweep during validation: [{path, strength, label}]", section="validation")
+_f(
+    "validation_adapter_mode",
+    FieldType.STR,
+    "comparison",
+    choices=["comparison", "adapter_only", "none"],
+    section="validation",
+)
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

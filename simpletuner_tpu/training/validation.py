@@ -159,6 +159,41 @@ class Validation:
         """Render every prompt; returns saved file paths."""
         if not self.would_validate(step, force):
             return []
+        paths: List[str] = []
+        for slug, run_variables in self._adapter_runs(variables):
+            paths.extend(self._run_one_pass(run_variables, step, slug))
+        return paths
+
+    def _adapter_runs(self, variables):
+        """Validation adapter sweeps (reference validation_adapters.py):
+        render with the live weights plus one pass per configured external
+        adapter merged into the base params at its strength."""
+        runs = [("", variables)]
+        specs = getattr(self.config, "validation_adapters", None) or []
+        if isinstance(specs, (str, dict)):
+            specs = [specs]
+        mode = (getattr(self.config, "validation_adapter_mode", None) or "comparison").lower()
+        if specs and mode == "adapter_only":
+            runs = []
+        for spec in specs:
+            if isinstance(spec, str):
+                spec = {"path": spec}
+            path = spec.get("path")
+            strength = float(spec.get("strength", 1.0))
+            label = spec.get("label") or os.path.splitext(os.path.basename(str(path)))[0]
+            try:
+                from .lora import load_lora_safetensors, merge_lora_into_params
+
+                template = variables.get("lora")
+                loaded = load_lora_safetensors(self.model, str(path), template)
+                merged = dict(variables)
+                merged["params"] = merge_lora_into_params(variables["params"], loaded, strength)
+                runs.append((f"_{label}", merged))
+            except Exception as exc:
+                logger.warning("validation adapter %r failed to load: %s", path, exc)
+        return runs
+
+    def _run_one_pass(self, variables, step: int, slug: str = "") -> List[str]:
         paths = []
         images = []
         is_audio = getattr(self.model, "MODALITY", "image") == "audio"
@@ -167,7 +202,7 @@ class Validation:
             is_video = image.ndim == 4
             ext = "wav" if is_audio else ("mp4" if is_video else "png")
             filename = os.path.join(
-                self.output_dir, "validation", f"step_{step}_{index}.{ext}"
+                self.output_dir, "validation", f"step_{step}_{index}{slug}.{ext}"
             )
             os.makedirs(os.path.dirname(filename), exist_ok=True)
             if is_audio:

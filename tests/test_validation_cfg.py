@@ -81,3 +81,39 @@ def test_validation_preview_strip(tmp_path):
     paths = validation.run_validations(variables, step=1, force=True)
     assert paths
     assert os.path.exists(os.path.join(str(tmp_path), "validation", "preview_0.png"))
+
+
+def test_adapter_sweep(tmp_path):
+    """validation_adapters renders one extra labeled pass per adapter file."""
+    from simpletuner_tpu.training.lora import save_lora_safetensors
+
+    cfg = TrainingConfig(
+        {
+            "model_family": "sd1x",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            "validation_prompt": "a cat",
+            "validation_num_inference_steps": 2,
+            "validation_resolution": 64,
+            "validation_steps": 1,
+            "validation_adapters": [
+                {"path": str(tmp_path / "extra.safetensors"), "strength": 0.5, "label": "style"}
+            ],
+        }
+    )
+    model = SD1x(cfg)
+    model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
+    batch = model.example_batch(batch_size=1, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    save_lora_safetensors(model, variables["lora"], str(tmp_path / "extra.safetensors"))
+
+    validation = Validation(model, cfg, output_dir=str(tmp_path))
+    validation.precompute_embeds()
+    paths = validation.run_validations(variables, step=1, force=True)
+    names = [os.path.basename(p) for p in paths]
+    assert "step_1_0.png" in names
+    assert "step_1_0_style.png" in names
