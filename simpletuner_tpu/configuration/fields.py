@@ -489,6 +489,15 @@ _f(
     choices=["comparison", "adapter_only", "none"],
     section="validation",
 )
+_f(
+    "validation_method",
+    FieldType.STR,
+    "simpletuner-local",
+    choices=["simpletuner-local", "external-script"],
+    section="validation",
+)
+_f("validation_external_script", FieldType.STR, None, help="Command template with {local_checkpoint_path}/{global_step}/... placeholders", section="validation")
+_f("validation_external_background", FieldType.BOOL, False, section="validation")
 _f("checkpointing_use_async", FieldType.BOOL, False, help="Finalize checkpoints on a background thread", section="checkpoint")
 _f("slider_positive_prompt", FieldType.STR, None, help="Slider LoRA: positive-polarity prompt", section="model")
 _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-polarity prompt", section="model")

@@ -159,10 +159,64 @@ class Validation:
         """Render every prompt; returns saved file paths."""
         if not self.would_validate(step, force):
             return []
+        method = (
+            str(getattr(self.config, "validation_method", None) or "simpletuner-local")
+            .strip().lower().replace("_", "-")
+        )
+        if method == "external-script":
+            self._run_external_validation(step)
+            return []
+        if method != "simpletuner-local":
+            raise ValueError(
+                f"unsupported validation_method {method!r}; expected "
+                "simpletuner-local or external-script"
+            )
         paths: List[str] = []
         for slug, run_variables in self._adapter_runs(variables):
             paths.extend(self._run_one_pass(run_variables, step, slug))
         return paths
+
+    def _run_external_validation(self, step: int) -> bool:
+        """Shell out to a user validation script (reference validation.py:1935
+        validation_method=external-script with {placeholder} substitution)."""
+        import subprocess
+
+        template = getattr(self.config, "validation_external_script", None)
+        if not template:
+            raise ValueError(
+                "validation_method=external-script requires validation_external_script"
+            )
+
+        def resolve(name: str) -> str:
+            if name == "local_checkpoint_path":
+                checkpoints = sorted(
+                    (d for d in os.listdir(self.output_dir) if d.startswith("checkpoint-")),
+                    key=lambda d: int(d.split("-")[-1]),
+                )
+                if not checkpoints:
+                    raise FileNotFoundError("no checkpoints exist yet in output_dir")
+                return os.path.join(self.output_dir, checkpoints[-1])
+            if name == "global_step":
+                return str(step)
+            return str(getattr(self.config, name, "") or "")
+
+        import re as _re
+
+        background = bool(getattr(self.config, "validation_external_background", False))
+        try:
+            command = _re.sub(r"\{(\w+)\}", lambda m: resolve(m.group(1)), str(template))
+            logger.info("running external validation: %s", command)
+            if background:
+                subprocess.Popen(command, shell=True)
+            else:
+                subprocess.run(command, shell=True, check=True, timeout=3600)
+            return True
+        except FileNotFoundError as exc:
+            logger.warning("external validation skipped: %s", exc)
+            return False
+        except subprocess.SubprocessError as exc:
+            logger.warning("external validation failed: %s", exc)
+            return False
 
     def _adapter_runs(self, variables):
         """Validation adapter sweeps (reference validation_adapters.py):

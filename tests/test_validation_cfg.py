@@ -117,3 +117,34 @@ def test_adapter_sweep(tmp_path):
     names = [os.path.basename(p) for p in paths]
     assert "step_1_0.png" in names
     assert "step_1_0_style.png" in names
+
+
+def test_external_script_validation(tmp_path):
+    """validation_method=external-script shells out with placeholders resolved."""
+    marker = tmp_path / "ran.txt"
+    ckpt = tmp_path / "out" / "checkpoint-5"
+    ckpt.mkdir(parents=True)
+    cfg = TrainingConfig(
+        {
+            "model_family": "sd1x",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            "validation_prompt": "a cat",
+            "validation_steps": 1,
+            "validation_method": "external-script",
+            "validation_external_script": f"echo {{global_step}} {{local_checkpoint_path}} > {marker}",
+        }
+    )
+    model = SD1x(cfg)
+    validation = Validation(model, cfg, output_dir=str(tmp_path / "out"))
+    validation.prompts = ["a cat"]
+    validation._embeds = [{}]
+    validation.disabled = False
+    paths = validation.run_validations({}, step=5, force=True)
+    assert paths == []
+    content = marker.read_text().strip()
+    assert content.startswith("5 ") and content.endswith("checkpoint-5")
