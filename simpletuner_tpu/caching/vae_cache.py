@@ -151,20 +151,25 @@ class VAECache:
         """Encode and store all uncached latents. Returns number processed."""
         if self.encode_fn is None:
             raise RuntimeError(f"vae cache {self.id}: no encoder attached")
-        todo = self.discover_unprocessed_files()[process_index::num_processes]
-        if todo and self.nsfw_filter is not None:
+        all_todo = self.discover_unprocessed_files()
+        if all_todo and self.nsfw_filter is not None:
             import io as _io
 
             from PIL import Image as _Image
 
-            rejected_before = set(todo)
-            todo = self.nsfw_filter.filter_files(
-                todo,
+            # Scan the FULL list on every process (deterministic classifier), not
+            # just this process's slice: metadata/bucket indices must stay
+            # identical across hosts or samplers desynchronize.
+            rejected_before = set(all_todo)
+            all_todo = self.nsfw_filter.filter_files(
+                all_todo,
                 lambda p: _Image.open(_io.BytesIO(self.data_backend.read(p))).convert("RGB"),
             )
-            for path in rejected_before - set(todo):
+            for path in rejected_before - set(all_todo):
                 self.metadata_backend.remove_image(path)
-            self.nsfw_filter.write_report(self.cache_dir, self.id)
+            if process_index == 0:
+                self.nsfw_filter.write_report(self.cache_dir, self.id)
+        todo = all_todo[process_index::num_processes]
         if not todo:
             return 0
 

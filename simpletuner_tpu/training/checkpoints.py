@@ -40,6 +40,7 @@ class CheckpointManager:
         self.async_save = async_save
         self._checkpointer = ocp.StandardCheckpointer()
         self._pending = None  # in-flight async finalize thread
+        self._pending_error: Optional[BaseException] = None  # raised by a background finalize
 
     # ---- paths --------------------------------------------------------------------------
     def path_for_step(self, step: int, rolling: bool = False) -> str:
@@ -120,17 +121,30 @@ class CheckpointManager:
         if self.async_save:
             import threading
 
-            self._pending = threading.Thread(target=finalize, daemon=True)
+            def guarded_finalize():
+                # Thread.join never re-raises — capture so wait()/the next
+                # save() surfaces Orbax/disk failures instead of silently
+                # continuing without a checkpoint
+                try:
+                    finalize()
+                except BaseException as exc:  # noqa: BLE001
+                    self._pending_error = exc
+
+            self._pending = threading.Thread(target=guarded_finalize, daemon=True)
             self._pending.start()
         else:
             finalize()
         return final_path
 
     def wait(self) -> None:
-        """Join any in-flight async save (call before resume/exit)."""
+        """Join any in-flight async save (call before resume/exit); re-raises a
+        background finalize failure."""
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        if self._pending_error is not None:
+            error, self._pending_error = self._pending_error, None
+            raise RuntimeError("async checkpoint finalize failed") from error
 
     def _cleanup(self, rolling: bool) -> None:
         limit = self.rolling_total_limit if rolling else self.total_limit

@@ -125,8 +125,11 @@ def lora_state_dict(
     for path, leaves in flat.items():
         target = key_map.get(path, path.replace("/", "."))
         if "lokr_w1" in leaves:
-            # LyCORIS LoKr layout: lycoris_<module>.lokr_w1/.lokr_w2/.alpha
-            module = (prefix + (target if isinstance(target, str) else target[0][0])).replace(".", "_")
+            # LyCORIS LoKr layout: lycoris_<module>.lokr_w1/.lokr_w2/.alpha.
+            # No transformer./unet. prefix: lycoris wraps the transformer itself,
+            # so module names start at the block path (reference
+            # scripts/extract_lycoris_adapter.py lycoris_module_name).
+            module = (target if isinstance(target, str) else target[0][0]).replace(".", "_")
             tensors[f"lycoris_{module}.lokr_w1"] = np.ascontiguousarray(leaves["lokr_w1"].T)
             tensors[f"lycoris_{module}.lokr_w2"] = np.ascontiguousarray(leaves["lokr_w2"].T)
             tensors[f"lycoris_{module}.alpha"] = np.asarray(alpha, np.float32)

@@ -30,7 +30,11 @@ class TrainState(struct.PyTreeNode):
     ema: Optional[Dict[str, Any]] = None
 
     def variables(self, use_ema: bool = False) -> Dict[str, Any]:
-        trainable = self.ema if (use_ema and self.ema is not None) else self.trainable
+        trainable = dict(self.trainable)
+        if use_ema and self.ema is not None:
+            # ema may cover a subset of trainable (e.g. it excludes the DMD
+            # critic adapter); overlay shadowed collections, keep the rest
+            trainable.update(self.ema)
         return {**dequantize_params(self.frozen), **trainable}
 
 
@@ -73,12 +77,15 @@ def create_train_state(
         if not train_lora:
             raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")
         frozen = quantize_params(frozen, quantize_mode)
+    # EMA shadows only the deliverable adapters — the DMD critic is a throwaway
+    # adversary (reference keeps EMA on the generator only)
+    ema_target = {k: v for k, v in trainable.items() if k != "critic_lora"}
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         frozen=frozen,
         trainable=trainable,
         opt_state=tx.init(trainable),
-        ema=ema_init(trainable) if ema_config is not None else None,
+        ema=ema_init(ema_target) if ema_config is not None else None,
     )
 
 
@@ -132,21 +139,25 @@ def build_train_step(
             def micro_step(carry, inputs):
                 grad_sum, loss_sum = carry
                 micro_batch, micro_rng = inputs
-                (micro_loss, _), micro_grads = value_and_grad(state.trainable, micro_batch, micro_rng)
+                (micro_loss, micro_aux), micro_grads = value_and_grad(
+                    state.trainable, micro_batch, micro_rng
+                )
                 new_carry = (
                     jax.tree_util.tree_map(jnp.add, grad_sum, micro_grads),
                     loss_sum + micro_loss,
                 )
-                return new_carry, None
+                return new_carry, micro_aux
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.trainable)
-            (grads, loss), _ = jax.lax.scan(
+            (grads, loss), aux_stack = jax.lax.scan(
                 micro_step, (zero_grads, jnp.zeros([])), (batch, rngs)
             )
             scale = 1.0 / grad_accum_steps
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             loss = loss * scale
-            aux = {}
+            # aux metrics (MoE gate loss, REPA, distill components) averaged over
+            # micro-steps so they keep flowing to logs under accumulation
+            aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), aux_stack)
         grad_norm = optax.global_norm(grads)
         # Non-finite guard (reference trainer.py:6614): skip the update, keep state.
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
@@ -162,7 +173,8 @@ def build_train_step(
 
         new_ema = state.ema
         if state.ema is not None and ema_config is not None:
-            new_ema = ema_update(ema_config, state.ema, new_trainable, new_step)
+            ema_target = {k: new_trainable[k] for k in state.ema}
+            new_ema = ema_update(ema_config, state.ema, ema_target, new_step)
 
         metrics = {
             "loss": loss,

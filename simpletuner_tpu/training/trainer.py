@@ -80,6 +80,7 @@ class Trainer:
             )
         self.global_step = 0
         self.epoch = 0
+        self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)
         self.data_plane = None
         self.vae = None
         self.vae_params = None
@@ -218,7 +219,11 @@ class Trainer:
         num_processes = jax.process_count()
         per_device = int(self.config.get("train_batch_size", 1) or 1)
         shards = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
-        self.global_batch_size = per_device * shards
+        # gradient accumulation multiplies the effective batch (reference/accelerate
+        # semantics: each of the accum micro-steps consumes a full
+        # train_batch_size × shards batch), so the sampler must assemble
+        # accum× more samples per optimizer step.
+        self.global_batch_size = per_device * shards * self.grad_accum_steps
         self.data_plane = configure_multi_databackend(
             self.config,
             self.model,
@@ -388,7 +393,6 @@ class Trainer:
             )
         self.lr_schedule = get_lr_schedule(self.config, max(self.max_train_steps, 1))
         self.tx = get_optimizer(self.config, self.lr_schedule)
-        self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)
 
         from .quantization import resolve_precision
 
@@ -507,9 +511,15 @@ class Trainer:
             if not isinstance(value, np.ndarray) or value.dtype.kind not in "fiub":
                 continue
             if value.ndim == 0:  # scalars (e.g. slider_scale) replicate
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                out[key] = jax.device_put(jnp.asarray(value), NamedSharding(self.mesh, P()))
+                if self.grad_accum_steps > 1:
+                    # lax.scan over micro-batches needs every xs leaf to share
+                    # the leading micro-batch axis
+                    accum_value = np.broadcast_to(value, (self.grad_accum_steps,))
+                    out[key] = jax.device_put(
+                        jnp.asarray(accum_value), NamedSharding(self.mesh, P(None))
+                    )
+                else:
+                    out[key] = jax.device_put(jnp.asarray(value), NamedSharding(self.mesh, P()))
                 continue
             if self.grad_accum_steps > 1:
                 accum = self.grad_accum_steps

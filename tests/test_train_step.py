@@ -137,6 +137,34 @@ def test_grad_accumulation():
     assert bool(jnp.any(p0 != p1))
 
 
+def test_grad_accumulation_scalars_and_aux():
+    """Scalar batch entries (slider_scale) ride the scan with a broadcast
+    (accum,) axis, and aux metrics survive accumulation instead of vanishing."""
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 100,
+        }
+    )
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=4, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    schedule = get_lr_schedule(cfg, 100)
+    tx = get_optimizer(cfg, schedule)
+    state = create_train_state(model, variables, tx)
+    step_accum = jax.jit(build_train_step(model, tx, schedule, grad_accum_steps=2))
+
+    micro = {k: v.reshape(2, 2, *v.shape[1:]) for k, v in batch.items()}
+    micro["slider_scale"] = jnp.ones((2,), jnp.float32)  # per-micro-step scalar
+    state2, metrics = step_accum(state, micro, jax.random.PRNGKey(0))
+    assert jnp.isfinite(metrics["loss"])
+    assert int(state2.step) == 1
+
+
 def test_lr_schedules_shapes():
     cfg = TrainingConfig({"learning_rate": 1e-3, "lr_warmup_steps": 10, "lr_scheduler": "polynomial", "max_train_steps": 100})
     sched = get_lr_schedule(cfg, 100)

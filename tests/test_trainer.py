@@ -126,12 +126,15 @@ def test_resume_from_checkpoint(trained, image_dir):
 
 
 def test_grad_accumulation_runs(image_dir, tmp_path_factory):
+    """Canonical reference config: train_batch_size=1 + accumulation. The
+    effective batch must be per_device × shards × accum (accelerate semantics),
+    i.e. accumulation consumes accum extra batches, not a split of one."""
     workdir = str(tmp_path_factory.mktemp("ga_run"))
     config = make_config(
         image_dir,
         workdir,
         max_train_steps=2,
-        train_batch_size=4,
+        train_batch_size=1,
         gradient_accumulation_steps=2,
         checkpointing_steps=None,
         validation_prompt=None,
@@ -139,6 +142,8 @@ def test_grad_accumulation_runs(image_dir, tmp_path_factory):
     trainer = Trainer(config=config)
     trainer.run()
     assert trainer.global_step == 2
+    shards = trainer.mesh.shape["data"] * trainer.mesh.shape["fsdp"]
+    assert trainer.global_batch_size == 1 * shards * 2
 
 
 def test_async_checkpointing(image_dir, tmp_path_factory):
