@@ -125,10 +125,65 @@ def _register(*names):
     return wrap
 
 
-@_register("adamw", "torch-adamw", "optimi-adamw", "ao-adamw8bit", "ao-adamw4bit", "ao-adamfp8", "ao-adamwfp8", "bnb-adamw", "bnb-adamw8bit", "bnb-adamw-paged", "bnb-adamw8bit-paged")
+@_register("adamw", "torch-adamw", "optimi-adamw", "bnb-adamw", "bnb-adamw-paged")
 def _adamw(lr, config, overrides):
+    # "-paged" refers to CUDA unified-memory paging of fp32 states — a host-RAM
+    # concern with no TPU analogue; states are identical fp32 Adam moments.
     kw = {**_adam_kwargs(config), **{k: v for k, v in overrides.items() if k in ("b1", "b2", "eps")}}
     return optax.adamw(lr, weight_decay=overrides.get("weight_decay", _weight_decay(config)), **kw)
+
+
+@_register("ao-adamw8bit", "bnb-adamw8bit", "bnb-adamw8bit-paged")
+def _adamw_8bit(lr, config, overrides):
+    from .optim_quant import adamw_quantized
+
+    kw = _adam_kwargs(config)
+    return adamw_quantized(
+        lr, weight_decay=overrides.get("weight_decay", _weight_decay(config)),
+        state_dtype=jnp.int8, **kw,
+    )
+
+
+@_register("ao-adamw4bit")
+def _adamw_4bit(lr, config, overrides):
+    from .optim_quant import INT4_PACKED, adamw_quantized
+
+    kw = _adam_kwargs(config)
+    return adamw_quantized(
+        lr, weight_decay=overrides.get("weight_decay", _weight_decay(config)),
+        state_dtype=INT4_PACKED, **kw,
+    )
+
+
+@_register("ao-adamfp8", "ao-adamwfp8")
+def _adamw_fp8(lr, config, overrides):
+    from .optim_quant import adamw_quantized
+
+    kw = _adam_kwargs(config)
+    return adamw_quantized(
+        lr, weight_decay=overrides.get("weight_decay", _weight_decay(config)),
+        state_dtype=jnp.float8_e4m3fn, **kw,
+    )
+
+
+@_register("bnb-adam8bit")
+def _adam_8bit(lr, config, overrides):
+    from .optim_quant import adamw_quantized
+
+    kw = _adam_kwargs(config)
+    return adamw_quantized(lr, weight_decay=0.0, state_dtype=jnp.int8, **kw)
+
+
+@_register("bnb-lion8bit", "bnb-lion8bit-paged")
+def _lion_8bit(lr, config, overrides):
+    from .optim_quant import lion_quantized
+
+    return lion_quantized(
+        lr,
+        b1=overrides.get("b1", 0.9),
+        b2=overrides.get("b2", 0.99),
+        weight_decay=overrides.get("weight_decay", _weight_decay(config)),
+    )
 
 
 @_register("adamw_bf16")
@@ -142,7 +197,7 @@ def _adam(lr, config, overrides):
     return optax.adam(lr, **_adam_kwargs(config))
 
 
-@_register("lion", "optimi-lion", "bnb-lion", "bnb-lion8bit", "bnb-lion-paged", "bnb-lion8bit-paged")
+@_register("lion", "optimi-lion", "bnb-lion", "bnb-lion-paged")
 def _lion(lr, config, overrides):
     return optax.lion(
         lr,
@@ -159,12 +214,49 @@ def _adafactor(lr, config, overrides):
 
 @_register("stableadamw", "optimi-stableadamw")
 def _stableadamw(lr, config, overrides):
-    # StableAdamW ≈ adamw + per-param update clipping by RMS
+    """StableAdamW (Wortsman et al. 2023): AdamW whose per-tensor LR is divided
+    by max(1, RMS(g²/v̂)) — update clipping replaces global grad clipping."""
     kw = _adam_kwargs(config)
+    b1, b2, eps = kw["b1"], kw["b2"], kw["eps"]
+    wd = overrides.get("weight_decay", _weight_decay(config))
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+        )
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+        b1c = 1.0 - b1 ** count.astype(jnp.float32)
+        b2c = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, m, n, p):
+            gf = g.astype(jnp.float32)
+            m2 = m * b1 + gf * (1.0 - b1)
+            n2 = n * b2 + jnp.square(gf) * (1.0 - b2)
+            v_hat = n2 / b2c
+            rms = jnp.sqrt(jnp.mean(jnp.square(gf) / jnp.maximum(v_hat, eps * eps)))
+            scale = 1.0 / jnp.maximum(1.0, rms)
+            u = (m2 / b1c) / (jnp.sqrt(v_hat) + eps)
+            u = (u + wd * p.astype(jnp.float32)) * scale
+            return u.astype(g.dtype), m2, n2
+
+        res = jax.tree_util.tree_map(upd, updates, state.mu, state.nu, params)
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        flat = [res_leaf for res_leaf in treedef.flatten_up_to(res)]
+        return (
+            treedef.unflatten([f[0] for f in flat]),
+            optax.ScaleByAdamState(
+                count,
+                treedef.unflatten([f[1] for f in flat]),
+                treedef.unflatten([f[2] for f in flat]),
+            ),
+        )
+
     return optax.chain(
-        optax.scale_by_adam(b1=kw["b1"], b2=kw["b2"], eps=kw["eps"]),
-        optax.contrib.normalize() if overrides.get("normalize") else optax.identity(),
-        optax.add_decayed_weights(_weight_decay(config)),
+        optax.GradientTransformation(init, update),
         optax.scale_by_learning_rate(lr),
     )
 
@@ -235,9 +327,183 @@ def _muon(lr, config, overrides):
 
 @_register("soap")
 def _soap(lr, config, overrides):
-    # SOAP ≈ Shampoo-preconditioned adam; optax has no soap — sophia is the
-    # closest second-order-ish contrib transform available on TPU today.
-    return optax.contrib.sophia(lr, weight_decay=_weight_decay(config))
+    from .soap import soap
+
+    kw = _adam_kwargs(config)
+    return soap(
+        lr,
+        b1=overrides.get("b1", 0.95),
+        b2=overrides.get("b2", 0.95),
+        shampoo_beta=overrides.get("shampoo_beta", 0.95),
+        eps=kw["eps"],
+        weight_decay=overrides.get("weight_decay", _weight_decay(config)),
+        precondition_frequency=int(overrides.get("precondition_frequency", 10)),
+        max_precond_dim=int(overrides.get("max_precond_dim", 8192)),
+    )
+
+
+@_register("adan", "optimi-adan")
+def _adan(lr, config, overrides):
+    """Adan (Xie et al. 2022): adaptive Nesterov momentum — EMAs of the grad,
+    the grad difference, and the Nesterov-corrected square."""
+    b1 = overrides.get("b1", 0.98)
+    b2 = overrides.get("b2", 0.92)
+    b3 = overrides.get("b3", 0.99)
+    eps = _adam_kwargs(config)["eps"]
+    wd = overrides.get("weight_decay", _weight_decay(config))
+
+    class AdanState(NamedTuple):
+        count: jax.Array
+        m: optax.Updates
+        v: optax.Updates
+        n: optax.Updates
+        prev_grad: optax.Updates
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, jnp.float32)
+        tm = jax.tree_util.tree_map
+        return AdanState(jnp.zeros([], jnp.int32), tm(z, params), tm(z, params), tm(z, params), tm(z, params))
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+        first = (count == 1).astype(jnp.float32)
+        cf = count.astype(jnp.float32)
+        c1 = 1.0 - b1 ** cf
+        c2 = 1.0 - b2 ** cf
+        c3 = 1.0 - b3 ** cf
+
+        def upd(g, m, v, n, pg, p):
+            gf = g.astype(jnp.float32)
+            diff = (gf - pg) * (1.0 - first)  # zero on the first step
+            m2 = m * b1 + gf * (1.0 - b1)
+            v2 = v * b2 + diff * (1.0 - b2)
+            nest = gf + b2 * diff
+            n2 = n * b3 + jnp.square(nest) * (1.0 - b3)
+            denom = jnp.sqrt(n2 / c3) + eps
+            u = (m2 / c1 + b2 * v2 / c2) / denom + wd * p.astype(jnp.float32)
+            return u.astype(g.dtype), m2, v2, n2, gf
+
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        res = [
+            upd(g, m, v, n, pg, p)
+            for g, m, v, n, pg, p in zip(
+                leaves,
+                treedef.flatten_up_to(state.m),
+                treedef.flatten_up_to(state.v),
+                treedef.flatten_up_to(state.n),
+                treedef.flatten_up_to(state.prev_grad),
+                treedef.flatten_up_to(params),
+            )
+        ]
+        return (
+            treedef.unflatten([r[0] for r in res]),
+            AdanState(
+                count,
+                treedef.unflatten([r[1] for r in res]),
+                treedef.unflatten([r[2] for r in res]),
+                treedef.unflatten([r[3] for r in res]),
+                treedef.unflatten([r[4] for r in res]),
+            ),
+        )
+
+    return optax.chain(
+        optax.GradientTransformation(init, update),
+        optax.scale_by_learning_rate(lr),
+    )
+
+
+@_register("ranger", "optimi-ranger")
+def _ranger(lr, config, overrides):
+    """Ranger = RAdam + Lookahead.  The slow-weight copy lives in optimizer
+    state; every ``sync_period`` steps the emitted update retargets the params
+    onto slow + α·(fast − slow)."""
+    kw = _adam_kwargs(config)
+    sync_period = int(overrides.get("sync_period", 6))
+    alpha = float(overrides.get("slow_step_size", 0.5))
+    inner = optax.radam(lr, **kw)
+
+    class LookaheadState(NamedTuple):
+        inner: Any
+        slow: optax.Updates
+        count: jax.Array
+
+    def init(params):
+        return LookaheadState(
+            inner.init(params),
+            jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params),
+            jnp.zeros([], jnp.int32),
+        )
+
+    def update(updates, state, params=None):
+        fast_updates, inner_state = inner.update(updates, state.inner, params)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+
+        def leaf(u, slow, p):
+            fast_next = p.astype(jnp.float32) + u.astype(jnp.float32)
+            slow_next = slow + alpha * (fast_next - slow)
+            emitted = jnp.where(sync, slow_next - p.astype(jnp.float32), u.astype(jnp.float32))
+            new_slow = jnp.where(sync, slow_next, slow)
+            return emitted.astype(u.dtype), new_slow
+
+        leaves, treedef = jax.tree_util.tree_flatten(fast_updates)
+        res = [
+            leaf(u, s, p)
+            for u, s, p in zip(leaves, treedef.flatten_up_to(state.slow), treedef.flatten_up_to(params))
+        ]
+        return (
+            treedef.unflatten([r[0] for r in res]),
+            LookaheadState(inner_state, treedef.unflatten([r[1] for r in res]), count),
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+@_register("asgd", "torch-asgd")
+def _asgd(lr, config, overrides):
+    """ASGD: SGD iterates + a Polyak parameter average kept in state (torch's
+    ``ax`` buffer).  The averaged copy is what torch exposes after training."""
+    t0 = float(overrides.get("t0", 1e6))
+
+    class ASGDState(NamedTuple):
+        count: jax.Array
+        averaged: optax.Updates
+
+    def init(params):
+        return ASGDState(
+            jnp.zeros([], jnp.int32),
+            jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params),
+        )
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        mu_w = 1.0 / jnp.maximum(1.0, cf - t0)
+
+        def leaf(g, ax, p):
+            new_p = p.astype(jnp.float32) + g.astype(jnp.float32)  # post-lr update applied below
+            new_ax = ax + mu_w * (new_p - ax)
+            return new_ax
+
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        new_ax = [
+            leaf(g, a, p)
+            for g, a, p in zip(leaves, treedef.flatten_up_to(state.averaged), treedef.flatten_up_to(params))
+        ]
+        return updates, ASGDState(count, treedef.unflatten(new_ax))
+
+    return optax.chain(
+        optax.scale_by_learning_rate(lr),
+        optax.GradientTransformation(init, update),
+    )
+
+
+@_register("sparseadam", "torch-sparseadam")
+def _sparseadam(lr, config, overrides):
+    raise NotImplementedError(
+        "sparseadam requires sparse gradients, which XLA/TPU does not produce; "
+        "use adamw (dense) instead"
+    )
 
 
 def optimizer_names() -> Tuple[str, ...]:

@@ -18,7 +18,28 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is compile-bound on CPU; warm runs skip XLA.
-_cache_dir = os.environ.get("JAX_TEST_COMPILE_CACHE", "/tmp/jax_test_compile_cache")
+# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT results compiled on
+# a machine with different vector extensions LOAD with a warning but execute
+# WRONG MATH (observed: avx512 cache entries silently corrupting adam updates
+# on an avx2 host), so a cache must never be shared across machine types.
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = os.environ.get(
+    "JAX_TEST_COMPILE_CACHE", f"/tmp/jax_test_compile_cache_{_cpu_fingerprint()}"
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
