@@ -168,6 +168,16 @@ _f("pretrained_vae_model_name_or_path", FieldType.STR, None, section="model")
 _f("pretrained_transformer_model_name_or_path", FieldType.STR, None, section="model")
 _f("pretrained_unet_model_name_or_path", FieldType.STR, None, section="model")
 _f("pretrained_text_encoder_model_name_or_path", FieldType.STR, None, section="model")
+_f(
+    "allow_untrained_init",
+    FieldType.BOOL,
+    False,
+    help="Permit random-weight initialization when no pretrained checkpoint path "
+    "resolves (pretraining from scratch / research runs). Without this flag a "
+    "non-tiny run with missing weights fails loudly instead of silently "
+    "fine-tuning noise.",
+    section="model",
+)
 _f("revision", FieldType.STR, None, section="model")
 _f("variant", FieldType.STR, None, section="model")
 _f(

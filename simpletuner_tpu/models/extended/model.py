@@ -33,7 +33,7 @@ class QwenImage(MageFlow):
     HUGGINGFACE_PATHS = {"v1": "Qwen/Qwen-Image", "edit": "Qwen/Qwen-Image-Edit"}
     LATENT_CHANNEL_COUNT = 16
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="qwen2.5-vl", family="t5-xxl", subfolder="text_encoder", max_length=1024),
+        TextEncoderSpec(name="qwen2.5-vl", family="qwen2.5-vl", subfolder="text_encoder", max_length=1024),
     )
 
     def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
@@ -142,7 +142,7 @@ class KandinskyVideo(Wan):
     DEFAULT_FLAVOUR = "lite-t2v"
     HUGGINGFACE_PATHS = {"lite-t2v": "ai-forever/Kandinsky-5.0-T2V-Lite"}
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="qwen2.5-vl", family="t5-xxl", subfolder="text_encoder", max_length=512),
+        TextEncoderSpec(name="qwen2.5-vl", family="qwen2.5-vl", subfolder="text_encoder", max_length=512),
     )
 
     def __init__(self, config: Any, arch: Optional[WanConfig] = None):

@@ -19,7 +19,7 @@ class Flux2(Flux):
     }
     # Mistral-3 text encoder: one stream supplies sequence + pooled features
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="mistral-3", family="t5-xxl", subfolder="text_encoder", max_length=512),
+        TextEncoderSpec(name="mistral-3", family="mistral-3", subfolder="text_encoder", max_length=512),
     )
 
     def __init__(self, config: Any, arch: Optional[FluxConfig] = None):

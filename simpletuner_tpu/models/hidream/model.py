@@ -192,7 +192,7 @@ class HiDream(ModelFoundation):
         "i1-dev": "HiDream-ai/HiDream-I1-Dev",
     }
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="llama", family="t5-xxl", subfolder="text_encoder", max_length=256),
+        TextEncoderSpec(name="llama", family="llama-3", subfolder="text_encoder", max_length=256),
         TextEncoderSpec(name="clip-l", family="clip-l", subfolder="text_encoder_2", max_length=77, output="pooled"),
     )
     DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj")

@@ -60,7 +60,7 @@ class HunyuanVideo(ModelFoundation):
         "i2v-720p": "hunyuanvideo-community/HunyuanVideo-I2V",
     }
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="llama", family="t5-xxl", subfolder="text_encoder", max_length=256),
+        TextEncoderSpec(name="llama", family="llama-3", subfolder="text_encoder", max_length=256),
         TextEncoderSpec(name="clip-l", family="clip-l", subfolder="text_encoder_2", max_length=77, output="pooled"),
     )
     DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj", "linear1", "linear2")

@@ -19,7 +19,7 @@ class Kolors(SDXL):
     HUGGINGFACE_PATHS = {"1.0": "Kwai-Kolors/Kolors-diffusers"}
     # ChatGLM encoder: one 4096-dim stream supplies both sequence and pooled
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="chatglm", family="t5-xxl", subfolder="text_encoder", max_length=256),
+        TextEncoderSpec(name="chatglm", family="chatglm", subfolder="text_encoder", max_length=256),
     )
 
     def __init__(self, config: Any, arch: Optional[UNetConfig] = None):

@@ -18,7 +18,7 @@ class Lumina2(PixartSigma):
     HUGGINGFACE_PATHS = {"2.0": "Alpha-VLLM/Lumina-Image-2.0"}
     LATENT_CHANNEL_COUNT = 16
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="gemma-2", family="t5-xxl", subfolder="text_encoder", max_length=256),
+        TextEncoderSpec(name="gemma-2", family="gemma-2", subfolder="text_encoder", max_length=256),
     )
     VAE_SCALING_FACTOR = 0.3611  # flux VAE
     VAE_SHIFT_FACTOR = 0.1159

@@ -22,7 +22,7 @@ class MageFlow(Flux):
     HUGGINGFACE_PATHS = {"v1": "MageFlow/mageflow-4b"}
     LATENT_CHANNEL_COUNT = 32  # DC-AE latents, 2x2-packed to in_channels=128
     TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="qwen", family="t5-xxl", subfolder="text_encoder", max_length=1024),
+        TextEncoderSpec(name="qwen", family="qwen2.5", subfolder="text_encoder", max_length=1024),
     )
 
     def __init__(self, config: Any, arch: Optional[FluxConfig] = None):

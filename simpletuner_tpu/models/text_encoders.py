@@ -119,12 +119,139 @@ def _tiny_tokenizer(max_length: int) -> _TinyTokenizer:
     return _TinyTokenizer(max_length)
 
 
+class LLMTextEncoder:
+    """Decoder-LLM hidden-state encoder (gemma/qwen/llama/mistral/chatglm)
+    behind the same ``encode`` interface as the CLIP/T5 wrappers."""
+
+    def __init__(self, spec: TextEncoderSpec, config, params, tokenizer):
+        from .llm_encoder import LLMEncoder
+
+        self.spec = spec
+        self.config = config
+        self.module = LLMEncoder(config)
+        self.params = params
+        self.tokenizer = tokenizer
+        self._encode_jit = jax.jit(
+            lambda ids, mask: self.module.apply({"params": self.params}, ids, mask)
+        )
+
+    def tokenize(self, prompts: Sequence[str]):
+        return self.tokenizer(
+            list(prompts),
+            padding="max_length",
+            max_length=self.spec.max_length,
+            truncation=True,
+            return_tensors="np",
+        )
+
+    def encode(self, prompts: Sequence[str]) -> Dict[str, np.ndarray]:
+        tokens = self.tokenize(prompts)
+        hidden = self._encode_jit(
+            jnp.asarray(tokens["input_ids"]), jnp.asarray(tokens["attention_mask"])
+        )
+        hidden = np.asarray(hidden, np.float32)
+        mask = np.asarray(tokens["attention_mask"])
+        # pooled = last non-padding token's hidden state (causal LM convention)
+        last = np.maximum(mask.sum(axis=1) - 1, 0)
+        pooled = hidden[np.arange(hidden.shape[0]), last]
+        return {"last_hidden_state": hidden, "attention_mask": mask, "pooled": pooled}
+
+
+_LLM_ARCHES = {
+    "gemma": "gemma2",
+    "gemma-2": "gemma2",
+    "qwen": "qwen2",
+    "qwen2": "qwen2",
+    "qwen2.5": "qwen2",
+    "qwen2.5-vl": "qwen2",
+    "llama": "llama",
+    "llama-3": "llama",
+    "mistral": "mistral",
+    "mistral-3": "mistral",
+    "chatglm": "chatglm",
+}
+
+_LLM_PRESETS = {
+    "gemma2": "gemma2_2b",
+    "qwen2": "qwen25_7b",
+    "llama": "llama3_8b",
+    "mistral": "mistral3_24b",
+    "chatglm": "chatglm3_6b",
+}
+
+
+def _llm_config_from_hf_dir(arch: str, path: str):
+    """Map an HF config.json onto LLMEncoderConfig (local dirs only)."""
+    import json
+    import os
+
+    from .llm_encoder import LLMEncoderConfig
+
+    cfg_path = os.path.join(path, "config.json")
+    with open(cfg_path) as fh:
+        hf = json.load(fh)
+    preset = getattr(LLMEncoderConfig, _LLM_PRESETS[arch])()
+    heads = hf.get("num_attention_heads", preset.num_heads)
+    return dataclasses_replace(
+        preset,
+        vocab_size=hf.get("vocab_size", preset.vocab_size),
+        hidden_size=hf.get("hidden_size", preset.hidden_size),
+        intermediate_size=hf.get("intermediate_size", hf.get("ffn_hidden_size", preset.intermediate_size)),
+        num_layers=hf.get("num_hidden_layers", hf.get("num_layers", preset.num_layers)),
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", hf.get("multi_query_group_num", preset.num_kv_heads)),
+        head_dim=hf.get("head_dim", hf.get("hidden_size", preset.hidden_size) // heads),
+        rope_theta=hf.get("rope_theta", preset.rope_theta),
+        rms_eps=hf.get("rms_norm_eps", hf.get("layernorm_epsilon", preset.rms_eps)),
+    )
+
+
+def dataclasses_replace(obj, **kw):
+    import dataclasses
+
+    return dataclasses.replace(obj, **kw)
+
+
+def _build_llm(spec: TextEncoderSpec, path: Optional[str], tiny: bool):
+    import os
+
+    from .llm_encoder import LLMEncoderConfig, llm_params_from_hf
+
+    arch = _LLM_ARCHES[spec.family]
+    if tiny or path is None:
+        config = LLMEncoderConfig.tiny(arch)
+        import jax.numpy as _jnp
+
+        from .llm_encoder import LLMEncoder
+
+        params = LLMEncoder(config).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+        )["params"]
+        tokenizer = _tiny_tokenizer(spec.max_length)
+        return LLMTextEncoder(spec, config, params, tokenizer)
+
+    sub = os.path.join(path, spec.subfolder) if spec.subfolder else path
+    sub = sub if os.path.isdir(sub) else path
+    config = _llm_config_from_hf_dir(arch, sub)
+    from .weight_import import read_safetensors
+
+    weights = read_safetensors(sub)
+    params = jax.tree_util.tree_map(jnp.asarray, llm_params_from_hf(weights, config))
+    from transformers import AutoTokenizer
+
+    tok_dir = os.path.join(path, spec.tokenizer_subfolder or "tokenizer")
+    tokenizer = AutoTokenizer.from_pretrained(tok_dir if os.path.isdir(tok_dir) else sub)
+    return LLMTextEncoder(spec, config, params, tokenizer)
+
+
 _BUILDERS = {
     "clip-l": _build_clip,
     "clip-g": _build_clip,
     "t5-xxl": _build_t5,
     "t5": _build_t5,
 }
+for _family in _LLM_ARCHES:
+    _BUILDERS[_family] = _build_llm
 
 
 def load_text_encoders(

@@ -643,6 +643,194 @@ def load_unet_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# PixArt (reference helpers/models/pixart/transformer.py PixArtTransformer2DModel:
+# diffusers layout — pos_embed.proj conv, caption_projection gelu MLP,
+# adaln_single, per-block scale_shift_table + attn1/attn2/ff)
+# ---------------------------------------------------------------------------------
+
+
+def pixart_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    dim = arch.hidden_size
+    conv = _to_f32(w["pos_embed.proj.weight"])  # (dim, C, p, p)
+    params: Dict[str, Any] = {
+        "patch_in": {
+            "kernel": np.ascontiguousarray(conv.transpose(2, 3, 1, 0).reshape(-1, dim)),
+            "bias": _to_f32(w["pos_embed.proj.bias"]),
+        },
+        "caption_in_1": _linear(w, "caption_projection.linear_1"),
+        "caption_in_2": _linear(w, "caption_projection.linear_2"),
+        "time_in": {
+            "in_layer": _linear(w, "adaln_single.emb.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "adaln_single.emb.timestep_embedder.linear_2"),
+        },
+        "time_proj": _linear(w, "adaln_single.linear"),
+        "final_scale_shift_table": _to_f32(w["scale_shift_table"]).reshape(2, dim),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    if "adaln_single.emb.resolution_embedder.linear_1.weight" in w:
+        params["resolution_in"] = {
+            "in_layer": _linear(w, "adaln_single.emb.resolution_embedder.linear_1"),
+            "out_layer": _linear(w, "adaln_single.emb.resolution_embedder.linear_2"),
+        }
+        params["aspect_in"] = {
+            "in_layer": _linear(w, "adaln_single.emb.aspect_ratio_embedder.linear_1"),
+            "out_layer": _linear(w, "adaln_single.emb.aspect_ratio_embedder.linear_2"),
+        }
+    for i in range(arch.depth):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]).reshape(6, dim),
+            "attn1_q": _linear(w, f"{src}.attn1.to_q"),
+            "attn1_k": _linear(w, f"{src}.attn1.to_k"),
+            "attn1_v": _linear(w, f"{src}.attn1.to_v"),
+            "attn1_proj": _linear(w, f"{src}.attn1.to_out.0"),
+            "attn2_q": _linear(w, f"{src}.attn2.to_q"),
+            "attn2_k": _linear(w, f"{src}.attn2.to_k"),
+            "attn2_v": _linear(w, f"{src}.attn2.to_v"),
+            "attn2_proj": _linear(w, f"{src}.attn2.to_out.0"),
+            "ff_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "ff_out": _linear(w, f"{src}.ff.net.2"),
+        }
+    return params
+
+
+def load_pixart_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = pixart_params_from_diffusers(weights, model.arch)
+    logger.info("imported pixart weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Sana (reference helpers/models/sana/transformer.py SanaTransformer2DModel:
+# patch_embed + caption projection/RMSNorm + time_embed adaLN-single + blocks of
+# linear attn / cross attn / GLUMBConv)
+# ---------------------------------------------------------------------------------
+
+
+def _conv_flax(weights: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    """torch conv (O, I/g, kh, kw) -> flax (kh, kw, I/g, O)."""
+    out = {"kernel": np.ascontiguousarray(_to_f32(weights[f"{key}.weight"]).transpose(2, 3, 1, 0))}
+    if f"{key}.bias" in weights:
+        out["bias"] = _to_f32(weights[f"{key}.bias"])
+    return out
+
+
+def sana_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    dim = arch.hidden_size
+    conv = _to_f32(w["patch_embed.proj.weight"])  # (dim, C, p, p)
+    params: Dict[str, Any] = {
+        "patch_in": {
+            "kernel": np.ascontiguousarray(conv.transpose(2, 3, 1, 0).reshape(-1, dim)),
+            "bias": _to_f32(w["patch_embed.proj.bias"]),
+        },
+        "caption_in_1": _linear(w, "caption_projection.linear_1"),
+        "caption_in_2": _linear(w, "caption_projection.linear_2"),
+        "caption_norm": {"scale": _to_f32(w["caption_norm.weight"])},
+        "time_in": {
+            "in_layer": _linear(w, "time_embed.emb.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_embed.emb.timestep_embedder.linear_2"),
+        },
+        "time_proj": _linear(w, "time_embed.linear"),
+        "final_scale_shift_table": _to_f32(w["scale_shift_table"]).reshape(2, dim),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    for i in range(arch.depth):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]).reshape(6, dim),
+            "attn1_q": _linear(w, f"{src}.attn1.to_q"),
+            "attn1_k": _linear(w, f"{src}.attn1.to_k"),
+            "attn1_v": _linear(w, f"{src}.attn1.to_v"),
+            "attn1_proj": _linear(w, f"{src}.attn1.to_out.0"),
+            "attn2_q": _linear(w, f"{src}.attn2.to_q"),
+            "attn2_k": _linear(w, f"{src}.attn2.to_k"),
+            "attn2_v": _linear(w, f"{src}.attn2.to_v"),
+            "attn2_proj": _linear(w, f"{src}.attn2.to_out.0"),
+            "ff": {
+                "conv_inverted": _conv_flax(w, f"{src}.ff.conv_inverted"),
+                "conv_depth": _conv_flax(w, f"{src}.ff.conv_depth"),
+                "conv_point": _conv_flax(w, f"{src}.ff.conv_point"),
+            },
+        }
+    return params
+
+
+def load_sana_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = sana_params_from_diffusers(weights, model.arch)
+    logger.info("imported sana weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# AuraFlow (reference helpers/models/auraflow/transformer.py
+# AuraFlowTransformer2DModel: learned pos table, register tokens, joint +
+# single blocks, SwiGLU FFs, bias-free linears)
+# ---------------------------------------------------------------------------------
+
+
+def _aura_ff(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "linear_1": _linear(w, f"{src}.linear_1"),
+        "linear_2": _linear(w, f"{src}.linear_2"),
+        "out_projection": _linear(w, f"{src}.out_projection"),
+    }
+
+
+def auraflow_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "patch_in": _linear(w, "pos_embed.proj"),
+        "pos_embed": _to_f32(w["pos_embed.pos_embed"]).reshape(-1, arch.hidden_size),
+        "context_in": _linear(w, "context_embedder"),
+        "register_tokens": _to_f32(w["register_tokens"]).reshape(-1, arch.hidden_size),
+        "time_in": {
+            "in_layer": _linear(w, "time_step_proj.linear_1"),
+            "out_layer": _linear(w, "time_step_proj.linear_2"),
+        },
+        "final_mod": _linear(w, "norm_out.linear"),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    for i in range(arch.depth_double):
+        src = f"joint_transformer_blocks.{i}"
+        params[f"double_{i}"] = {
+            "norm1_lin": _linear(w, f"{src}.norm1.linear"),
+            "norm1_context_lin": _linear(w, f"{src}.norm1_context.linear"),
+            "attn_q": _linear(w, f"{src}.attn.to_q"),
+            "attn_k": _linear(w, f"{src}.attn.to_k"),
+            "attn_v": _linear(w, f"{src}.attn.to_v"),
+            "attn_add_q": _linear(w, f"{src}.attn.add_q_proj"),
+            "attn_add_k": _linear(w, f"{src}.attn.add_k_proj"),
+            "attn_add_v": _linear(w, f"{src}.attn.add_v_proj"),
+            "attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "attn_add_proj": _linear(w, f"{src}.attn.to_add_out"),
+            "ff": _aura_ff(w, f"{src}.ff"),
+            "ff_context": _aura_ff(w, f"{src}.ff_context"),
+        }
+    for i in range(arch.depth_single):
+        src = f"single_transformer_blocks.{i}"
+        params[f"single_{i}"] = {
+            "norm1_lin": _linear(w, f"{src}.norm1.linear"),
+            "attn_q": _linear(w, f"{src}.attn.to_q"),
+            "attn_k": _linear(w, f"{src}.attn.to_k"),
+            "attn_v": _linear(w, f"{src}.attn.to_v"),
+            "attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "ff": _aura_ff(w, f"{src}.ff"),
+        }
+    return params
+
+
+def load_auraflow_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = auraflow_params_from_diffusers(weights, model.arch)
+    logger.info("imported auraflow weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -651,8 +839,16 @@ _IMPORTERS = {
     "sd1x": load_unet_params,
     "sd2x": load_unet_params,
     "sdxl": load_unet_params,
+    # kolors is the SDXL UNet with ChatGLM conditioning (reference
+    # helpers/models/kolors — UNet2DConditionModel layout, 2048-dim context)
+    "kolors": load_unet_params,
+    # deepfloyd IF stage UNets are diffusers UNet2DConditionModel pixel-space
+    "deepfloyd": load_unet_params,
     "sd3": load_sd3_params,
     "wan": load_wan_params,
+    "pixart_sigma": load_pixart_params,
+    "sana": load_sana_params,
+    "auraflow": load_auraflow_params,
 }
 
 
