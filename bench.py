@@ -23,6 +23,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*args):
@@ -69,6 +70,148 @@ def flux_step_flops(arch, batch: int, s_img: int, s_txt: int, remat: bool) -> fl
     fwd += batch * (s_img * 2 * arch.in_channels * h * 2 + s_txt * 2 * arch.txt_in_features * h)
     del remat
     return fwd * 3.0
+
+
+def flagship() -> dict:
+    """Flux.1-scale flagship: FULL 19+38 depth (11.9B params), int8 frozen base
+    + bf16 rank-16 LoRA, full remat, 1024px bs1 — the BASELINE.md rows-1-4
+    regime on a single 16G v5e chip (VERDICT r1 Next #3).
+
+    Weights are materialized directly in the quantized on-device layout
+    (int8 kernels + qscales; training/quantization.py) — MFU is independent of
+    weight values, and a 12B fp32 init would not fit either HBM or the tunnel.
+    """
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+    from simpletuner_tpu.training.optimizers import get_optimizer
+    from simpletuner_tpu.training.schedules import get_lr_schedule
+    from simpletuner_tpu.training.train_state import TrainState, build_train_step
+
+    batch_size = int(os.environ.get("BENCH_FLAGSHIP_BATCH", 1))
+    resolution = int(os.environ.get("BENCH_FLAGSHIP_RES", 1024))
+    steps = int(os.environ.get("BENCH_FLAGSHIP_STEPS", 8))
+
+    arch = FluxConfig()  # full Flux.1: 19 double + 38 single, 3072 x 24 heads
+    cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "lora_rank": 16,
+            "optimizer": "adamw",
+            "learning_rate": 1e-4,
+            "max_train_steps": 1000,
+            "gradient_checkpointing": True,
+            "gradient_checkpointing_policy": os.environ.get("BENCH_REMAT_POLICY", "full"),
+            "base_model_precision": "int8-quanto",
+        }
+    )
+    model = Flux(cfg, arch=arch)
+
+    latent = resolution // 8
+    s_img = (latent // 2) * (latent // 2)
+    s_txt = 512
+    batch = {
+        "latents": jnp.zeros((batch_size, latent, latent, 16), jnp.float32),
+        "t5_embeds": jnp.zeros((batch_size, s_txt, arch.txt_in_features), jnp.bfloat16),
+        "pooled_embeds": jnp.zeros((batch_size, arch.vec_in_features), jnp.bfloat16),
+    }
+
+    log("flagship: eval_shape init (no compute)...")
+    init_batch = {k: v[:1] for k, v in batch.items()}
+    shapes = jax.eval_shape(
+        lambda: model.init_params(jax.random.PRNGKey(0), init_batch)
+    )
+
+    import jax.tree_util as jtu
+
+    param_shapes = jtu.tree_flatten_with_path(shapes["params"])[0]
+    params_def = jtu.tree_structure(shapes["params"])
+    n_params = sum(int(np.prod(s.shape)) for _, s in param_shapes)
+    log(f"flagship params: {n_params/1e9:.2f}B (int8 on device)")
+
+    def build_frozen():
+        leaves = []
+        scales: dict = {}
+        for path, s in param_shapes:
+            names = [getattr(k, "key", str(k)) for k in path]
+            if names[-1] == "kernel" and len(s.shape) == 2:
+                leaves.append(jnp.zeros(s.shape, jnp.int8))
+                node = scales
+                for name in names[:-1]:
+                    node = node.setdefault(name, {})
+                node["kernel_scale"] = jnp.full((s.shape[1],), 1e-3, jnp.float32)
+            else:
+                leaves.append(jnp.zeros(s.shape, jnp.bfloat16))
+        return {"params": jtu.tree_unflatten(params_def, leaves), "qscales": scales}
+
+    def build_lora():
+        return jtu.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, jnp.float32), shapes["lora"]
+        )
+
+    log("flagship: materializing weights on device...")
+    t0 = time.perf_counter()
+    frozen = jax.jit(build_frozen)()
+    lora = jax.jit(build_lora)()
+    jax.block_until_ready(frozen["params"])
+    log(f"  took {time.perf_counter()-t0:.1f}s")
+
+    schedule = get_lr_schedule(cfg, 1000)
+    tx = get_optimizer(cfg, schedule)
+    trainable = {"lora": lora}
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        frozen=frozen,
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+        ema=None,
+    )
+    step_fn = build_train_step(model, tx, schedule)
+
+    def k_steps(state, batch, rng, k):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
+            return (st, metrics["loss"])
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
+
+    step_k = jax.jit(k_steps, static_argnums=(3,), donate_argnums=(0,))
+    log("flagship: compiling (full-depth remat)...")
+    t0 = time.perf_counter()
+    state, loss = step_k(state, batch, jax.random.PRNGKey(1), 1)
+    loss_val = float(loss)
+    log(f"  compile+first step: {time.perf_counter()-t0:.1f}s  loss={loss_val:.4f}")
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(loss)
+    fetch_overhead = (time.perf_counter() - t0) / 3
+
+    state, loss = step_k(state, batch, jax.random.PRNGKey(2), steps)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    state, loss = step_k(state, batch, jax.random.PRNGKey(3), steps)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0 - fetch_overhead) / steps
+
+    step_flops = flux_step_flops(arch, batch_size, s_img, s_txt, True)
+    mfu = step_flops / dt / peak_flops()
+    samples_per_sec = batch_size / dt
+    log(
+        f"flagship step: {dt*1e3:.1f} ms  samples/s/chip: {samples_per_sec:.3f}  "
+        f"model TFLOP/step: {step_flops/1e12:.1f}  MFU: {mfu*100:.1f}%"
+    )
+    return {
+        "mfu": round(mfu, 4),
+        "samples_per_sec_per_chip": round(samples_per_sec, 4),
+        "step_ms": round(dt * 1e3, 1),
+        "params_b": round(n_params / 1e9, 2),
+        "batch": batch_size,
+        "resolution": resolution,
+        "quant": "int8",
+        "remat": True,
+    }
 
 
 def main() -> None:
@@ -176,21 +319,38 @@ def main() -> None:
         f"step: {dt*1e3:.1f} ms  samples/s/chip: {samples_per_sec:.2f}  "
         f"model TFLOP/step: {step_flops/1e12:.1f}  MFU: {mfu*100:.1f}%"
     )
+
+    extra = {
+        "samples_per_sec_per_chip": round(samples_per_sec, 3),
+        "step_ms": round(dt * 1e3, 1),
+        "params_b": round(n_params / 1e9, 2),
+        "batch": batch_size,
+        "resolution": resolution,
+        "remat": remat,
+    }
+
+    # Flagship 12B entry (VERDICT r1 Next #3): full-depth Flux.1, int8 base,
+    # remat, 1024px.  The headline metric is the flagship MFU when it runs;
+    # the 2.56B proxy rides along in extra for continuity with round 1.
+    metric_name = "flux_lora_train_mfu_v5e"
+    value = mfu
+    if os.environ.get("BENCH_MODE", "flagship") != "proxy":
+        try:
+            fl = flagship()
+            extra = {"proxy_2p56b": extra, **{f"flagship_{k}": v for k, v in fl.items()}}
+            metric_name = "flux12b_int8_lora_train_mfu_v5e"
+            value = fl["mfu"]
+        except Exception as exc:  # OOM or tunnel hiccup: report the proxy
+            log(f"flagship bench failed ({type(exc).__name__}: {exc}); reporting proxy only")
+
     print(
         json.dumps(
             {
-                "metric": "flux_lora_train_mfu_v5e",
-                "value": round(mfu, 4),
+                "metric": metric_name,
+                "value": round(value, 4),
                 "unit": "MFU (fraction of bf16 peak)",
-                "vs_baseline": round(mfu / 0.40, 3),
-                "extra": {
-                    "samples_per_sec_per_chip": round(samples_per_sec, 3),
-                    "step_ms": round(dt * 1e3, 1),
-                    "params_b": round(n_params / 1e9, 2),
-                    "batch": batch_size,
-                    "resolution": resolution,
-                    "remat": remat,
-                },
+                "vs_baseline": round(value / 0.40, 3),
+                "extra": extra,
             }
         )
     )

@@ -528,3 +528,9 @@ _f("use_ema_for_validation", FieldType.BOOL, False, section="validation")
 _f("controlnet_depth", FieldType.INT, 2, help="ControlNet branch depth (DiT families)", section="model")
 _f("image_embed_model", FieldType.STR, None, help="CLIP-vision repo for image-embed caches", section="data")
 _f("s2v_audio_feature_dim", FieldType.INT, 64, section="model")
+
+
+# --- extended reference surface (generated; see fields_extended.py) -------------------
+from .fields_extended import register as _register_extended
+
+_register_extended(_f, FieldType)

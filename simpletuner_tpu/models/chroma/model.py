@@ -1,6 +1,8 @@
 """Chroma family (reference: helpers/models/chroma — an 8.9B Flux-architecture
-flow model with the guidance embedder removed and slimmed modulation, T5-only
-text conditioning; SURVEY.md §2.3)."""
+flow model whose per-block modulation MLPs are pruned in favour of a single
+"distilled guidance" approximator network, T5-only text conditioning;
+SURVEY.md §2.3).  The checkpoint-faithful DiT body lives in ``transformer.py``.
+"""
 
 from __future__ import annotations
 
@@ -10,7 +12,7 @@ import jax.numpy as jnp
 
 from ..common import TextEncoderSpec
 from ..flux.model import Flux
-from ..flux.transformer import FluxConfig
+from .transformer import ChromaConfig, ChromaTransformer
 
 
 class Chroma(Flux):
@@ -22,16 +24,23 @@ class Chroma(Flux):
         TextEncoderSpec(name="t5-xxl", family="t5-xxl", subfolder="text_encoder", max_length=512),
     )
 
-    def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
+    def __init__(self, config: Any, arch: Optional[ChromaConfig] = None):
         if arch is None:
             if getattr(config, "model_arch_preset", None) == "tiny":
-                base = FluxConfig.tiny()
+                arch = ChromaConfig.tiny()
             else:
-                base = FluxConfig(depth_double=19, depth_single=38)
-            import dataclasses as _dc
-
-            arch = _dc.replace(base, guidance_embed=False)
+                arch = ChromaConfig()
         super().__init__(config, arch=arch)
+
+    def create_module(self):
+        return ChromaTransformer(
+            config=self.arch,
+            dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
+            remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+        )
 
     def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, Any]:
         batch = super().example_batch(batch_size, resolution)

@@ -8,7 +8,6 @@ from .model import (
     KandinskyVideo,
     LongcatImage,
     LongcatVideo,
-    QwenImage,
     SanaVideo,
     WanS2V,
 )

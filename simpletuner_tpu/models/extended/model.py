@@ -24,28 +24,6 @@ from ..wan.model import Wan
 from ..wan.transformer import WanConfig
 
 
-class QwenImage(MageFlow):
-    """reference: helpers/models/qwen_image/transformer.py:1051-1053 — 60
-    double-stream layers, 24 heads × 128, Qwen2.5-VL 3584-dim context."""
-
-    NAME = "qwen_image"
-    DEFAULT_FLAVOUR = "v1"
-    HUGGINGFACE_PATHS = {"v1": "Qwen/Qwen-Image", "edit": "Qwen/Qwen-Image-Edit"}
-    LATENT_CHANNEL_COUNT = 16
-    TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="qwen2.5-vl", family="qwen2.5-vl", subfolder="text_encoder", max_length=1024),
-    )
-
-    def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = FluxConfig(
-                in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
-                depth_double=60, depth_single=0, txt_in_features=3584,
-                vec_in_features=3584, guidance_embed=False,
-            )
-        super().__init__(config, arch=arch)
-
-
 class LongcatImage(MageFlow):
     """reference: helpers/models/longcat_image/transformer.py:296-300 — Flux
     topology (19 double + 38 single), 24 heads × 128, 3584-dim context."""

@@ -82,7 +82,18 @@ class LoRADense(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if kernel.dtype in (jnp.int8, jnp.dtype(jnp.float8_e4m3fn)):
+            # quantized frozen base (training/quantization.py use-site layout):
+            # per-output-channel scales ride the ``qscales`` collection and the
+            # dequant happens HERE — inside the block's remat scope — so HBM
+            # only ever holds the int8 copy plus one transient bf16 kernel
+            scale = self.variable(
+                "qscales", "kernel_scale", lambda: jnp.ones((self.features,), jnp.float32)
+            ).value
+            kernel = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
+            y = jnp.dot(x.astype(self.dtype), kernel)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)

@@ -3,9 +3,10 @@ flow-matching video DiT over heavily-compressed causal-VAE latents
 (32x spatial, 8x temporal, 128 latent channels), T5-XXL text conditioning;
 SURVEY.md §2.3).
 
-The DiT body reuses this framework's Wan-style block (self-attn with 3-D RoPE +
-text cross-attn + FFN, scale-shift-table modulation) at LTX dimensions; the
-heavy VAE compression means tokens are (1,1,1)-patchified latent cells.
+The DiT body lives in ``transformer.py`` and is checkpoint-faithful to the
+reference's vendored ``LTXVideoTransformer3DModel`` (full-inner-dim rotary,
+affine across-heads qk RMSNorms, cross-attention on the raw stream, per-block
+scale-shift tables) so real LTX weights import key-for-key.
 """
 
 from __future__ import annotations
@@ -19,11 +20,11 @@ import numpy as np
 from ..common import ModelFoundation, TextEncoderSpec
 from ..video_vae import VideoVAEConfig
 from ..wan.model import Wan
-from ..wan.transformer import WanConfig, WanTransformer
+from .transformer import LTXConfig, LTXTransformer
 
 
 class LTXVideo(Wan):
-    """Shares the video-family machinery with Wan; differs in arch + VAE."""
+    """Shares the video-family machinery with Wan; faithful LTX DiT body."""
 
     NAME = "ltxvideo"
     DEFAULT_FLAVOUR = "2b-0.9.5"
@@ -36,25 +37,35 @@ class LTXVideo(Wan):
     )
     LATENT_CHANNEL_COUNT = 128
 
-    def __init__(self, config: Any, arch: Optional[WanConfig] = None):
+    def __init__(self, config: Any, arch: Optional[LTXConfig] = None):
         if arch is None:
             if getattr(config, "model_arch_preset", None) == "tiny":
-                arch = WanConfig(
-                    in_channels=8, patch=(1, 1, 1), hidden_size=64, depth=2,
-                    num_heads=2, head_dim=32, text_dim=32, axes_dim=(12, 10, 10),
-                )
+                arch = LTXConfig.tiny()
+            elif getattr(config, "model_flavour", None) == "13b-0.9.7":
+                # reference helpers/models/ltxvideo: 13B = 48 layers x 32 heads x 128
+                arch = LTXConfig(hidden_size=4096, depth=48, num_heads=32, head_dim=128,
+                                 cross_dim=4096)
             else:
-                arch = WanConfig(
-                    in_channels=128,
-                    patch=(1, 1, 1),  # latent cells are already 32x32x8 pixels
-                    hidden_size=2048,
-                    depth=28,
-                    num_heads=32,
-                    head_dim=64,
-                    text_dim=4096,
-                    axes_dim=(20, 22, 22),
-                )
+                arch = LTXConfig()
         super().__init__(config, arch=arch)
+
+    @property
+    def is_i2v(self) -> bool:
+        return False  # LTX conditions via timestep-0 frames, not channel concat
+
+    @property
+    def latent_channels(self) -> int:
+        return self.arch.in_channels
+
+    def create_module(self):
+        return LTXTransformer(
+            config=self.arch,
+            dtype=jnp.bfloat16 if getattr(self.config, "mixed_precision", "bf16") == "bf16" else jnp.float32,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
+            remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+        )
 
     def video_vae_config(self) -> VideoVAEConfig:
         if getattr(self.config, "model_arch_preset", None) == "tiny":

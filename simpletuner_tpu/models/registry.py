@@ -29,7 +29,7 @@ _FAMILIES: Dict[str, tuple] = {
     "z_image": ("simpletuner_tpu.models.mageflow.model", "ZImage", {"modality": "image", "prediction": "flow_matching"}),
     "cosmos3": ("simpletuner_tpu.models.cosmos3.model", "Cosmos3", {"modality": "video", "prediction": "flow_matching"}),
     "hidream": ("simpletuner_tpu.models.hidream.model", "HiDream", {"modality": "image", "prediction": "flow_matching"}),
-    "qwen_image": ("simpletuner_tpu.models.extended.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
+    "qwen_image": ("simpletuner_tpu.models.qwen_image.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_image": ("simpletuner_tpu.models.extended.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_video": ("simpletuner_tpu.models.extended.model", "LongcatVideo", {"modality": "video", "prediction": "flow_matching"}),
     "anima": ("simpletuner_tpu.models.extended.model", "Anima", {"modality": "image", "prediction": "flow_matching"}),

@@ -831,6 +831,277 @@ def load_auraflow_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# LTX-Video (reference helpers/models/ltxvideo/transformer.py
+# LTXVideoTransformer3DModel: proj_in, adaLN-single, qk-RMS-normed blocks)
+# ---------------------------------------------------------------------------------
+
+
+def ltx_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    dim = arch.hidden_size
+    params: Dict[str, Any] = {
+        "patch_in": _linear(w, "proj_in"),
+        "caption_in_1": _linear(w, "caption_projection.linear_1"),
+        "caption_in_2": _linear(w, "caption_projection.linear_2"),
+        "time_in": {
+            "in_layer": _linear(w, "time_embed.emb.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_embed.emb.timestep_embedder.linear_2"),
+        },
+        "time_proj": _linear(w, "time_embed.linear"),
+        "final_scale_shift_table": _to_f32(w["scale_shift_table"]).reshape(2, dim),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    for i in range(arch.depth):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]).reshape(6, dim),
+            "attn1_q": _linear(w, f"{src}.attn1.to_q"),
+            "attn1_k": _linear(w, f"{src}.attn1.to_k"),
+            "attn1_v": _linear(w, f"{src}.attn1.to_v"),
+            "attn1_proj": _linear(w, f"{src}.attn1.to_out.0"),
+            "attn1_norm_q": _scale(w, f"{src}.attn1.norm_q.weight"),
+            "attn1_norm_k": _scale(w, f"{src}.attn1.norm_k.weight"),
+            "attn2_q": _linear(w, f"{src}.attn2.to_q"),
+            "attn2_k": _linear(w, f"{src}.attn2.to_k"),
+            "attn2_v": _linear(w, f"{src}.attn2.to_v"),
+            "attn2_proj": _linear(w, f"{src}.attn2.to_out.0"),
+            "attn2_norm_q": _scale(w, f"{src}.attn2.norm_q.weight"),
+            "attn2_norm_k": _scale(w, f"{src}.attn2.norm_k.weight"),
+            "ff_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "ff_out": _linear(w, f"{src}.ff.net.2"),
+        }
+    return params
+
+
+def load_ltx_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = ltx_params_from_diffusers(weights, model.arch)
+    logger.info("imported ltxvideo weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Chroma (reference helpers/models/chroma/transformer.py ChromaTransformer2DModel:
+# Flux topology, per-block modulation pruned into the distilled-guidance
+# approximator)
+# ---------------------------------------------------------------------------------
+
+
+def chroma_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "img_in": _linear(w, "x_embedder"),
+        "txt_in": _linear(w, "context_embedder"),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    approx: Dict[str, Any] = {
+        "in_proj": _linear(w, "distilled_guidance_layer.in_proj"),
+        "out_proj": _linear(w, "distilled_guidance_layer.out_proj"),
+    }
+    for i in range(arch.approximator_layers):
+        approx[f"layer_{i}_1"] = _linear(w, f"distilled_guidance_layer.layers.{i}.linear_1")
+        approx[f"layer_{i}_2"] = _linear(w, f"distilled_guidance_layer.layers.{i}.linear_2")
+        approx[f"norm_{i}"] = _scale(w, f"distilled_guidance_layer.norms.{i}.weight")
+    params["approximator"] = approx
+
+    for i in range(arch.depth_double):
+        p = f"transformer_blocks.{i}"
+        params[f"double_{i}"] = {
+            "img_attn_q": _linear(w, f"{p}.attn.to_q"),
+            "img_attn_k": _linear(w, f"{p}.attn.to_k"),
+            "img_attn_v": _linear(w, f"{p}.attn.to_v"),
+            "txt_attn_q": _linear(w, f"{p}.attn.add_q_proj"),
+            "txt_attn_k": _linear(w, f"{p}.attn.add_k_proj"),
+            "txt_attn_v": _linear(w, f"{p}.attn.add_v_proj"),
+            "img_attn_norm_q": _scale(w, f"{p}.attn.norm_q.weight"),
+            "img_attn_norm_k": _scale(w, f"{p}.attn.norm_k.weight"),
+            "txt_attn_norm_q": _scale(w, f"{p}.attn.norm_added_q.weight"),
+            "txt_attn_norm_k": _scale(w, f"{p}.attn.norm_added_k.weight"),
+            "img_attn_proj": _linear(w, f"{p}.attn.to_out.0"),
+            "txt_attn_proj": _linear(w, f"{p}.attn.to_add_out"),
+            "img_mlp": {
+                "proj_in": _linear(w, f"{p}.ff.net.0.proj"),
+                "proj_out": _linear(w, f"{p}.ff.net.2"),
+            },
+            "txt_mlp": {
+                "proj_in": _linear(w, f"{p}.ff_context.net.0.proj"),
+                "proj_out": _linear(w, f"{p}.ff_context.net.2"),
+            },
+        }
+    for i in range(arch.depth_single):
+        p = f"single_transformer_blocks.{i}"
+        q = _to_f32(w[f"{p}.attn.to_q.weight"])
+        k = _to_f32(w[f"{p}.attn.to_k.weight"])
+        v = _to_f32(w[f"{p}.attn.to_v.weight"])
+        mlp = _to_f32(w[f"{p}.proj_mlp.weight"])
+        kernel = np.ascontiguousarray(np.concatenate([q, k, v, mlp], axis=0).T)
+        bias = np.concatenate(
+            [
+                _to_f32(w[f"{p}.attn.to_q.bias"]),
+                _to_f32(w[f"{p}.attn.to_k.bias"]),
+                _to_f32(w[f"{p}.attn.to_v.bias"]),
+                _to_f32(w[f"{p}.proj_mlp.bias"]),
+            ]
+        )
+        params[f"single_{i}"] = {
+            "linear1": {"kernel": kernel, "bias": bias},
+            "linear2": _linear(w, f"{p}.proj_out"),
+            "norm_q": _scale(w, f"{p}.attn.norm_q.weight"),
+            "norm_k": _scale(w, f"{p}.attn.norm_k.weight"),
+        }
+    return params
+
+
+def load_chroma_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = chroma_params_from_diffusers(weights, model.arch)
+    logger.info("imported chroma weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Qwen-Image (reference helpers/models/qwen_image/transformer.py
+# QwenImageTransformer2DModel: 60 double-stream blocks, per-stream mod linears)
+# ---------------------------------------------------------------------------------
+
+
+def qwen_image_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "img_in": _linear(w, "img_in"),
+        "txt_in": _linear(w, "txt_in"),
+        "txt_norm": _scale(w, "txt_norm.weight"),
+        "time_in": {
+            "in_layer": _linear(w, "time_text_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        # AdaLayerNormContinuous emits (scale, shift) and so does our head: no swap
+        "final_mod": _linear(w, "norm_out.linear"),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    for i in range(arch.depth):
+        p = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "img_mod": _linear(w, f"{p}.img_mod.1"),
+            "txt_mod": _linear(w, f"{p}.txt_mod.1"),
+            "img_attn_q": _linear(w, f"{p}.attn.to_q"),
+            "img_attn_k": _linear(w, f"{p}.attn.to_k"),
+            "img_attn_v": _linear(w, f"{p}.attn.to_v"),
+            "txt_attn_q": _linear(w, f"{p}.attn.add_q_proj"),
+            "txt_attn_k": _linear(w, f"{p}.attn.add_k_proj"),
+            "txt_attn_v": _linear(w, f"{p}.attn.add_v_proj"),
+            "img_attn_norm_q": _scale(w, f"{p}.attn.norm_q.weight"),
+            "img_attn_norm_k": _scale(w, f"{p}.attn.norm_k.weight"),
+            "txt_attn_norm_q": _scale(w, f"{p}.attn.norm_added_q.weight"),
+            "txt_attn_norm_k": _scale(w, f"{p}.attn.norm_added_k.weight"),
+            "img_attn_proj": _linear(w, f"{p}.attn.to_out.0"),
+            "txt_attn_proj": _linear(w, f"{p}.attn.to_add_out"),
+            "img_mlp_in": _linear(w, f"{p}.img_mlp.net.0.proj"),
+            "img_mlp_out": _linear(w, f"{p}.img_mlp.net.2"),
+            "txt_mlp_in": _linear(w, f"{p}.txt_mlp.net.0.proj"),
+            "txt_mlp_out": _linear(w, f"{p}.txt_mlp.net.2"),
+        }
+    return params
+
+
+def load_qwen_image_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = qwen_image_params_from_diffusers(weights, model.arch)
+    logger.info("imported qwen_image weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# HunyuanVideo 1.5 (reference helpers/models/hunyuanvideo/transformer.py
+# HunyuanVideo15Transformer3DModel: token refiner + ByT5/image projections +
+# dual-stream blocks)
+# ---------------------------------------------------------------------------------
+
+
+def hunyuanvideo_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    dim = arch.hidden_size
+    conv = _to_f32(w["x_embedder.proj.weight"])  # (dim, C, pt, ph, pw)
+    params: Dict[str, Any] = {
+        "patch_in": {
+            "kernel": np.ascontiguousarray(conv.transpose(2, 3, 4, 1, 0).reshape(-1, dim)),
+            "bias": _to_f32(w["x_embedder.proj.bias"]),
+        },
+        "time_in": {
+            "in_layer": _linear(w, "time_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_embed.timestep_embedder.linear_2"),
+        },
+        "cond_type_embed": _to_f32(w["cond_type_embed.weight"]),
+        "byt5_norm": {"LayerNorm_0": _norm(w, "context_embedder_2.norm")},
+        "byt5_in_1": _linear(w, "context_embedder_2.linear_1"),
+        "byt5_in_2": _linear(w, "context_embedder_2.linear_2"),
+        "byt5_in_3": _linear(w, "context_embedder_2.linear_3"),
+        "img_embed_norm_in": {"LayerNorm_0": _norm(w, "image_embedder.norm_in")},
+        "img_embed_in_1": _linear(w, "image_embedder.linear_1"),
+        "img_embed_in_2": _linear(w, "image_embedder.linear_2"),
+        "img_embed_norm_out": {"LayerNorm_0": _norm(w, "image_embedder.norm_out")},
+        "final_mod": _linear(w, "norm_out.linear"),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    refiner: Dict[str, Any] = {
+        "time_in": {
+            "in_layer": _linear(w, "context_embedder.time_text_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "context_embedder.time_text_embed.timestep_embedder.linear_2"),
+        },
+        "text_in": {
+            "in_layer": _linear(w, "context_embedder.time_text_embed.text_embedder.linear_1"),
+            "out_layer": _linear(w, "context_embedder.time_text_embed.text_embedder.linear_2"),
+        },
+        "proj_in": _linear(w, "context_embedder.proj_in"),
+    }
+    for i in range(arch.refiner_depth):
+        src = f"context_embedder.token_refiner.refiner_blocks.{i}"
+        refiner[f"block_{i}"] = {
+            "norm1": {"LayerNorm_0": _norm(w, f"{src}.norm1")},
+            "attn_q": _linear(w, f"{src}.attn.to_q"),
+            "attn_k": _linear(w, f"{src}.attn.to_k"),
+            "attn_v": _linear(w, f"{src}.attn.to_v"),
+            "attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "norm2": {"LayerNorm_0": _norm(w, f"{src}.norm2")},
+            "ff_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "ff_out": _linear(w, f"{src}.ff.net.2"),
+            "adanorm_lin": _linear(w, f"{src}.norm_out.linear"),
+        }
+    params["refiner"] = refiner
+
+    for i in range(arch.depth):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1_lin": _linear(w, f"{src}.norm1.linear"),
+            "norm1_context_lin": _linear(w, f"{src}.norm1_context.linear"),
+            "img_attn_q": _linear(w, f"{src}.attn.to_q"),
+            "img_attn_k": _linear(w, f"{src}.attn.to_k"),
+            "img_attn_v": _linear(w, f"{src}.attn.to_v"),
+            "txt_attn_q": _linear(w, f"{src}.attn.add_q_proj"),
+            "txt_attn_k": _linear(w, f"{src}.attn.add_k_proj"),
+            "txt_attn_v": _linear(w, f"{src}.attn.add_v_proj"),
+            "img_attn_norm_q": _scale(w, f"{src}.attn.norm_q.weight"),
+            "img_attn_norm_k": _scale(w, f"{src}.attn.norm_k.weight"),
+            "txt_attn_norm_q": _scale(w, f"{src}.attn.norm_added_q.weight"),
+            "txt_attn_norm_k": _scale(w, f"{src}.attn.norm_added_k.weight"),
+            "img_attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "txt_attn_proj": _linear(w, f"{src}.attn.to_add_out"),
+            "img_mlp_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "img_mlp_out": _linear(w, f"{src}.ff.net.2"),
+            "txt_mlp_in": _linear(w, f"{src}.ff_context.net.0.proj"),
+            "txt_mlp_out": _linear(w, f"{src}.ff_context.net.2"),
+        }
+    return params
+
+
+def load_hunyuanvideo_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = hunyuanvideo_params_from_diffusers(weights, model.arch)
+    logger.info("imported hunyuanvideo weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -849,6 +1120,10 @@ _IMPORTERS = {
     "pixart_sigma": load_pixart_params,
     "sana": load_sana_params,
     "auraflow": load_auraflow_params,
+    "ltxvideo": load_ltx_params,
+    "chroma": load_chroma_params,
+    "qwen_image": load_qwen_image_params,
+    "hunyuanvideo": load_hunyuanvideo_params,
 }
 
 

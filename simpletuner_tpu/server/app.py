@@ -102,10 +102,18 @@ es.onmessage = e => {
 """
 
 
-def create_server(host: str = "127.0.0.1", port: int = 8005, audit_path: Optional[str] = None) -> ThreadingHTTPServer:
+def create_server(
+    host: str = "127.0.0.1",
+    port: int = 8005,
+    audit_path: Optional[str] = None,
+    state_dir: Optional[str] = None,
+) -> ThreadingHTTPServer:
     from .audit import AuditLog
+    from .store import ConfigStore, default_state_dir
 
-    keeper = ProcessKeeper()
+    state_dir = state_dir or default_state_dir()
+    keeper = ProcessKeeper(state_dir=state_dir)
+    configs = ConfigStore(state_dir)
     audit = AuditLog(audit_path)
     sse = SSEManager()
     keeper.add_listener(sse.publish)
@@ -196,6 +204,38 @@ def create_server(host: str = "127.0.0.1", port: int = 8005, audit_path: Optiona
                 return self._json({"job_id": job.job_id, "logs": list(job.logs)[-tail:]})
             if path == "/api/events":
                 return self._sse()
+            if path == "/api/fields":
+                # canonical config-field schema powering CLI + WebUI forms
+                # (reference services/field_registry/registry.py)
+                from ..configuration.fields import REGISTRY
+
+                return self._json(
+                    [
+                        {
+                            "name": f.name,
+                            "type": f.type.value,
+                            "default": f.default,
+                            "help": f.help,
+                            "section": f.section,
+                            "choices": list(f.choices) if f.choices else None,
+                        }
+                        for f in REGISTRY.fields()
+                    ]
+                )
+            if path == "/api/configs":
+                return self._json(configs.list())
+            match = re.match(r"^/api/configs/([\w.-]+)/versions$", path)
+            if match:
+                return self._json(configs.versions(match.group(1)))
+            match = re.match(r"^/api/configs/([\w.-]+)$", path)
+            if match:
+                version = None
+                if "version=" in self.path:
+                    version = int(self.path.split("version=")[1].split("&")[0])
+                entry = configs.get(match.group(1), version)
+                if entry is None:
+                    return self._json({"error": "unknown config"}, 404)
+                return self._json(entry)
             if path == "/api/audit":
                 # audit trail with chain verification (reference
                 # documentation/experimental/server/AUDIT.md)
@@ -269,6 +309,40 @@ def create_server(host: str = "127.0.0.1", port: int = 8005, audit_path: Optiona
             if path == "/api/events/callback":
                 sse.publish(body)
                 return self._json({"received": True})
+
+            match = re.match(r"^/api/configs/([\w.-]+)$", path)
+            if match:
+                config = body.get("config") or body
+                result = configs.save(match.group(1), dict(config))
+                audit.append("config.save", detail=result)
+                return self._json(result, 201)
+
+            if path == "/api/datasets/plan":
+                # parsed dataset plan (reference routes: datasets + dataset
+                # blueprints): validates a multidatabackend config and returns
+                # the resolved per-dataset summary without touching storage
+                from ..configuration.dataloader import load_dataloader_config
+
+                try:
+                    datasets = load_dataloader_config(body.get("config") or body.get("datasets") or body)
+                except Exception as exc:
+                    return self._json({"valid": False, "error": str(exc)}, 422)
+                return self._json(
+                    {
+                        "valid": True,
+                        "datasets": [
+                            {
+                                "id": d.id,
+                                "dataset_type": d.dataset_type,
+                                "type": d.type,
+                                "resolution": getattr(d, "resolution", None),
+                                "crop": getattr(d, "crop", None),
+                                "caption_strategy": getattr(d, "caption_strategy", None),
+                            }
+                            for d in datasets
+                        ],
+                    }
+                )
 
             return self._json({"error": "not found"}, 404)
 

@@ -54,17 +54,28 @@ class TrainingJob:
 class ProcessKeeper:
     """One training job at a time (a TPU has one set of chips); queued jobs wait."""
 
-    def __init__(self, max_concurrent: int = 1):
+    def __init__(self, max_concurrent: int = 1, state_dir: Optional[str] = None):
         self.jobs: Dict[str, TrainingJob] = {}
         self.max_concurrent = max_concurrent
         self._lock = threading.Lock()
         self._listeners: List[Any] = []  # callables(event_dict)
+        self.store = None
+        if state_dir is not None:
+            from .store import JobStore
+
+            self.store = JobStore(state_dir)
 
     # ---- events ---------------------------------------------------------------------------
     def add_listener(self, fn) -> None:
         self._listeners.append(fn)
 
     def _emit(self, event: Dict[str, Any]) -> None:
+        job = self.jobs.get(event.get("job_id", ""))
+        if self.store is not None and job is not None:
+            try:
+                self.store.upsert(job.to_dict())
+            except OSError:
+                pass
         for fn in list(self._listeners):
             try:
                 fn(event)
@@ -158,4 +169,10 @@ class ProcessKeeper:
         return self.jobs.get(job_id)
 
     def list_jobs(self) -> List[Dict[str, Any]]:
-        return [j.to_dict() for j in sorted(self.jobs.values(), key=lambda j: j.created_at)]
+        live = {j.job_id: j.to_dict() for j in self.jobs.values()}
+        if self.store is not None:
+            # persisted history from prior server lifetimes (VERDICT r1 Next #8)
+            merged = {r["job_id"]: r for r in self.store.history()}
+            merged.update(live)
+            return sorted(merged.values(), key=lambda r: r.get("created_at", 0))
+        return sorted(live.values(), key=lambda r: r.get("created_at", 0))

@@ -97,9 +97,238 @@ def flux_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def unet_key_map(arch) -> Dict[str, Any]:
+    """diffusers UNet2DConditionModel paths (sd1x/sd2x/sdxl/kolors/deepfloyd)."""
+    mapping: Dict[str, Any] = {}
+    levels = len(arch.block_out_channels)
+
+    def depth_at(level: int) -> int:
+        return arch.transformer_layers[min(level, len(arch.transformer_layers) - 1)]
+
+    def spatial(ours: str, theirs: str, depth: int) -> None:
+        for i in range(depth):
+            for attn in ("attn1", "attn2"):
+                for proj, tproj in (
+                    ("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"), ("to_out", "to_out.0"),
+                ):
+                    mapping[f"{ours}/blocks_{i}/{attn}/{proj}"] = (
+                        f"{theirs}.transformer_blocks.{i}.{attn}.{tproj}"
+                    )
+            mapping[f"{ours}/blocks_{i}/ff_proj"] = f"{theirs}.transformer_blocks.{i}.ff.net.0.proj"
+            mapping[f"{ours}/blocks_{i}/ff_out"] = f"{theirs}.transformer_blocks.{i}.ff.net.2"
+        mapping[f"{ours}/proj_in"] = f"{theirs}.proj_in"
+        mapping[f"{ours}/proj_out"] = f"{theirs}.proj_out"
+
+    for level in range(levels):
+        if not arch.cross_attention_blocks[level]:
+            continue
+        for block in range(arch.layers_per_block):
+            spatial(
+                f"down_{level}_attn_{block}",
+                f"down_blocks.{level}.attentions.{block}",
+                depth_at(level),
+            )
+        u = levels - 1 - level  # diffusers up index
+        for block in range(arch.layers_per_block + 1):
+            spatial(
+                f"up_{level}_attn_{block}",
+                f"up_blocks.{u}.attentions.{block}",
+                depth_at(level),
+            )
+    spatial("mid_attn", "mid_block.attentions.0", depth_at(levels - 1))
+    return mapping
+
+
+def sd3_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    table = {
+        "img_attn_q": "attn.to_q",
+        "img_attn_k": "attn.to_k",
+        "img_attn_v": "attn.to_v",
+        "txt_attn_q": "attn.add_q_proj",
+        "txt_attn_k": "attn.add_k_proj",
+        "txt_attn_v": "attn.add_v_proj",
+        "img_attn_proj": "attn.to_out.0",
+        "txt_attn_proj": "attn.to_add_out",
+        "img_mlp_in": "ff.net.0.proj",
+        "img_mlp_out": "ff.net.2",
+        "txt_mlp_in": "ff_context.net.0.proj",
+        "txt_mlp_out": "ff_context.net.2",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+def wan_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    table = {
+        "self_attn_q": "attn1.to_q",
+        "self_attn_k": "attn1.to_k",
+        "self_attn_v": "attn1.to_v",
+        "self_attn_proj": "attn1.to_out.0",
+        "cross_attn_q": "attn2.to_q",
+        "cross_attn_k": "attn2.to_k",
+        "cross_attn_v": "attn2.to_v",
+        "cross_attn_proj": "attn2.to_out.0",
+        "ffn_in": "ffn.net.0.proj",
+        "ffn_out": "ffn.net.2",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"blocks.{layer}.{theirs}"
+    return mapping
+
+
+def pixart_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {
+        "caption_in_1": "caption_projection.linear_1",
+        "caption_in_2": "caption_projection.linear_2",
+    }
+    table = {
+        "attn1_q": "attn1.to_q", "attn1_k": "attn1.to_k", "attn1_v": "attn1.to_v",
+        "attn1_proj": "attn1.to_out.0",
+        "attn2_q": "attn2.to_q", "attn2_k": "attn2.to_k", "attn2_v": "attn2.to_v",
+        "attn2_proj": "attn2.to_out.0",
+        "ff_in": "ff.net.0.proj", "ff_out": "ff.net.2",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+def sana_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    table = {
+        "attn1_q": "attn1.to_q", "attn1_k": "attn1.to_k", "attn1_v": "attn1.to_v",
+        "attn1_proj": "attn1.to_out.0",
+        "attn2_q": "attn2.to_q", "attn2_k": "attn2.to_k", "attn2_v": "attn2.to_v",
+        "attn2_proj": "attn2.to_out.0",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+def auraflow_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    joint = {
+        "attn_q": "attn.to_q", "attn_k": "attn.to_k", "attn_v": "attn.to_v",
+        "attn_add_q": "attn.add_q_proj", "attn_add_k": "attn.add_k_proj",
+        "attn_add_v": "attn.add_v_proj",
+        "attn_proj": "attn.to_out.0", "attn_add_proj": "attn.to_add_out",
+        "ff/linear_1": "ff.linear_1", "ff/linear_2": "ff.linear_2",
+        "ff/out_projection": "ff.out_projection",
+        "ff_context/linear_1": "ff_context.linear_1",
+        "ff_context/linear_2": "ff_context.linear_2",
+        "ff_context/out_projection": "ff_context.out_projection",
+    }
+    for layer in range(arch.depth_double):
+        for ours, theirs in joint.items():
+            mapping[f"double_{layer}/{ours}"] = f"joint_transformer_blocks.{layer}.{theirs}"
+    single = {
+        "attn_q": "attn.to_q", "attn_k": "attn.to_k", "attn_v": "attn.to_v",
+        "attn_proj": "attn.to_out.0",
+        "ff/linear_1": "ff.linear_1", "ff/linear_2": "ff.linear_2",
+        "ff/out_projection": "ff.out_projection",
+    }
+    for layer in range(arch.depth_single):
+        for ours, theirs in single.items():
+            mapping[f"single_{layer}/{ours}"] = f"single_transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+def ltx_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    table = {
+        "attn1_q": "attn1.to_q", "attn1_k": "attn1.to_k", "attn1_v": "attn1.to_v",
+        "attn1_proj": "attn1.to_out.0",
+        "attn2_q": "attn2.to_q", "attn2_k": "attn2.to_k", "attn2_v": "attn2.to_v",
+        "attn2_proj": "attn2.to_out.0",
+        "ff_in": "ff.net.0.proj", "ff_out": "ff.net.2",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+def qwen_image_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    table = {
+        "img_attn_q": "attn.to_q", "img_attn_k": "attn.to_k", "img_attn_v": "attn.to_v",
+        "txt_attn_q": "attn.add_q_proj", "txt_attn_k": "attn.add_k_proj",
+        "txt_attn_v": "attn.add_v_proj",
+        "img_attn_proj": "attn.to_out.0", "txt_attn_proj": "attn.to_add_out",
+        "img_mlp_in": "img_mlp.net.0.proj", "img_mlp_out": "img_mlp.net.2",
+        "txt_mlp_in": "txt_mlp.net.0.proj", "txt_mlp_out": "txt_mlp.net.2",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+def hunyuanvideo_key_map(arch) -> Dict[str, Any]:
+    mapping: Dict[str, Any] = {}
+    table = {
+        "img_attn_q": "attn.to_q", "img_attn_k": "attn.to_k", "img_attn_v": "attn.to_v",
+        "txt_attn_q": "attn.add_q_proj", "txt_attn_k": "attn.add_k_proj",
+        "txt_attn_v": "attn.add_v_proj",
+        "img_attn_proj": "attn.to_out.0", "txt_attn_proj": "attn.to_add_out",
+        "img_mlp_in": "ff.net.0.proj", "img_mlp_out": "ff.net.2",
+        "txt_mlp_in": "ff_context.net.0.proj", "txt_mlp_out": "ff_context.net.2",
+    }
+    for layer in range(arch.depth):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
+# family name -> key map builder; families riding another family's architecture
+# reuse its map (reference lora_format.py resolves by module names the same way)
+_KEY_MAPS = {
+    "flux": lambda m: flux_key_map(m.arch),
+    "flux2": lambda m: flux_key_map(m.arch),
+    "krea2": lambda m: flux_key_map(m.arch),
+    "mageflow": lambda m: flux_key_map(m.arch),
+    "z_image": lambda m: flux_key_map(m.arch),
+    "longcat_image": lambda m: flux_key_map(m.arch),
+    "boogu_image": lambda m: flux_key_map(m.arch),
+    "chroma": lambda m: flux_key_map(m.arch),
+    "sd1x": lambda m: unet_key_map(m.arch),
+    "sd2x": lambda m: unet_key_map(m.arch),
+    "sdxl": lambda m: unet_key_map(m.arch),
+    "kolors": lambda m: unet_key_map(m.arch),
+    "deepfloyd": lambda m: unet_key_map(m.arch),
+    "sd3": lambda m: sd3_key_map(m.arch),
+    "wan": lambda m: wan_key_map(m.arch),
+    "wan_s2v": lambda m: wan_key_map(m.arch),
+    "kandinsky5_video": lambda m: wan_key_map(m.arch),
+    "longcat_video": lambda m: wan_key_map(m.arch),
+    "pixart_sigma": lambda m: pixart_key_map(m.arch),
+    "anima": lambda m: pixart_key_map(m.arch),
+    "ideogram": lambda m: pixart_key_map(m.arch),
+    "kandinsky5_image": lambda m: pixart_key_map(m.arch),
+    "ernie": lambda m: pixart_key_map(m.arch),
+    "stable_cascade": lambda m: pixart_key_map(m.arch),
+    "lumina2": lambda m: pixart_key_map(m.arch),
+    "sana": lambda m: sana_key_map(m.arch),
+    "sanavideo": lambda m: sana_key_map(m.arch),
+    "auraflow": lambda m: auraflow_key_map(m.arch),
+    "ltxvideo": lambda m: ltx_key_map(m.arch),
+    "qwen_image": lambda m: qwen_image_key_map(m.arch),
+    "hunyuanvideo": lambda m: hunyuanvideo_key_map(m.arch),
+}
+
+
 def _key_map_for(model) -> Dict[str, Any]:
-    if model.NAME == "flux":
-        return flux_key_map(model.arch)
+    builder = _KEY_MAPS.get(model.NAME)
+    if builder is not None:
+        return builder(model)
     # generic: keep flax path with slashes -> dots
     return {}
 

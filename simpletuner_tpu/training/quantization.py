@@ -85,21 +85,95 @@ def _quantize_leaf(value: jax.Array, mode: str) -> Any:
     raise ValueError(f"unknown quantization mode {mode!r}")
 
 
-def quantize_params(params: Any, mode: str = "int8") -> Any:
-    """Quantize every >=2-D leaf of a frozen param tree."""
-    return jax.tree_util.tree_map(lambda v: _quantize_leaf(v, mode), params)
+def quantize_params(frozen: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
+    """Quantize the frozen base in-place-of-apply layout.
+
+    Every 2-D ``kernel`` leaf of ``frozen["params"]`` is stored as int8/fp8 *in
+    the params tree itself*, with per-output-channel fp32 scales in a parallel
+    ``qscales`` collection that ``LoRADense`` reads at its use site.  Keeping
+    the dequant INSIDE each block's remat scope is what makes 12B-int8 fit one
+    16G chip: a top-level ``tree_map(dequantize)`` materializes the full bf16
+    copy for the whole step (int8 + bf16 resident simultaneously), while the
+    use-site dequant is a transient per-layer fusion.
+    """
+    params = frozen.get("params")
+    if params is None:
+        return frozen
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+
+    q_leaves = []
+    scales: Dict[str, Any] = {}
+    for path, value in flat:
+        names = [getattr(k, "key", str(k)) for k in path]
+        if names[-1] == "kernel" and value.ndim == 2:
+            absmax = jnp.max(jnp.abs(value.astype(jnp.float32)), axis=0)
+            if mode == "int8":
+                s = jnp.maximum(absmax / 127.0, 1e-12)
+                q = jnp.clip(jnp.round(value.astype(jnp.float32) / s[None, :]), -127, 127).astype(jnp.int8)
+            elif mode == "fp8":
+                s = jnp.maximum(absmax / 448.0, 1e-12)
+                q = (value.astype(jnp.float32) / s[None, :]).astype(jnp.float8_e4m3fn)
+            else:
+                raise ValueError(f"unknown quantization mode {mode!r}")
+            q_leaves.append(q)
+            node = scales
+            for name in names[:-1]:
+                node = node.setdefault(name, {})
+            node["kernel_scale"] = s.astype(jnp.float32)
+        else:
+            q_leaves.append(value)
+
+    out = dict(frozen)
+    out["params"] = jax.tree_util.tree_unflatten(treedef, q_leaves)
+    out["qscales"] = scales
+    return out
 
 
-def dequantize_params(params: Any, dtype=jnp.bfloat16) -> Any:
-    """Inverse: lazily rebuild compute-dtype weights inside the jitted step."""
-    return jax.tree_util.tree_map(
-        lambda v: v.dequantize(dtype) if isinstance(v, QuantizedParam) else v,
-        params,
-        is_leaf=lambda v: isinstance(v, QuantizedParam),
-    )
+def dequantize_params(frozen: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Inverse: rebuild compute-dtype weights (export/validation surfaces).
+
+    Handles both the use-site layout (``qscales`` collection) and the legacy
+    ``QuantizedParam`` leaves."""
+    out = {}
+    scales = frozen.get("qscales")
+    for key, tree in frozen.items():
+        if key == "qscales":
+            continue
+        if key == "params" and scales is not None:
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            treedef = jax.tree_util.tree_structure(tree)
+            leaves = []
+            for path, value in flat:
+                if hasattr(value, "dtype") and value.dtype in (
+                    jnp.int8, jnp.dtype(jnp.float8_e4m3fn)
+                ):
+                    node = scales
+                    ok = True
+                    for k in path[:-1]:
+                        name = getattr(k, "key", str(k))
+                        if not isinstance(node, dict) or name not in node:
+                            ok = False
+                            break
+                        node = node[name]
+                    s = node.get("kernel_scale") if ok and isinstance(node, dict) else None
+                    if s is not None:
+                        value = (value.astype(jnp.float32) * s[None, :]).astype(dtype)
+                leaves.append(value)
+            out[key] = jax.tree_util.tree_unflatten(treedef, leaves)
+            continue
+        out[key] = jax.tree_util.tree_map(
+            lambda v: v.dequantize(dtype) if isinstance(v, QuantizedParam) else v,
+            tree,
+            is_leaf=lambda v: isinstance(v, QuantizedParam),
+        )
+    return out
 
 
-def has_quantized(params: Any) -> bool:
+def has_quantized(frozen: Any) -> bool:
+    if isinstance(frozen, dict) and "qscales" in frozen:
+        return True
     found = False
 
     def visit(v):
@@ -108,7 +182,7 @@ def has_quantized(params: Any) -> bool:
             found = True
         return v
 
-    jax.tree_util.tree_map(visit, params, is_leaf=lambda v: isinstance(v, QuantizedParam))
+    jax.tree_util.tree_map(visit, frozen, is_leaf=lambda v: isinstance(v, QuantizedParam))
     return found
 
 

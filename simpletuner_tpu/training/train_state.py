@@ -120,7 +120,9 @@ def build_train_step(
                     else leaf,
                     trainable["lora"],
                 )
-            variables = {**dequantize_params(state.frozen), **trainable}
+            # frozen is apply-ready: quantized kernels dequantize at their use
+            # site inside each block (LoRADense + qscales collection)
+            variables = {**state.frozen, **trainable}
             if distiller is None:
                 loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
             else:

@@ -24,25 +24,25 @@ from simpletuner_tpu.training.train_state import build_train_step, create_train_
 class TestQuantizeRoundtrip:
     def test_int8_error_bounded(self):
         w = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 0.02
-        q = quantize_params({"w": w}, "int8")
-        assert isinstance(q["w"], QuantizedParam)
-        assert q["w"].values.dtype == jnp.int8
-        back = dequantize_params(q, jnp.float32)["w"]
+        q = quantize_params({"params": {"lin": {"kernel": w}}}, "int8")
+        assert q["params"]["lin"]["kernel"].dtype == jnp.int8
+        assert q["qscales"]["lin"]["kernel_scale"].shape == (128,)
+        back = dequantize_params(q, jnp.float32)["params"]["lin"]["kernel"]
         err = jnp.max(jnp.abs(back - w)) / jnp.max(jnp.abs(w))
         assert float(err) < 1e-2  # ~7 bits of mantissa per channel
 
     def test_fp8_error_bounded(self):
         w = jax.random.normal(jax.random.PRNGKey(1), (64, 128)) * 0.02
-        q = quantize_params({"w": w}, "fp8")
-        back = dequantize_params(q, jnp.float32)["w"]
+        q = quantize_params({"params": {"lin": {"kernel": w}}}, "fp8")
+        back = dequantize_params(q, jnp.float32)["params"]["lin"]["kernel"]
         err = jnp.max(jnp.abs(back - w)) / jnp.max(jnp.abs(w))
         assert float(err) < 8e-2
 
     def test_small_leaves_not_quantized(self):
-        tree = {"bias": jnp.ones((64,)), "kernel": jnp.ones((64, 64))}
+        tree = {"params": {"lin": {"bias": jnp.ones((64,)), "kernel": jnp.ones((64, 64))}}}
         q = quantize_params(tree, "int8")
-        assert not isinstance(q["bias"], QuantizedParam)
-        assert isinstance(q["kernel"], QuantizedParam)
+        assert q["params"]["lin"]["bias"].dtype == jnp.float32
+        assert q["params"]["lin"]["kernel"].dtype == jnp.int8
         assert has_quantized(q)
 
     def test_precision_aliases(self):

