@@ -25,6 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: bench reruns (and the driver's repeat runs) skip
+# the multi-minute XLA compile of the fused k-step program
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "JAX_COMPILE_CACHE", "/tmp/jax_bench_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)

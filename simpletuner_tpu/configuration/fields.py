@@ -193,7 +193,7 @@ _f("control", FieldType.BOOL, False, help="Channel-wise control conditioning (in
 
 # --- LoRA / adapters ------------------------------------------------------------------
 _f("lora_type", FieldType.STR, "standard", choices=["standard", "lycoris", "singlora"], section="lora")
-_f("lora_rank", FieldType.INT, 16, validator=_positive("lora_rank"), section="lora")
+_f("lora_rank", FieldType.INT, 16, validator=_non_negative("lora_rank"), section="lora")
 _f("lora_alpha", FieldType.FLOAT, None, help="Defaults to lora_rank when unset", section="lora")
 _f("lora_dropout", FieldType.FLOAT, 0.0, section="lora")
 _f("lora_init_type", FieldType.STR, "default", choices=["default", "gaussian", "loftq", "olora", "pissa"], section="lora")

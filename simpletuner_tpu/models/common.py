@@ -367,11 +367,21 @@ class ModelFoundation:
             prepared["flowmap_r_timesteps"] = tt
         repa = RepaConfig.from_config(self.config)
         aux: Dict[str, jax.Array] = {}
-        if repa.enabled:
+        wants_qk = bool(getattr(self, "wants_qk_clip", False))
+        if repa.enabled or wants_qk:
             pred, intermediates = self.model_predict_with_intermediates(variables, prepared)
-            repa_loss, repa_logs = repa_auxiliary_loss(repa, intermediates, prepared)
-            loss = self.compute_loss(pred, prepared) + repa_loss
-            aux.update(repa_logs)
+            if repa.enabled:
+                repa_loss, repa_logs = repa_auxiliary_loss(repa, intermediates, prepared)
+                loss = self.compute_loss(pred, prepared) + repa_loss
+                aux.update(repa_logs)
+            else:
+                loss = self.compute_loss(pred, prepared)
+            if wants_qk:
+                # per-head max attention logits for MuonClip's post-step QK-clip
+                for mod_name, sub in intermediates.items():
+                    if isinstance(sub, dict) and "qk_max" in sub:
+                        value = sub["qk_max"]
+                        aux[f"qk_clip/{mod_name}"] = value[0] if isinstance(value, tuple) else value
         else:
             pred = self.model_predict(variables, prepared)
             loss = self.compute_loss(pred, prepared)

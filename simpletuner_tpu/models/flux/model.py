@@ -85,7 +85,80 @@ class Flux(ModelFoundation):
             tread_routes=routes,
             flowmap_gate=flowmap_gate,
             flowmap_deltatime_type=flowmap_deltatime,
+            qk_clip=self.wants_qk_clip,
         )
+
+    @property
+    def wants_qk_clip(self) -> bool:
+        """MuonClip QK-clip (reference trainer.py:6743-6751 + optimizers/muon):
+        per-head max attention logits are collected during the forward and the
+        q/k projections are rescaled post-step.  Full-rank muon training only —
+        in LoRA mode the attention weights are frozen and must not be mutated."""
+        return (
+            str(getattr(self.config, "optimizer", "") or "").lower() == "muon"
+            and getattr(self.config, "model_type", "lora") == "full"
+            and bool(getattr(self.config, "muon_qk_clip", True))
+        )
+
+    def apply_qk_clip(
+        self, trainable, qk_maxima, tau: float = 100.0, alpha: float = 0.5
+    ):
+        """Rescale per-head q/k projection columns where max logits exceed tau.
+
+        ``qk_maxima``: {"double_3": (heads,), "single_7": (heads,), ...}.
+        gamma = min(1, tau/max); q *= gamma^alpha per head, k *= gamma^(1-alpha)
+        (reference muon/_apply_qk_clip)."""
+        import jax.numpy as jnp
+
+        params = dict(trainable.get("params", {}))
+        if not params:
+            return trainable
+        dh = self.arch.head_dim
+        dim = self.arch.hidden_size
+
+        def col_scale(node, factors):
+            # kernels are (in, out) with head-major out; biases (out,)
+            out = dict(node)
+            expand = jnp.repeat(factors, dh)
+            if "kernel" in out:
+                out["kernel"] = out["kernel"] * expand[None, : out["kernel"].shape[1]]
+            if "bias" in out:
+                out["bias"] = out["bias"] * expand[: out["bias"].shape[0]]
+            return out
+
+        for key, maxima in qk_maxima.items():
+            gamma = jnp.minimum(1.0, tau / jnp.maximum(maxima, 1e-6))
+            gq = gamma ** alpha
+            gk = gamma ** (1.0 - alpha)
+            if key.startswith("double_") and key in params:
+                block = dict(params[key])
+                for name, g in (
+                    ("img_attn_q", gq), ("txt_attn_q", gq),
+                    ("img_attn_k", gk), ("txt_attn_k", gk),
+                ):
+                    if name in block:
+                        block[name] = col_scale(block[name], g)
+                params[key] = block
+            elif key.startswith("single_") and key in params:
+                block = dict(params[key])
+                lin1 = block.get("linear1")
+                if lin1 is not None:
+                    lin1 = dict(lin1)
+                    scale_vec = jnp.concatenate(
+                        [
+                            jnp.repeat(gq, dh),
+                            jnp.repeat(gk, dh),
+                            jnp.ones((lin1["kernel"].shape[1] - 2 * dim,), gq.dtype),
+                        ]
+                    )
+                    lin1["kernel"] = lin1["kernel"] * scale_vec[None, :]
+                    if "bias" in lin1:
+                        lin1["bias"] = lin1["bias"] * scale_vec
+                    block["linear1"] = lin1
+                params[key] = block
+        out = dict(trainable)
+        out["params"] = params
+        return out
 
     def post_init_params(self, variables):
         # clone the time embedder into the FlowMap delta embedder (reference

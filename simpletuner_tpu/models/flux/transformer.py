@@ -75,6 +75,10 @@ class DoubleStreamBlock(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
+    # MuonClip QK-clip (reference helpers/training/optimizers/muon: per-head
+    # max attention logits feed the optimizer's post-step q/k rescale) — costs
+    # one extra fp32 QK^T, so it is opt-in for muon training only
+    qk_clip: bool = False
 
     @nn.compact
     def __call__(self, img, txt, vec, rope, segment_ids=None):
@@ -114,6 +118,11 @@ class DoubleStreamBlock(nn.Module):
         cos, sin = rope
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if self.qk_clip:
+            logits = jnp.einsum(
+                "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32)
+            ) * (cfg.head_dim ** -0.5)
+            self.sow("intermediates", "qk_max", jnp.max(logits, axis=(0, 2, 3)))
         attn = dot_product_attention(
             q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
         )
@@ -145,6 +154,7 @@ class SingleStreamBlock(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
+    qk_clip: bool = False
 
     @nn.compact
     def __call__(self, x, vec, rope, segment_ids=None):
@@ -171,6 +181,11 @@ class SingleStreamBlock(nn.Module):
         cos, sin = rope
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if self.qk_clip:
+            logits = jnp.einsum(
+                "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32)
+            ) * (cfg.head_dim ** -0.5)
+            self.sow("intermediates", "qk_max", jnp.max(logits, axis=(0, 2, 3)))
         attn = dot_product_attention(
             q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
         ).reshape(batch, seq, dim)
@@ -199,6 +214,8 @@ class FluxTransformer(nn.Module):
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
     remat: bool = False
+    # MuonClip QK-clip plumbing: sow per-head max attention logits per block
+    qk_clip: bool = False
     # rematerialization policy: "full" recomputes everything;
     # "dots" saves matmul outputs and recomputes elementwise (usually the best
     # MFU/memory tradeoff on TPU: the MXU work is not repeated)
@@ -277,7 +294,7 @@ class FluxTransformer(nn.Module):
 
         for layer in range(cfg.depth_double):
             img_tok, txt_tok = double_cls(
-                cfg, name=f"double_{layer}", **common, **lora
+                cfg, name=f"double_{layer}", qk_clip=self.qk_clip, **common, **lora
             )(img_tok, txt_tok, cond, rope, segment_ids)
             # hidden-state tap (CREPA/LayerSync plumbing; no-op unless the
             # caller requests mutable=['intermediates'])
@@ -324,7 +341,7 @@ class FluxTransformer(nn.Module):
                     cos = jnp.take_along_axis(saved[2][0], keep_idx[..., None], axis=1)
                     sin = jnp.take_along_axis(saved[2][1], keep_idx[..., None], axis=1)
             stream = single_cls(
-                cfg, name=f"single_{layer}", **common, **lora
+                cfg, name=f"single_{layer}", qk_clip=self.qk_clip, **common, **lora
             )(stream, cond, (cos, sin), None if saved is not None else segment_ids)
             if saved is None:
                 self.sow("intermediates", f"single_{layer}_hidden", stream[:, txt_len:])

@@ -67,27 +67,25 @@ class PublishingManager:
         self._pending.append(future)
         return future
 
-    # ---- provider upload (S3/...) --------------------------------------------------------
+    # ---- provider upload (S3 / Azure Blob / Dropbox) --------------------------------------
     def upload_to_provider(self, checkpoint_path: str) -> Optional[Future]:
-        provider = self.config.get("publishing_provider")
-        if not provider:
-            return None
-        if provider != "s3":
-            logger.warning("publishing provider %r not supported; skipping", provider)
+        from .providers import get_provider
+
+        provider = get_provider(self.config)
+        if provider is None:
             return None
 
         def upload():
-            import boto3
-
-            bucket = self.config.get("publishing_s3_bucket")
-            prefix = (self.config.get("publishing_s3_prefix") or "").strip("/")
-            client = boto3.client("s3", endpoint_url=self.config.get("publishing_s3_endpoint"))
-            for root, _dirs, files in os.walk(checkpoint_path):
-                for name in files:
-                    local = os.path.join(root, name)
-                    rel = os.path.relpath(local, checkpoint_path)
-                    key = "/".join(filter(None, [prefix, os.path.basename(checkpoint_path), rel]))
-                    client.upload_file(local, bucket, key)
+            provider.upload(checkpoint_path)
+            # post-upload user script (reference training/script_runner.py,
+            # trainer.py:2115-2147 post-upload hooks)
+            script = self.config.get("post_upload_script")
+            if script:
+                subprocess.run(
+                    [str(script), checkpoint_path],
+                    check=False,
+                    timeout=float(self.config.get("post_checkpoint_script_timeout", 600) or 600),
+                )
 
         future = self._executor.submit(self._guarded, upload)
         self._pending.append(future)

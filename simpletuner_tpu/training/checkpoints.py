@@ -17,8 +17,12 @@ import shutil
 import time
 from typing import Any, Dict, List, Optional
 
+import logging
+
 import jax
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
 
 GUARD_FILE = ".checkpoint_complete"
 MANIFEST_FILE = "manifest.json"
@@ -68,8 +72,77 @@ class CheckpointManager:
             return None
         if resume_from == "latest":
             return self.latest_checkpoint()
+        if str(resume_from).startswith(("s3://", "r2://")):
+            return self.download_remote(str(resume_from))
         path = resume_from if os.path.isabs(resume_from) else os.path.join(self.output_dir, resume_from)
         return path if os.path.isdir(path) else None
+
+    def download_remote(self, uri: str, client=None) -> str:
+        """Download an s3://bucket/prefix checkpoint into output_dir and
+        validate it before resuming (reference trainer.py:4485-4635: remote S3
+        resume with manifest validation + guard files).
+
+        ``client`` is injectable for tests; by default a boto3 client built
+        from the usual AWS env vars (+ AWS_ENDPOINT_URL for R2/Wasabi).
+        """
+        rest = uri.split("://", 1)[1]
+        bucket, _, prefix = rest.partition("/")
+        prefix = prefix.rstrip("/")
+        if not bucket or not prefix:
+            raise ValueError(f"malformed remote checkpoint uri {uri!r}")
+        if client is None:
+            try:
+                import boto3
+            except ImportError as exc:
+                raise RuntimeError(
+                    "remote checkpoint resume needs boto3 (pip install boto3)"
+                ) from exc
+            client = boto3.client("s3", endpoint_url=os.environ.get("AWS_ENDPOINT_URL"))
+
+        local = os.path.join(self.output_dir, os.path.basename(prefix))
+        tmp = local + ".downloading"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+
+        keys: list = []
+        token = None
+        while True:
+            kwargs = {"Bucket": bucket, "Prefix": prefix + "/"}
+            if token:
+                kwargs["ContinuationToken"] = token
+            page = client.list_objects_v2(**kwargs)
+            keys.extend(obj["Key"] for obj in page.get("Contents", []))
+            if not page.get("IsTruncated"):
+                break
+            token = page.get("NextContinuationToken")
+        if not keys:
+            raise FileNotFoundError(f"no objects under {uri}")
+
+        for key in keys:
+            rel = key[len(prefix) + 1:]
+            dest = os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dest) or tmp, exist_ok=True)
+            client.download_file(bucket, key, dest)
+
+        manifest_path = os.path.join(tmp, MANIFEST_FILE)
+        if not os.path.exists(manifest_path):
+            shutil.rmtree(tmp)
+            raise ValueError(f"remote checkpoint {uri} has no {MANIFEST_FILE}; refusing to resume")
+        with open(manifest_path) as handle:
+            manifest = json.load(handle)
+        missing = [
+            rel for rel in manifest.get("files", [])
+            if not os.path.exists(os.path.join(tmp, rel))
+        ]
+        if missing:
+            shutil.rmtree(tmp)
+            raise ValueError(f"remote checkpoint {uri} incomplete; missing {missing[:5]}")
+        if os.path.isdir(local):
+            shutil.rmtree(local)
+        os.replace(tmp, local)
+        logger.info("downloaded remote checkpoint %s -> %s (%d objects)", uri, local, len(keys))
+        return local
 
     # ---- save ----------------------------------------------------------------------------
     def save(
@@ -103,11 +176,22 @@ class CheckpointManager:
             if extra_state:
                 with open(os.path.join(tmp_path, "trainer_state.json"), "w") as handle:
                     json.dump(extra_state, handle)
+            # relative file list lets remote-resume validate completeness
+            # (reference trainer.py:4485-4635 manifest validation)
+            files = []
+            for root, _dirs, names in os.walk(tmp_path):
+                for name in names:
+                    if name == MANIFEST_FILE:
+                        continue
+                    files.append(
+                        os.path.relpath(os.path.join(root, name), tmp_path)
+                    )
             manifest = {
                 "step": step,
                 "rolling": rolling,
                 "created_at": time.time(),
                 "format_version": 1,
+                "files": sorted(files),
             }
             with open(os.path.join(tmp_path, MANIFEST_FILE), "w") as handle:
                 json.dump(manifest, handle)

@@ -158,8 +158,12 @@ def build_train_step(
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             loss = loss * scale
             # aux metrics (MoE gate loss, REPA, distill components) averaged over
-            # micro-steps so they keep flowing to logs under accumulation
-            aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), aux_stack)
+            # micro-steps so they keep flowing to logs under accumulation;
+            # attention-logit maxima (MuonClip) take the max instead
+            aux = {
+                key: (jnp.max(value, axis=0) if str(key).startswith("qk_clip/") else jnp.mean(value, axis=0))
+                for key, value in (aux_stack or {}).items()
+            }
         grad_norm = optax.global_norm(grads)
         # Non-finite guard (reference trainer.py:6614): skip the update, keep state.
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
@@ -168,6 +172,16 @@ def build_train_step(
         )
         updates, new_opt_state = tx.update(safe_grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
+        qk_maxima = {
+            str(key).split("/", 1)[1]: value
+            for key, value in (aux or {}).items()
+            if str(key).startswith("qk_clip/")
+        }
+        if qk_maxima and hasattr(model, "apply_qk_clip"):
+            # MuonClip QK-clip (reference trainer.py:6743-6751): rescale q/k
+            # heads whose attention logits exceeded tau this step; non-finite
+            # maxima fall through to the finite guard below
+            new_trainable = model.apply_qk_clip(new_trainable, qk_maxima)
         new_trainable = jax.tree_util.tree_map(
             lambda new, old: jnp.where(finite, new, old), new_trainable, state.trainable
         )

@@ -1,4 +1,5 @@
 """Adapter variants beyond plain LoRA/LoKr: SingLoRA, T-LoRA, plus the
+
 diff2flow bridge and DreamBooth prior regularization (reference:
 peft-singlora, lycoris tlora, simpletuner/diff2flow/bridge.py,
 trainer.py:6565 parent-loss path)."""
@@ -16,6 +17,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_flux(**extra):
     cfg = TrainingConfig(
@@ -30,7 +32,6 @@ def make_flux(**extra):
         }
     )
     return Flux(cfg, arch=FluxConfig.tiny())
-
 
 class TestSingLoRA:
     def test_single_matrix_collection(self):
@@ -63,7 +64,6 @@ class TestSingLoRA:
         )
         assert moved
 
-
 class TestTLoRA:
     def test_rank_mask_shape_and_monotonicity(self):
         from simpletuner_tpu.models.layers import tlora_rank_mask
@@ -88,7 +88,6 @@ class TestTLoRA:
         step = jax.jit(build_train_step(model, tx, schedule))
         state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
-
 
 class TestDiff2Flow:
     def test_epsilon_model_trains_with_flow_target(self):
@@ -126,7 +125,6 @@ class TestDiff2Flow:
         noisy = jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * eps
         flow = prediction_to_flow(eps, noisy, t, alphas, "epsilon")
         np.testing.assert_allclose(np.asarray(flow), np.asarray(eps - x0), rtol=2e-2, atol=2e-2)
-
 
 class TestPriorRegularization:
     def test_regularisation_batch_uses_parent_target(self):

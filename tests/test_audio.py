@@ -1,4 +1,5 @@
 """Audio pipeline: WAV decode, duration bucketing, 1-D VAE, ACE-Step DiT,
+
 end-to-end tiny audio training."""
 
 import os
@@ -13,6 +14,7 @@ from simpletuner_tpu.data.audio import duration_bucket, load_audio, probe_audio
 from simpletuner_tpu.models.ace_step import ACEStep
 from simpletuner_tpu.models.audio_vae import AudioAutoencoderKL, AudioVAEConfig
 
+pytestmark = pytest.mark.slow
 
 def _write_wav(path, seconds=2.0, rate=8000, seed=0):
     from scipy.io import wavfile
@@ -22,7 +24,6 @@ def _write_wav(path, seconds=2.0, rate=8000, seed=0):
     wavfile.write(str(path), rate, data)
     return str(path)
 
-
 @pytest.fixture(scope="module")
 def audio_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("audio")
@@ -30,7 +31,6 @@ def audio_dir(tmp_path_factory):
         _write_wav(root / f"track_{i}.wav", seconds=2.0, seed=i)
         (root / f"track_{i}.txt").write_text(f"a song number {i}")
     return str(root)
-
 
 class TestDecode:
     def test_duration_bucket(self):
@@ -50,7 +50,6 @@ class TestDecode:
         assert wave.shape == (4000, 1)
         assert wave.dtype == np.float32
 
-
 class TestAudioVAE:
     def test_roundtrip_shapes(self):
         vae = AudioAutoencoderKL(AudioVAEConfig.tiny())
@@ -60,7 +59,6 @@ class TestAudioVAE:
         assert z.shape == (1, 16, 4)  # 16x compression
         out = vae.apply(params, z, method=AudioAutoencoderKL.decode)
         assert out.shape == (1, 256, 1)
-
 
 class TestACEStep:
     @pytest.fixture(scope="class")
@@ -95,7 +93,6 @@ class TestACEStep:
         pred = model.model_predict(variables, prepared)
         # different shape path must still run; lyric params are shared text_in
         assert pred.shape == batch["latents"].shape
-
 
 class TestAudioTrainerE2E:
     def test_end_to_end(self, audio_dir, tmp_path_factory):

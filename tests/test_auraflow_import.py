@@ -9,11 +9,14 @@ import jax.numpy as jnp
 from simpletuner_tpu.models.auraflow.transformer import AuraFlowConfig, AuraFlowTransformer
 from simpletuner_tpu.models.weight_import import auraflow_params_from_diffusers
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 ARCH = AuraFlowConfig(
     in_channels=4, patch_size=2, hidden_size=64, depth_double=1, depth_single=2,
     num_heads=2, text_dim=48, pos_embed_max_size=64,
 )
-
 
 def _fixture(rng):
     d = ARCH.hidden_size
@@ -58,21 +61,17 @@ def _fixture(rng):
         ff(f"{src}.ff")
     return w
 
-
 def _t_lin(w, name, x):
     y = x @ w[f"{name}.weight"].T
     if f"{name}.bias" in w:
         y = y + w[f"{name}.bias"]
     return y
 
-
 def _silu(x):
     return x / (1.0 + np.exp(-x))
 
-
 def _ln(x, eps=1e-5):
     return (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + eps)
-
 
 def _attn(q, k, v, heads):
     b, s, inner = q.shape
@@ -86,15 +85,12 @@ def _attn(q, k, v, heads):
     p = p / p.sum(-1, keepdims=True)
     return (p @ v).transpose(0, 2, 1, 3).reshape(b, s, inner)
 
-
 def _ff(w, src, x):
     return _t_lin(w, f"{src}.out_projection", _silu(_t_lin(w, f"{src}.linear_1", x)) * _t_lin(w, f"{src}.linear_2", x))
-
 
 def _mods(w, name, temb):
     m = _silu(temb) @ w[f"{name}.weight"].T
     return np.split(m, 6, axis=-1)
-
 
 def _oracle(w, latents, timesteps, context):
     d = ARCH.hidden_size
@@ -159,7 +155,6 @@ def _oracle(w, latents, timesteps, context):
     x = x.reshape(b, hh, ww, p, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, wd, c)
     return x
 
-
 def test_auraflow_import_matches_oracle():
     w = _fixture(np.random.default_rng(21))
     params = auraflow_params_from_diffusers(w, ARCH)
@@ -178,7 +173,6 @@ def test_auraflow_import_matches_oracle():
     )
     ref = _oracle(w, latents, timesteps, context)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
-
 
 def test_auraflow_roundtrip(tmp_path):
     from safetensors.numpy import save_file

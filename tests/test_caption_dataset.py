@@ -1,4 +1,5 @@
 """Caption-only datasets for on-policy distillers (reference:
+
 helpers/data_backend/caption_{dataset,sampler}.py + metadata/backends/caption.py)."""
 
 import os
@@ -12,6 +13,7 @@ from simpletuner_tpu.data.factory import configure_multi_databackend
 from simpletuner_tpu.models.flux.model import Flux
 from simpletuner_tpu.models.flux.transformer import FluxConfig
 
+pytestmark = pytest.mark.slow
 
 @pytest.fixture()
 def caption_plane(tmp_path):
@@ -55,7 +57,6 @@ def caption_plane(tmp_path):
     plane = configure_multi_databackend(model.config, model)
     return model, plane
 
-
 def test_caption_batches(caption_plane):
     model, plane = caption_plane
     batch = plane.iterator.next_batch()
@@ -64,7 +65,6 @@ def test_caption_batches(caption_plane):
     assert np.all(batch["latents"] == 0)
     assert batch["t5_embeds"].shape[0] == 2
     assert all(c.startswith("a painting") for c in batch["captions"])
-
 
 def test_self_forcing_trains_from_caption_batch(caption_plane):
     import jax.numpy as jnp

@@ -20,6 +20,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def tiny():
@@ -38,7 +39,6 @@ def tiny():
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return cfg, model, variables, batch
 
-
 def test_lora_export_diffusers_keys(tiny, tmp_path):
     cfg, model, variables, _ = tiny
     sd = lora_state_dict(model, variables["lora"], format="diffusers")
@@ -52,13 +52,11 @@ def test_lora_export_diffusers_keys(tiny, tmp_path):
     a = sd["transformer.transformer_blocks.0.attn.to_q.lora_A.weight"]
     assert a.shape[0] == 4
 
-
 def test_lora_export_comfyui_keys(tiny):
     cfg, model, variables, _ = tiny
     sd = lora_state_dict(model, variables["lora"], format="comfyui")
     assert "diffusion_model.transformer_blocks.0.attn.to_q.lora_down.weight" in sd
     assert "diffusion_model.transformer_blocks.0.attn.to_q.alpha" in sd
-
 
 def test_lora_roundtrip_through_safetensors(tiny, tmp_path):
     cfg, model, variables, batch = tiny
@@ -91,7 +89,6 @@ def test_lora_roundtrip_through_safetensors(tiny, tmp_path):
             np.testing.assert_allclose(flat_orig[key]["lora_A"], flat_rest[key]["lora_A"], atol=1e-6)
             np.testing.assert_allclose(flat_orig[key]["lora_B"], flat_rest[key]["lora_B"], atol=1e-6)
 
-
 def test_lora_merge_matches_adapter_forward(tiny):
     cfg, model, variables, batch = tiny
     # random nonzero lora
@@ -109,7 +106,6 @@ def test_lora_merge_matches_adapter_forward(tiny):
     np.testing.assert_allclose(
         np.asarray(with_adapter), np.asarray(with_merged), atol=5e-2, rtol=5e-2
     )
-
 
 def test_checkpoint_save_restore_resume(tiny, tmp_path):
     cfg, model, variables, batch = tiny
@@ -137,7 +133,6 @@ def test_checkpoint_save_restore_resume(tiny, tmp_path):
     s_b, m_b = step(restored, batch, jax.random.PRNGKey(42))
     assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), abs=1e-6)
 
-
 def test_checkpoint_retention(tiny, tmp_path):
     cfg, model, variables, batch = tiny
     schedule = get_lr_schedule(cfg, 10)
@@ -154,7 +149,6 @@ def test_checkpoint_retention(tiny, tmp_path):
     rolling = [os.path.basename(p) for p in manager.list_checkpoints(rolling=True)]
     assert rolling == ["rolling-checkpoint-5"]
     assert manager.latest_checkpoint().endswith("rolling-checkpoint-5")
-
 
 def test_resolve_resume(tiny, tmp_path):
     cfg, model, variables, batch = tiny

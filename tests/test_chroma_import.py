@@ -10,8 +10,11 @@ from simpletuner_tpu.models.chroma.model import Chroma
 from simpletuner_tpu.models.chroma.transformer import ChromaConfig, chroma_input_vec
 from simpletuner_tpu.models.weight_import import chroma_params_from_diffusers
 
-ARCH = ChromaConfig.tiny()
+import pytest
 
+pytestmark = pytest.mark.slow
+
+ARCH = ChromaConfig.tiny()
 
 def _fixture(rng):
     d = ARCH.hidden_size
@@ -54,7 +57,6 @@ def _fixture(rng):
         lin(f"{p}.proj_out", d, d + mlp)
     return w
 
-
 def test_chroma_mod_len():
     assert ARCH.mod_len == 3 * ARCH.depth_single + 12 * ARCH.depth_double + 2
     vec = chroma_input_vec(ARCH, jnp.asarray([0.25, 0.5]))
@@ -62,7 +64,6 @@ def test_chroma_mod_len():
     # slot-index embedding must differ across slots (the approximator's only
     # way to produce distinct per-block modulations)
     assert float(jnp.abs(vec[0, 0] - vec[0, 1]).max()) > 1e-3
-
 
 def test_chroma_import_roundtrip(tmp_path):
     from safetensors.numpy import save_file
@@ -84,7 +85,6 @@ def test_chroma_import_roundtrip(tmp_path):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert bool(jnp.all(jnp.isfinite(pred)))
-
 
 def test_chroma_fused_single_qkv_orientation(tmp_path):
     """linear1 = [q; k; v; mlp] stacked on the output dim, transposed."""

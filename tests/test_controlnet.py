@@ -1,4 +1,5 @@
 """Flux ControlNet: zero-init identity, residual injection, controlnet-only
+
 training step."""
 
 import jax
@@ -13,6 +14,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def setup():
@@ -36,7 +38,6 @@ def setup():
     variables["controlnet"] = model.init_controlnet_params(jax.random.PRNGKey(1), batch)
     return model, batch, variables
 
-
 def test_zero_init_identity(setup):
     """Freshly-initialized controlnet must not change the prediction."""
     model, batch, variables = setup
@@ -45,7 +46,6 @@ def test_zero_init_identity(setup):
     with_cn = model.model_predict(variables, prepared)
     without = model.model_predict(base_vars, prepared)
     np.testing.assert_allclose(np.asarray(with_cn), np.asarray(without), atol=1e-5)
-
 
 def test_nonzero_residuals_change_output(setup):
     model, batch, variables = setup
@@ -59,7 +59,6 @@ def test_nonzero_residuals_change_output(setup):
     poked["residual_proj_0"]["kernel"] = jnp.ones_like(proj) * 0.05
     out = model.model_predict({**variables, "controlnet": poked}, prepared)
     assert not np.allclose(np.asarray(out), np.asarray(without), atol=1e-4)
-
 
 def test_controlnet_train_step(setup):
     model, batch, variables = setup

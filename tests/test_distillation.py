@@ -1,4 +1,5 @@
 """Distillation framework: registry, LCM consistency loss, teacher matching,
+
 and a distilled LoRA train step."""
 
 import jax
@@ -14,6 +15,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -28,7 +30,6 @@ def make_model(**extra):
         }
     )
     return Flux(cfg, arch=FluxConfig.tiny())
-
 
 class TestRegistry:
     def test_methods_listed(self):
@@ -50,7 +51,6 @@ class TestRegistry:
         assert distiller.name == "lcm"
         assert init_distillation(make_model().config) is None
 
-
 @pytest.mark.parametrize("method", ["lcm", "teacher_matching", "perflow", "dcm"])
 def test_distilled_lora_train_step(method):
     model = make_model(distillation_method=method)
@@ -71,7 +71,6 @@ def test_distilled_lora_train_step(method):
     }[method]
     assert key in metrics and np.isfinite(float(metrics[key]))
 
-
 def test_lora_zero_adapter_teacher_matches_base():
     """With B=0 fresh adapters, student == teacher, so matching loss is ~0."""
     model = make_model(distillation_method="teacher_matching")
@@ -82,7 +81,6 @@ def test_lora_zero_adapter_teacher_matches_base():
     pred = model.model_predict(variables, prepared)
     loss, logs = distiller.distill_loss(model, variables, prepared, pred, jax.random.PRNGKey(2))
     assert float(logs["distill_match_loss"]) < 1e-8
-
 
 class TestDMD:
     def test_dmd_registered(self):
@@ -116,7 +114,6 @@ class TestDMD:
         state3, metrics3 = step(state2, batch, jax.random.PRNGKey(2))
         assert moved(state2.trainable["lora"], state3.trainable["lora"])
 
-
 class TestFlowDPO:
     def test_requires_rejected_latents(self):
         model = make_model(distillation_method="flow_dpo")
@@ -147,7 +144,6 @@ class TestFlowDPO:
         assert abs(float(metrics["flow_dpo_margin"])) < 1e-5
         assert abs(float(metrics["flow_dpo_loss"]) - float(np.log(2.0))) < 1e-4
 
-
 class TestSelfForcing:
     def test_self_forcing_train_step(self):
         model = make_model(distillation_method="self_forcing")
@@ -174,7 +170,6 @@ class TestSelfForcing:
 
         assert moved(state.trainable["critic_lora"], state2.trainable["critic_lora"])
         assert moved(state2.trainable["lora"], state3.trainable["lora"])
-
 
 class TestAnyFlow:
     def test_forward_stage_train_step(self):

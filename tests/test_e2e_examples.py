@@ -1,4 +1,5 @@
 """End-to-end example runner (reference: tests/test_e2e_examples.py:20-60 —
+
 gated by SIMPLETUNER_E2E_TEST=1, loads every example config, forces a few
 steps, runs the real Trainer).
 
@@ -18,11 +19,12 @@ from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.registry import ModelRegistry
 from simpletuner_tpu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 E2E = os.environ.get("SIMPLETUNER_E2E_TEST") == "1"
 
 # fast smoke subset (one per modality) unless the full e2e run is requested
 SMOKE_FAMILIES = ("sd1x", "wan", "ace_step")
-
 
 def _family_examples():
     names = []
@@ -35,7 +37,6 @@ def _family_examples():
             continue
         names.append(name)
     return names
-
 
 def _make_data(tmp_path, modality):
     root = tmp_path / "data"
@@ -66,7 +67,6 @@ def _make_data(tmp_path, modality):
             )
             (root / f"i_{i}.txt").write_text(f"photo {i}")
     return str(root)
-
 
 @pytest.mark.parametrize("name", _family_examples())
 def test_example_trains(name, tmp_path):

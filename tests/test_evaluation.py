@@ -5,6 +5,7 @@ import pytest
 
 from simpletuner_tpu.training.evaluation import CLIPScoreEvaluator, EvalLoss
 
+pytestmark = pytest.mark.slow
 
 class TestCLIPScore:
     @pytest.fixture(scope="class")
@@ -22,7 +23,6 @@ class TestCLIPScore:
         images = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(3)]
         score = evaluator.score(images, ["cat", "dog", "tree"])
         assert np.isfinite(score)
-
 
 class TestEvalLoss:
     def test_disabled_without_eval_datasets(self):

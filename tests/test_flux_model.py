@@ -12,6 +12,7 @@ from simpletuner_tpu.models.flux.transformer import (
     unpack_latents,
 )
 
+pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def tiny_flux():
@@ -29,7 +30,6 @@ def tiny_flux():
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return model, variables, batch
 
-
 def test_pack_unpack_roundtrip():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 16))
     packed = pack_latents(x)
@@ -37,13 +37,11 @@ def test_pack_unpack_roundtrip():
     back = unpack_latents(packed, 8, 12)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
 
-
 def test_img_ids_grid():
     ids = make_img_ids(1, 8, 8)
     assert ids.shape == (1, 16, 3)
     assert int(ids[0, 0, 1]) == 0 and int(ids[0, -1, 1]) == 3
     assert int(ids[0, -1, 2]) == 3
-
 
 def test_flux_forward_shapes(tiny_flux):
     model, variables, batch = tiny_flux
@@ -51,7 +49,6 @@ def test_flux_forward_shapes(tiny_flux):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert jnp.isfinite(pred).all()
-
 
 def test_flux_has_lora_collection(tiny_flux):
     model, variables, _ = tiny_flux
@@ -62,7 +59,6 @@ def test_flux_has_lora_collection(tiny_flux):
     flat = jax.tree_util.tree_flatten_with_path(variables["lora"])[0]
     b_leaves = [leaf for path, leaf in flat if "lora_B" in str(path)]
     assert b_leaves and all(float(jnp.abs(b).max()) == 0.0 for b in b_leaves)
-
 
 def test_flux_loss_and_lora_grads(tiny_flux):
     model, variables, batch = tiny_flux
@@ -81,7 +77,6 @@ def test_flux_loss_and_lora_grads(tiny_flux):
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert total > 0.0
 
-
 def test_flux_guidance_modes():
     cfg = TrainingConfig(
         {
@@ -98,7 +93,6 @@ def test_flux_guidance_modes():
     g = prepared["guidance"]
     assert g.shape == (4,)
     assert float(g.min()) >= 1.0 and float(g.max()) <= 2.0
-
 
 def test_registry_resolves_flux():
     from simpletuner_tpu.models import ModelRegistry

@@ -11,6 +11,9 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+import pytest
+
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -20,7 +23,6 @@ def make_model(**extra):
     )
     return SD1x(cfg)
 
-
 def test_grounding_params_created():
     model = make_model()
     batch = model.example_batch(batch_size=1, resolution=32)
@@ -29,7 +31,6 @@ def test_grounding_params_created():
     flat = {jax.tree_util.keystr(p) for p, _ in
             jax.tree_util.tree_flatten_with_path(variables["lora"])[0]}
     assert any("gligen_alpha_attn" in k for k in flat)  # gates train with LoRA
-
 
 def test_zero_gates_are_identity():
     """Fresh fusers (tanh(0)=0) must not change the prediction vs no grounding."""
@@ -42,7 +43,6 @@ def test_zero_gates_are_identity():
     bare = {k: v for k, v in prepared.items() if not k.startswith("grounding_")}
     without = np.asarray(model.model_predict(variables, bare))
     np.testing.assert_allclose(with_grounding, without, atol=1e-5)
-
 
 def test_boxes_change_prediction_once_gates_open():
     model = make_model()
@@ -67,7 +67,6 @@ def test_boxes_change_prediction_once_gates_open():
     )
     pred_b = np.asarray(model.model_predict(variables, moved))
     assert not np.allclose(pred_a, pred_b, atol=1e-5)
-
 
 def test_grounded_train_step():
     model = make_model()

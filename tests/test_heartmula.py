@@ -1,4 +1,5 @@
 """HeartMuLa autoregressive music LM: forward shapes, masked CE loss, and a
+
 LoRA train step (reference: helpers/models/heartmula/{model,modeling_heartmula}.py)."""
 
 import jax
@@ -13,6 +14,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -29,7 +31,6 @@ def make_model(**extra):
     )
     return HeartMuLa(cfg)
 
-
 @pytest.fixture(scope="module")
 def model_and_vars():
     model = make_model()
@@ -39,12 +40,10 @@ def model_and_vars():
     variables = model.init_params(jax.random.PRNGKey(1), batch)
     return model, variables, batch
 
-
 def test_registered():
     assert "heartmula" in ModelRegistry.families()
     meta = ModelRegistry.metadata("heartmula")
     assert meta["modality"] == "audio" and meta["prediction"] == "autoregressive"
-
 
 def test_forward_shapes(model_and_vars):
     model, variables, batch = model_and_vars
@@ -55,7 +54,6 @@ def test_forward_shapes(model_and_vars):
     vocab = model.arch["audio_vocab"]
     assert out["codebook0_logits"].shape == (B, S - 1, vocab)
     assert out["codebook_logits"].shape == (B, S - 1, K - 1, vocab)
-
 
 def test_loss_masks_padded_frames(model_and_vars):
     model, variables, batch = model_and_vars
@@ -70,7 +68,6 @@ def test_loss_masks_padded_frames(model_and_vars):
     assert np.isfinite(float(loss_masked)) and np.isfinite(float(loss_full))
     assert "ce_codebook0" in logs and "ce_rest" in logs
     assert abs(float(loss_masked) - float(loss_full)) > 1e-7
-
 
 def test_lora_train_step_reduces_loss():
     model = make_model()
@@ -89,7 +86,6 @@ def test_lora_train_step_reduces_loss():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]  # overfits the fixed tiny batch
-
 
 def test_caption_dropout_uses_uncond_embedding():
     model = make_model(caption_dropout_probability=1.0)

@@ -9,6 +9,7 @@ from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.hidream import HiDream
 from simpletuner_tpu.models.hidream.model import MoEFeedForward
 
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -17,7 +18,6 @@ def make_model(**extra):
          "max_train_steps": 10, **extra}
     )
     return HiDream(cfg)
-
 
 class TestMoELayer:
     def test_routing_and_aux(self):
@@ -30,7 +30,6 @@ class TestMoELayer:
         # balanced-routing lower bound: aux >= top_k when perfectly uniform... at
         # least it must be positive and finite
         assert np.isfinite(float(aux)) and float(aux) > 0
-
 
 class TestHiDream:
     @pytest.fixture(scope="class")

@@ -10,8 +10,11 @@ from simpletuner_tpu.models.hunyuanvideo.model import HunyuanVideo
 from simpletuner_tpu.models.hunyuanvideo.transformer import HunyuanVideo15Config
 from simpletuner_tpu.models.weight_import import hunyuanvideo_params_from_diffusers
 
-ARCH = HunyuanVideo15Config.tiny()
+import pytest
 
+pytestmark = pytest.mark.slow
+
+ARCH = HunyuanVideo15Config.tiny()
 
 def _fixture(rng):
     d = ARCH.hidden_size
@@ -76,7 +79,6 @@ def _fixture(rng):
         lin(f"{src}.ff_context.net.2", d, mlp)
     return w
 
-
 def test_hunyuan_import_roundtrip(tmp_path):
     from safetensors.numpy import save_file
 
@@ -97,7 +99,6 @@ def test_hunyuan_import_roundtrip(tmp_path):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert bool(jnp.all(jnp.isfinite(pred)))
-
 
 def test_hunyuan_masked_text_stream():
     """Padded qwen/byt5 tokens must not change the video-token output."""

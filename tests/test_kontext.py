@@ -8,6 +8,9 @@ from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.flux.model import Flux
 from simpletuner_tpu.models.flux.transformer import FluxConfig
 
+import pytest
+
+pytestmark = pytest.mark.slow
 
 def make_model():
     cfg = TrainingConfig(
@@ -22,7 +25,6 @@ def make_model():
         }
     )
     return Flux(cfg, arch=FluxConfig.tiny())
-
 
 def test_kontext_forward_shape_and_conditioning_effect():
     model = make_model()
@@ -49,7 +51,6 @@ def test_kontext_forward_shape_and_conditioning_effect():
     prepared2["control_latents"] = prepared["control_latents"] + 1.0
     pred2 = model.model_predict(variables, prepared2)
     assert not np.allclose(np.asarray(pred), np.asarray(pred2), atol=1e-5)
-
 
 def test_kontext_train_step():
     from simpletuner_tpu.training.optimizers import get_optimizer

@@ -1,4 +1,5 @@
 """LLM text-encoder parity vs transformers (torch CPU) — output-parity test for
+
 the non-CLIP/T5 conditioning stacks (VERDICT r1 Next #4: lumina2/sana need
 Gemma-2, qwen_image Qwen2.5, hunyuanvideo Llama-3, flux2 Mistral-3, kolors
 ChatGLM)."""
@@ -14,10 +15,10 @@ from simpletuner_tpu.models.llm_encoder import (
     llm_params_from_hf,
 )
 
+pytestmark = pytest.mark.slow
 
 def _torch_state(model, prefix="model."):
     return {prefix + k: v.detach().numpy() for k, v in model.state_dict().items()}
-
 
 def _run_ours(cfg, weights, ids, mask):
     params = llm_params_from_hf(weights, cfg)
@@ -30,14 +31,12 @@ def _run_ours(cfg, weights, ids, mask):
         )
     )
 
-
 def _ids(cfg, batch=2, seq=10, pad_last=3):
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, (batch, seq)).astype(np.int32)
     mask = np.ones((batch, seq), np.int32)
     mask[1, -pad_last:] = 0
     return ids, mask
-
 
 def test_llama_parity():
     torch = pytest.importorskip("torch")
@@ -63,7 +62,6 @@ def test_llama_parity():
     # compare only non-padded positions (padded rows see different masks)
     np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], rtol=2e-3, atol=2e-4)
 
-
 def test_qwen2_parity():
     torch = pytest.importorskip("torch")
     from transformers import Qwen2Config, Qwen2Model
@@ -86,7 +84,6 @@ def test_qwen2_parity():
     ours = _run_ours(cfg, _torch_state(hf), ids, mask)
     np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], rtol=2e-3, atol=2e-4)
 
-
 def test_mistral_parity():
     torch = pytest.importorskip("torch")
     from transformers import MistralConfig, MistralModel
@@ -108,7 +105,6 @@ def test_mistral_parity():
         ).last_hidden_state.numpy()
     ours = _run_ours(cfg, _torch_state(hf), ids, mask)
     np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], rtol=2e-3, atol=2e-4)
-
 
 def test_gemma2_parity():
     torch = pytest.importorskip("torch")
@@ -133,7 +129,6 @@ def test_gemma2_parity():
         ).last_hidden_state.numpy()
     ours = _run_ours(cfg, _torch_state(hf), ids, mask)
     np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], rtol=3e-3, atol=3e-4)
-
 
 def test_chatglm_shapes_and_layout():
     """No in-env torch oracle for ChatGLM3 (trust_remote_code); validate the
@@ -168,7 +163,6 @@ def test_chatglm_shapes_and_layout():
     out = _run_ours(cfg, w, ids, mask)
     assert out.shape == (2, 10, cfg.hidden_size)
     assert np.isfinite(out).all()
-
 
 def test_text_encoder_builder_tiny():
     from simpletuner_tpu.models.common import TextEncoderSpec

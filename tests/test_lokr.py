@@ -1,4 +1,5 @@
 """LyCORIS LoKr adapter: factorization, zero-init identity, training step,
+
 export."""
 
 import jax
@@ -14,6 +15,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -31,7 +33,6 @@ def make_model(**extra):
     )
     return Flux(cfg, arch=FluxConfig.tiny())
 
-
 class TestFactorize:
     def test_balanced(self):
         assert lokr_factorize(64) == (8, 8)
@@ -45,7 +46,6 @@ class TestFactorize:
         for n in (16, 48, 96, 3072):
             m, k = lokr_factorize(n)
             assert m * k == n and m <= k
-
 
 class TestLoKrTraining:
     @pytest.fixture(scope="class")

@@ -1,4 +1,5 @@
 """LoRA export key maps per family: exported safetensors must use the
+
 diffusers/PEFT module paths (and ComfyUI's diffusion_model.* layout) that the
 reference ecosystem loads (reference helpers/training/lora_format.py,
 save_hooks.py model-type-aware export) — not raw flax paths."""
@@ -13,9 +14,10 @@ from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.registry import ModelRegistry
 from simpletuner_tpu.training.lora import load_lora_safetensors, lora_state_dict, save_lora_safetensors
 
+pytestmark = pytest.mark.slow
+
 FAMILIES = ["flux", "sd3", "sdxl", "wan", "pixart_sigma", "sana", "auraflow",
             "ltxvideo", "chroma", "qwen_image", "hunyuanvideo", "kolors"]
-
 
 def _model(family):
     cfg = TrainingConfig(
@@ -26,7 +28,6 @@ def _model(family):
     batch = model.example_batch(batch_size=1, resolution=32)
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return model, variables
-
 
 @pytest.mark.parametrize("family", FAMILIES)
 def test_exported_keys_are_ecosystem_paths(family):
@@ -50,7 +51,6 @@ def test_exported_keys_are_ecosystem_paths(family):
     # the vast majority of adapter weights live in mapped block paths
     assert mapped >= len(tensors) * 0.8, (family, mapped, len(tensors))
 
-
 @pytest.mark.parametrize("family", ["sd3", "sdxl", "wan", "pixart_sigma", "auraflow"])
 def test_lora_roundtrip_through_export(family, tmp_path):
     model, variables = _model(family)
@@ -68,7 +68,6 @@ def test_lora_roundtrip_through_export(family, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-
 
 def test_comfyui_layout(tmp_path):
     model, variables = _model("sd3")

@@ -10,6 +10,7 @@ from simpletuner_tpu.models.ltxvideo import LTXVideo
 from simpletuner_tpu.models.registry import ModelRegistry
 from simpletuner_tpu.models.wan import Wan
 
+pytestmark = pytest.mark.slow
 
 def test_ltx_registry_and_forward():
     cfg = TrainingConfig(
@@ -25,7 +26,6 @@ def test_ltx_registry_and_forward():
     pred = jax.jit(lambda v, p: model.model_predict(v, p))(variables, prepared)
     assert pred.shape == batch["latents"].shape
 
-
 def test_ltx_full_vae_factors():
     cfg = TrainingConfig(
         {"model_family": "ltxvideo", "model_type": "lora", "lora_rank": 4,
@@ -35,7 +35,6 @@ def test_ltx_full_vae_factors():
     assert vae_cfg.spatial_factor == 32
     assert vae_cfg.temporal_factor == 8
     assert vae_cfg.latent_channels == 128
-
 
 def test_wan_i2v_conditioning():
     cfg = TrainingConfig(
@@ -68,7 +67,6 @@ def test_wan_i2v_conditioning():
     prepared = model3.prepare_batch(jax.random.PRNGKey(1), batch)
     pred = model3.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
-
 
 def test_hunyuanvideo_forward_and_step():
     from simpletuner_tpu.models.hunyuanvideo import HunyuanVideo

@@ -9,11 +9,14 @@ import jax.numpy as jnp
 from simpletuner_tpu.models.ltxvideo.transformer import LTXConfig, LTXTransformer, ltx_rope
 from simpletuner_tpu.models.weight_import import ltx_params_from_diffusers
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 ARCH = LTXConfig(
     in_channels=8, out_channels=8, hidden_size=48, depth=2, num_heads=2,
     head_dim=24, text_dim=32, cross_dim=48,
 )
-
 
 def _fixture(rng):
     d = ARCH.hidden_size
@@ -47,33 +50,26 @@ def _fixture(rng):
         lin(f"{src}.ff.net.2", d, ff)
     return w
 
-
 def _t_lin(w, name, x):
     return x @ w[f"{name}.weight"].T + w[f"{name}.bias"]
-
 
 def _silu(x):
     return x / (1.0 + np.exp(-x))
 
-
 def _gelu_tanh(x):
     return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
-
 
 def _rms(x, g=None, eps=1e-6):
     y = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + eps)
     return y if g is None else y * g
 
-
 def _ln(x, eps=1e-6):
     return (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + eps)
-
 
 def _rope_apply(x, cos, sin):
     x1, x2 = x[..., 0::2], x[..., 1::2]
     rot = np.stack([-x2, x1], axis=-1).reshape(x.shape)
     return x * cos[None] + rot * sin[None]
-
 
 def _attn(q, k, v, heads):
     b, s, inner = q.shape
@@ -86,7 +82,6 @@ def _attn(q, k, v, heads):
     p = np.exp(logits - logits.max(-1, keepdims=True))
     p = p / p.sum(-1, keepdims=True)
     return (p @ v).transpose(0, 2, 1, 3).reshape(b, s, inner)
-
 
 def _oracle(w, latents, timesteps, context):
     d = ARCH.hidden_size
@@ -126,7 +121,6 @@ def _oracle(w, latents, timesteps, context):
     x = _t_lin(w, "proj_out", x)
     return x.reshape(b, t, h, wd, ARCH.out_channels)
 
-
 def test_ltx_import_matches_oracle():
     w = _fixture(np.random.default_rng(31))
     params = ltx_params_from_diffusers(w, ARCH)
@@ -145,7 +139,6 @@ def test_ltx_import_matches_oracle():
     )
     ref = _oracle(w, latents, timesteps, context)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
-
 
 def test_ltx_roundtrip(tmp_path):
     from safetensors.numpy import save_file

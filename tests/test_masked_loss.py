@@ -15,6 +15,7 @@ from simpletuner_tpu.models.flux.transformer import FluxConfig
 from simpletuner_tpu.models.text_encoders import load_text_encoders
 from simpletuner_tpu.training.losses import LossConfig, diffusion_loss
 
+pytestmark = pytest.mark.slow
 
 def test_mask_weighting_math():
     pred = jnp.ones((2, 8, 8, 4))
@@ -31,7 +32,6 @@ def test_mask_weighting_math():
     masked2 = diffusion_loss(pred2, target, config, sigmas=jnp.full((2,), 0.5), mask=mask)
     assert float(masked2) < 1e-6
 
-
 @pytest.fixture(scope="module")
 def masked_dataset(tmp_path_factory):
     rng = np.random.default_rng(0)
@@ -46,7 +46,6 @@ def masked_dataset(tmp_path_factory):
         mask[: 32 + i] = 255
         Image.fromarray(mask).save(mask_dir / f"im_{i}.png")
     return str(img_dir), str(mask_dir)
-
 
 def test_collate_supplies_loss_mask(masked_dataset, tmp_path_factory):
     img_dir, mask_dir = masked_dataset

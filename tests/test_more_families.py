@@ -11,6 +11,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_model(family):
     cfg = TrainingConfig(
@@ -25,7 +26,6 @@ def make_model(family):
         }
     )
     return ModelRegistry.create(family, cfg)
-
 
 @pytest.mark.parametrize("family", ["pixart_sigma", "auraflow"])
 class TestFamilies:
@@ -47,7 +47,6 @@ class TestFamilies:
     def test_registry_alias(self, family):
         assert ModelRegistry.get(family) is type(make_model(family))
 
-
 def test_pixart_is_epsilon():
     model = make_model("pixart_sigma")
     batch = model.example_batch(batch_size=2, resolution=32)
@@ -55,13 +54,11 @@ def test_pixart_is_epsilon():
     np.testing.assert_array_equal(np.asarray(prepared["target"]), np.asarray(prepared["noise"]))
     assert prepared["timesteps"].dtype in (jnp.int32, jnp.int64)
 
-
 def test_auraflow_is_flow():
     model = make_model("auraflow")
     batch = model.example_batch(batch_size=1, resolution=32)
     prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
     assert "sigmas" in prepared
-
 
 @pytest.mark.parametrize("family", ["chroma", "kolors"])
 def test_derived_families_forward(family):
@@ -72,11 +69,9 @@ def test_derived_families_forward(family):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
 
-
 def test_chroma_has_no_guidance_embed():
     model = make_model("chroma")
     assert not model.arch.guidance_embed
-
 
 def test_kolors_chatglm_dims():
     model = make_model("kolors")
@@ -87,7 +82,6 @@ def test_kolors_chatglm_dims():
     embeds = model.encode_text(["a kolors prompt"])
     assert embeds[0]["text_embeds"].shape[-1] == model.arch.cross_attention_dim
 
-
 @pytest.mark.parametrize("family", ["flux2", "lumina2", "sana"])
 def test_new_wave_families(family):
     model = make_model(family)
@@ -97,7 +91,6 @@ def test_new_wave_families(family):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert "sigmas" in prepared  # all three are flow families
-
 
 def test_sana_linear_attention_math():
     import jax.numpy as jnp
@@ -113,7 +106,6 @@ def test_sana_linear_attention_math():
     out2 = relu_linear_attention(q, k.at[:, 5].add(2.0), v.at[:, 5].add(2.0))
     assert float(jnp.abs(out[:, 0] - out2[:, 0]).max()) > 1e-6
 
-
 def test_deepfloyd_pixel_space():
     model = make_model("deepfloyd")
     assert not model.REQUIRES_VAE
@@ -124,7 +116,6 @@ def test_deepfloyd_pixel_space():
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
 
-
 @pytest.mark.parametrize("family", ["mageflow", "z_image", "cosmos3"])
 def test_latest_wave_families(family):
     model = make_model(family)
@@ -134,11 +125,9 @@ def test_latest_wave_families(family):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
 
-
 def test_family_aliases():
     assert ModelRegistry.get("ltxvideo2").__name__ == "LTXVideo"
     assert ModelRegistry.get("krea2").__name__ == "Flux"
-
 
 @pytest.mark.parametrize("family", [
     "qwen_image", "longcat_image", "longcat_video", "anima", "ideogram",
@@ -153,12 +142,10 @@ def test_extended_families(family):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
 
-
 def test_extended_aliases():
     assert ModelRegistry.get("cosmos").__name__ == "Cosmos3"
     assert ModelRegistry.get("z_image_omni").__name__ == "ZImage"
     assert ModelRegistry.get("zlab_i1").__name__ == "ZImage"
-
 
 def test_wan_s2v_audio_context():
     import jax.numpy as jnp
@@ -173,7 +160,6 @@ def test_wan_s2v_audio_context():
     # audio actually reaches the context axis
     inputs = model.get_model_inputs(prepared)
     assert inputs["context"].shape[1] == batch["text_embeds"].shape[1] + batch["audio_embeds"].shape[1]
-
 
 def test_waveform_features():
     import numpy as np

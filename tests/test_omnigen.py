@@ -1,4 +1,5 @@
 """OmniGen unified multimodal DiT: forward shapes, mask semantics, and a LoRA
+
 train step (reference: helpers/models/omnigen/{model,transformer}.py)."""
 
 import jax
@@ -13,6 +14,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -29,7 +31,6 @@ def make_model(**extra):
     )
     return OmniGen(cfg)
 
-
 @pytest.fixture(scope="module")
 def model_and_vars():
     model = make_model()
@@ -38,11 +39,9 @@ def model_and_vars():
     variables = model.init_params(jax.random.PRNGKey(1), batch)
     return model, variables, batch
 
-
 def test_registered():
     assert "omnigen" in ModelRegistry.families()
     assert ModelRegistry.metadata("omnigen")["prediction"] == "flow_matching"
-
 
 def test_predict_shape(model_and_vars):
     model, variables, batch = model_and_vars
@@ -50,7 +49,6 @@ def test_predict_shape(model_and_vars):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert np.isfinite(np.asarray(pred)).all()
-
 
 def test_text_padding_masks_tokens(model_and_vars):
     """Changing a padded-out token id must not change the prediction; changing
@@ -72,7 +70,6 @@ def test_text_padding_masks_tokens(model_and_vars):
         (prepared["input_ids"][:, 2] + 1) % 128
     )
     assert not np.allclose(np.asarray(model.model_predict(variables, real)), base, atol=1e-5)
-
 
 def test_lora_train_step(model_and_vars):
     model, _, batch = model_and_vars

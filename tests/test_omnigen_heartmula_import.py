@@ -1,4 +1,5 @@
 """Weight import round-trips for OmniGen and HeartMuLa: synthesize a torch-style
+
 checkpoint from the flax template, import it back, and verify exact recovery."""
 
 import jax
@@ -8,6 +9,7 @@ import pytest
 
 from simpletuner_tpu.configuration import TrainingConfig
 
+pytestmark = pytest.mark.slow
 
 def _flatten(tree, prefix=()):
     if isinstance(tree, dict):
@@ -15,7 +17,6 @@ def _flatten(tree, prefix=()):
             yield from _flatten(v, prefix + (k,))
     else:
         yield prefix, np.asarray(tree)
-
 
 class TestHeartMuLaImport:
     def test_round_trip(self):
@@ -58,7 +59,6 @@ class TestHeartMuLaImport:
         for (p1, a), (p2, b) in zip(sorted(_flatten(template)), sorted(_flatten(imported))):
             assert p1 == p2
             np.testing.assert_allclose(a, b, atol=0, err_msg=str(p1))
-
 
 class TestOmniGenImport:
     def test_round_trip_and_forward(self):

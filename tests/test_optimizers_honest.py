@@ -17,11 +17,11 @@ from simpletuner_tpu.training.optim_quant import (
     quantize_blockwise,
 )
 
+pytestmark = pytest.mark.slow
 
 class Cfg(dict):
     def get(self, key, default=None):
         return super().get(key, default)
-
 
 def _run(name, steps=60, lr=0.05, n=512):
     """Minimize ||Wx - y||² for a fixed quadratic; returns final loss."""
@@ -54,7 +54,6 @@ def _run(name, steps=60, lr=0.05, n=512):
             first = float(loss)
     return first, float(loss_fn(params)), state
 
-
 def test_quantize_roundtrip():
     x = np.random.RandomState(0).randn(1000).astype(np.float32)
     q, s = quantize_blockwise(jnp.asarray(x), jnp.int8)
@@ -62,7 +61,6 @@ def test_quantize_roundtrip():
     assert q.dtype == jnp.int8
     rel = np.abs(back - x) / np.maximum(np.abs(x), 1e-5)
     assert rel.max() < 0.05, rel.max()  # log code: ~4.4% constant relative error
-
 
 def test_quantize_roundtrip_int4_packed():
     from simpletuner_tpu.training.optim_quant import INT4_PACKED
@@ -76,7 +74,6 @@ def test_quantize_roundtrip_int4_packed():
     # values below the floor decode to 0 (rel err 1), which is inherent to 4 bits
     big = np.abs(x) > np.abs(x).max() / 200.0
     assert rel[big].max() < 0.6, rel[big].max()
-
 
 @pytest.mark.parametrize(
     "name,dtype,bytes_per_elem",
@@ -97,19 +94,16 @@ def test_quantized_adamw_state_dtype_and_convergence(name, dtype, bytes_per_elem
     big = max(q_leaves, key=lambda l: l.nbytes)
     assert big.nbytes <= n_w * bytes_per_elem * 1.01, (big.nbytes, n_w * bytes_per_elem)
 
-
 def test_quantized_tracks_full_precision():
     _, final_q, _ = _run("ao-adamw8bit", steps=80)
     _, final_f, _ = _run("adamw", steps=80)
     assert final_q < final_f * 3 + 1e-3, (final_q, final_f)
-
 
 def test_lion8bit():
     first, final, state = _run("bnb-lion8bit", lr=0.01)
     assert final < first, (first, final)
     leaves = jax.tree_util.tree_leaves(state)
     assert any(l.dtype == jnp.int8 for l in leaves if hasattr(l, "dtype"))
-
 
 def test_soap_converges_and_rotates():
     first, final, state = _run("soap", steps=40, lr=0.05)
@@ -121,22 +115,18 @@ def test_soap_converges_and_rotates():
     moved = any(not np.allclose(m, np.eye(m.shape[0]), atol=1e-3) for m in mats)
     assert moved, "SOAP eigenbasis never refreshed"
 
-
 @pytest.mark.parametrize("name", ["stableadamw", "adan", "ranger", "asgd"])
 def test_other_optimizers_converge(name):
     first, final, _ = _run(name, steps=80)
     assert final < first, (name, first, final)
 
-
 def test_sparseadam_raises():
     with pytest.raises(NotImplementedError):
         get_optimizer(Cfg(optimizer="sparseadam"), 1e-3)
 
-
 def test_unknown_name_raises():
     with pytest.raises(ValueError):
         get_optimizer(Cfg(optimizer="definitely-not-real"), 1e-3)
-
 
 def test_no_silent_aliasing_of_quantized_names():
     """8-bit names must NOT build the same transform as plain adamw."""

@@ -72,3 +72,89 @@ def test_post_checkpoint_script(model, tmp_path):
 def test_hub_push_disabled_without_config(model, tmp_path):
     manager = PublishingManager(model, model.config, str(tmp_path))
     assert manager.push_to_hub(str(tmp_path)) is None
+
+
+class _StubS3Client:
+    def __init__(self):
+        self.uploads = []
+
+    def upload_file(self, local, bucket, key):
+        self.uploads.append((bucket, key))
+
+
+class _StubContainer:
+    def __init__(self, sink):
+        self.sink = sink
+
+    def upload_blob(self, name, data, overwrite=True):
+        self.sink.append(name)
+
+
+class _StubAzure:
+    def __init__(self):
+        self.blobs = []
+
+    def get_container_client(self, container):
+        return _StubContainer(self.blobs)
+
+
+class _StubDropbox:
+    def __init__(self):
+        self.paths = []
+
+    def files_upload(self, data, path):
+        self.paths.append(path)
+
+
+def _ckpt(tmp_path):
+    d = tmp_path / "checkpoint-7"
+    (d / "state").mkdir(parents=True, exist_ok=True)
+    (d / "state" / "data.bin").write_bytes(b"\x00")
+    (d / "manifest.json").write_text("{}")
+    return str(d)
+
+
+def test_s3_provider_uploads_all_files(tmp_path):
+    from simpletuner_tpu.publishing.providers import S3Provider
+
+    class Cfg(dict):
+        def get(self, k, default=None):
+            return super().get(k, default)
+
+    client = _StubS3Client()
+    provider = S3Provider(Cfg(publishing_s3_bucket="b", publishing_s3_prefix="runs"), client=client)
+    n = provider.upload(_ckpt(tmp_path))
+    assert n == 2
+    assert ("b", "runs/checkpoint-7/manifest.json") in client.uploads
+
+
+def test_azure_and_dropbox_providers(tmp_path):
+    from simpletuner_tpu.publishing.providers import AzureBlobProvider, DropboxProvider
+
+    class Cfg(dict):
+        def get(self, k, default=None):
+            return super().get(k, default)
+
+    az = _StubAzure()
+    provider = AzureBlobProvider(Cfg(publishing_azure_container="c"), client=az)
+    assert provider.upload(_ckpt(tmp_path)) == 2
+    assert any(b.endswith("manifest.json") for b in az.blobs)
+
+    db = _StubDropbox()
+    provider = DropboxProvider(Cfg(publishing_dropbox_path="ckpts"), client=db)
+    assert provider.upload(_ckpt(tmp_path)) == 2
+    assert any(p.startswith("/ckpts/checkpoint-7/") for p in db.paths)
+
+
+def test_unknown_provider_raises():
+    from simpletuner_tpu.publishing.providers import get_provider
+
+    class Cfg(dict):
+        def get(self, k, default=None):
+            return super().get(k, default)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_provider(Cfg(publishing_provider="gopher"))
+    assert get_provider(Cfg()) is None

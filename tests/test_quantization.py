@@ -1,4 +1,5 @@
 """int8/fp8 base-weight quantization: round-trip accuracy, memory layout, and a
+
 quantized LoRA train step."""
 
 import jax
@@ -20,6 +21,7 @@ from simpletuner_tpu.training.quantization import (
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 class TestQuantizeRoundtrip:
     def test_int8_error_bounded(self):
@@ -56,7 +58,6 @@ class TestQuantizeRoundtrip:
         cfg.base_model_precision = "bogus"
         with pytest.raises(ValueError):
             resolve_precision(cfg)
-
 
 class TestQuantizedTraining:
     def test_lora_step_with_int8_base(self):
@@ -101,7 +102,6 @@ class TestQuantizedTraining:
         tx = get_optimizer(cfg, get_lr_schedule(cfg, 1))
         with pytest.raises(ValueError, match="model_type=lora"):
             create_train_state(model, variables, tx, quantize_mode="int8")
-
 
 def test_quantized_state_checkpoint_roundtrip(tmp_path):
     """Orbax save/restore with QuantizedParam nodes in frozen state."""

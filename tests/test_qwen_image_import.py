@@ -14,8 +14,11 @@ from simpletuner_tpu.models.qwen_image.transformer import (
 )
 from simpletuner_tpu.models.weight_import import qwen_image_params_from_diffusers
 
-ARCH = QwenImageConfig.tiny()
+import pytest
 
+pytestmark = pytest.mark.slow
+
+ARCH = QwenImageConfig.tiny()
 
 def _fixture(rng):
     d = ARCH.hidden_size
@@ -50,26 +53,20 @@ def _fixture(rng):
         lin(f"{p}.txt_mlp.net.2", d, mlp)
     return w
 
-
 def _t_lin(w, name, x):
     return x @ w[f"{name}.weight"].T + w[f"{name}.bias"]
-
 
 def _silu(x):
     return x / (1.0 + np.exp(-x))
 
-
 def _gelu_tanh(x):
     return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
-
 
 def _ln(x, eps=1e-6):
     return (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + eps)
 
-
 def _rms(x, g, eps=1e-6):
     return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + eps) * g
-
 
 def _rope(x, angles):
     # x (B, S, H, D); angles (S, D/2); interleaved pairs
@@ -81,7 +78,6 @@ def _rope(x, angles):
     out = np.stack([o1, o2], axis=-1).reshape(x.shape)
     return out
 
-
 def _attention_joint(q, k, v):
     # q/k/v: (B, S, H, D)
     b, s, h, dd = q.shape
@@ -92,7 +88,6 @@ def _attention_joint(q, k, v):
     p = np.exp(logits - logits.max(-1, keepdims=True))
     p = p / p.sum(-1, keepdims=True)
     return (p @ v).transpose(0, 2, 1, 3).reshape(b, s, h * dd)
-
 
 def _oracle(w, img_tokens, hh, ww, txt, timesteps):
     d = ARCH.hidden_size
@@ -159,7 +154,6 @@ def _oracle(w, img_tokens, hh, ww, txt, timesteps):
     x = _ln(x) * (1 + scale[:, None]) + shift[:, None]
     return _t_lin(w, "proj_out", x)
 
-
 def test_qwen_image_import_matches_oracle():
     w = _fixture(np.random.default_rng(51))
     params = qwen_image_params_from_diffusers(w, ARCH)
@@ -180,7 +174,6 @@ def test_qwen_image_import_matches_oracle():
     )
     ref = _oracle(w, img, hh, ww, txt, timesteps)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=4e-4, atol=4e-4)
-
 
 def test_qwen_image_family_end_to_end(tmp_path):
     from safetensors.numpy import save_file

@@ -11,6 +11,7 @@ from simpletuner_tpu.models.flux.transformer import FluxConfig
 from simpletuner_tpu.models.wan import Wan
 from simpletuner_tpu.training.repa import RepaConfig, repa_auxiliary_loss
 
+pytestmark = pytest.mark.slow
 
 def make_flux(**extra):
     cfg = TrainingConfig(
@@ -18,7 +19,6 @@ def make_flux(**extra):
          "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10, **extra}
     )
     return Flux(cfg, arch=FluxConfig.tiny())
-
 
 def test_intermediates_captured():
     model = make_flux()
@@ -28,7 +28,6 @@ def test_intermediates_captured():
     pred, interms = model.model_predict_with_intermediates(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert len(interms) == model.arch.depth_double + model.arch.depth_single
-
 
 def test_layersync_loss_in_train():
     model = make_flux(layersync_gamma=0.5, layersync_source_layer=0)
@@ -44,7 +43,6 @@ def test_layersync_loss_in_train():
     assert "layersync_loss" in aux
     assert np.isfinite(float(aux["layersync_loss"]))
 
-
 def test_crepa_with_teacher_embeds():
     model = make_flux(crepa_weight=1.0, crepa_layer=1)
     batch = model.example_batch(batch_size=1, resolution=32)
@@ -54,7 +52,6 @@ def test_crepa_with_teacher_embeds():
     value, aux = model.loss_fn(variables, jax.random.PRNGKey(1), batch)
     assert np.isfinite(float(value))
     assert "crepa_loss" in aux
-
 
 def test_wan_intermediates():
     cfg = TrainingConfig(
@@ -69,11 +66,9 @@ def test_wan_intermediates():
     assert np.isfinite(float(value))
     assert "layersync_loss" in aux
 
-
 def test_disabled_by_default():
     config = RepaConfig.from_config(make_flux().config)
     assert not config.enabled
-
 
 def test_urepa_unet_mid_block():
     from simpletuner_tpu.models.sd1x.model import SD1x

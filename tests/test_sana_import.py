@@ -1,4 +1,5 @@
 """Sana weight import validated against a numpy oracle of the reference math
+
 (diffusers SanaTransformer2DModel: linear self-attn, softmax cross-attn,
 GLUMBConv Mix-FFN; reference helpers/models/sana/transformer.py)."""
 
@@ -10,12 +11,13 @@ import jax.numpy as jnp
 from simpletuner_tpu.models.sana.transformer import SanaConfig, SanaTransformer
 from simpletuner_tpu.models.weight_import import sana_params_from_diffusers
 
+pytestmark = pytest.mark.slow
+
 ARCH = SanaConfig(
     in_channels=4, patch_size=1, hidden_size=64, depth=2,
     self_heads=4, self_head_dim=16, cross_heads=2, cross_head_dim=32, text_dim=48,
     ffn_ratio=2.5,
 )
-
 
 def _torch_fixture(rng):
     d = ARCH.hidden_size
@@ -56,26 +58,20 @@ def _torch_fixture(rng):
         w[f"{src}.ff.conv_point.weight"] = rng.normal(0, 0.02, (d, hidden, 1, 1)).astype(np.float32)
     return w
 
-
 def _t_linear(w, name, x):
     return x @ w[f"{name}.weight"].T + w[f"{name}.bias"]
-
 
 def _silu(x):
     return x / (1.0 + np.exp(-x))
 
-
 def _gelu_tanh(x):
     return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
-
 
 def _ln(x, eps=1e-6):
     return (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + eps)
 
-
 def _rms(x, g, eps=1e-5):
     return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + eps) * g
-
 
 def _softmax_attention(q, k, v, heads):
     b, s, inner = q.shape
@@ -89,7 +85,6 @@ def _softmax_attention(q, k, v, heads):
     p = p / p.sum(-1, keepdims=True)
     return (p @ v).transpose(0, 2, 1, 3).reshape(b, s, inner)
 
-
 def _linear_attention(q, k, v, heads, eps=1e-15):
     b, s, inner = q.shape
     d = inner // heads
@@ -102,7 +97,6 @@ def _linear_attention(q, k, v, heads, eps=1e-15):
     out = np.einsum("bshd,bhde->bshe", q, kv) / norm[..., None]
     return out.reshape(b, s, inner)
 
-
 def _depthwise3x3(x, wgt, b):  # x (B,H,W,C), torch weight (C,1,3,3)
     xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = np.zeros_like(x)
@@ -110,7 +104,6 @@ def _depthwise3x3(x, wgt, b):  # x (B,H,W,C), torch weight (C,1,3,3)
         for j in range(3):
             out = out + xp[:, i : i + x.shape[1], j : j + x.shape[2], :] * wgt[:, 0, i, j]
     return out + b
-
 
 def _glumbconv(w, src, x_tokens, h, wd):
     b, s, d = x_tokens.shape
@@ -122,7 +115,6 @@ def _glumbconv(w, src, x_tokens, h, wd):
     gated = a * _silu(gate)
     out = gated @ w[f"{src}.conv_point.weight"][:, :, 0, 0].T
     return out.reshape(b, s, d)
-
 
 def _oracle(w, latents, timesteps, context):
     d = ARCH.hidden_size
@@ -170,7 +162,6 @@ def _oracle(w, latents, timesteps, context):
     x = _t_linear(w, "proj_out", x)
     return x.reshape(b, h, wd, ARCH.in_channels)
 
-
 def test_sana_import_matches_oracle():
     w = _torch_fixture(np.random.default_rng(11))
     params = sana_params_from_diffusers(w, ARCH)
@@ -189,7 +180,6 @@ def test_sana_import_matches_oracle():
     )
     ref = _oracle(w, latents, timesteps, context)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
-
 
 def test_sana_import_roundtrip(tmp_path):
     from safetensors.numpy import save_file

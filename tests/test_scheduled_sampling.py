@@ -13,6 +13,7 @@ from simpletuner_tpu.training.scheduled_sampling import (
     apply_scheduled_sampling,
 )
 
+pytestmark = pytest.mark.slow
 
 def make_model(**extra):
     cfg = TrainingConfig(
@@ -28,14 +29,12 @@ def make_model(**extra):
     )
     return Flux(cfg, arch=FluxConfig.tiny())
 
-
 @pytest.fixture(scope="module")
 def setup():
     model = make_model()
     batch = model.example_batch(batch_size=2, resolution=32)
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return model, batch, variables
-
 
 def test_zero_probability_passthrough(setup):
     model, batch, variables = setup
@@ -45,7 +44,6 @@ def test_zero_probability_passthrough(setup):
     np.testing.assert_array_equal(
         np.asarray(out["noisy_latents"]), np.asarray(prepared["noisy_latents"])
     )
-
 
 def test_rollout_changes_inputs(setup):
     model, batch, variables = setup
@@ -58,7 +56,6 @@ def test_rollout_changes_inputs(setup):
         np.asarray(out["noisy_latents"]), np.asarray(prepared["noisy_latents"])
     )
     assert np.all(np.isfinite(np.asarray(out["noisy_latents"])))
-
 
 def test_loss_fn_with_scheduled_sampling_grads():
     model = make_model(
@@ -76,7 +73,6 @@ def test_loss_fn_with_scheduled_sampling_grads():
     assert np.isfinite(float(value))
     assert any(float(jnp.linalg.norm(g)) > 0 for g in jax.tree_util.tree_leaves(grads))
 
-
 def test_reflexflow_taps_and_weighted_loss(setup):
     """ReflexFlow records clean/biased probes and the weighted loss stays
     finite; disabling it removes the probes."""
@@ -90,7 +86,6 @@ def test_reflexflow_taps_and_weighted_loss(setup):
     ss_off = ScheduledSamplingConfig(max_steps=2, probability=1.0, step_size=0.1, reflexflow=False)
     out_off = apply_scheduled_sampling(model, variables, prepared, jax.random.PRNGKey(2), ss_off)
     assert "_reflexflow_clean_pred" not in out_off
-
 
 def test_reflexflow_loss_fn_end_to_end():
     model = make_model(
@@ -111,7 +106,6 @@ def test_reflexflow_loss_fn_end_to_end():
     )
     loss_off, _ = jax.jit(lambda v, r: model_off.loss_fn(v, r, batch))(variables, jax.random.PRNGKey(1))
     assert abs(float(loss) - float(loss_off)) > 1e-6
-
 
 class TestTwinFlow:
     def test_twinflow_aux_losses(self):

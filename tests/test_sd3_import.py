@@ -9,6 +9,7 @@ from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.sd3 import SD3, SD3Config
 from simpletuner_tpu.models.weight_import import sd3_params_from_diffusers
 
+pytestmark = pytest.mark.slow
 
 def _params_to_diffusers(params, arch):
     w = {}
@@ -62,7 +63,6 @@ def _params_to_diffusers(params, arch):
             w[f"{src}.attn.norm_added_q.weight"] = np.asarray(block["txt_attn_norm_q"]["scale"])
             w[f"{src}.attn.norm_added_k.weight"] = np.asarray(block["txt_attn_norm_k"]["scale"])
     return w
-
 
 def test_sd3_roundtrip():
     arch = SD3Config(hidden_size=64, depth=2, num_heads=2, context_dim=96, pooled_dim=96,

@@ -13,6 +13,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_cfg(**extra):
     return TrainingConfig(
@@ -28,7 +29,6 @@ def make_cfg(**extra):
         }
     )
 
-
 @pytest.fixture(scope="module")
 def setup():
     model = SD3(make_cfg())
@@ -36,23 +36,19 @@ def setup():
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return model, batch, variables
 
-
 def test_registry():
     assert ModelRegistry.get("sd3") is SD3
-
 
 def test_posemb_shape_and_distinct():
     pos = posemb_2d_sincos(4, 6, 64)
     assert pos.shape == (24, 64)
     assert not np.allclose(np.asarray(pos[0]), np.asarray(pos[1]))
 
-
 def test_forward_shape(setup):
     model, batch, variables = setup
     prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
     pred = jax.jit(lambda v, p: model.model_predict(v, p))(variables, prepared)
     assert pred.shape == batch["latents"].shape
-
 
 def test_flow_target(setup):
     model, batch, _ = setup
@@ -63,7 +59,6 @@ def test_flow_target(setup):
         atol=1e-6,
     )
 
-
 def test_train_step(setup):
     model, batch, variables = setup
     cfg = model.config
@@ -73,7 +68,6 @@ def test_train_step(setup):
     step = jax.jit(build_train_step(model, tx, schedule), donate_argnums=(0,))
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
-
 
 def test_text_encoding_tiny():
     from simpletuner_tpu.models.text_encoders import load_text_encoders
@@ -86,7 +80,6 @@ def test_text_encoding_tiny():
     assert e["pooled_embeds"].shape == (model.arch.pooled_dim,)
     collated = model.collate_text_embeds(embeds)
     assert collated["text_embeds"].shape[0] == 1
-
 
 def test_full_arch_configs():
     assert SD3Config.medium().depth == 24

@@ -11,6 +11,9 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+import pytest
+
+pytestmark = pytest.mark.slow
 
 def test_slider_scale_flips_adapter():
     cfg = TrainingConfig(

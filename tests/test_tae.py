@@ -6,6 +6,9 @@ import numpy as np
 
 from simpletuner_tpu.models.tae import TAEConfig, TAEDecoder, TAEEncoder, load_taesd_decoder
 
+import pytest
+
+pytestmark = pytest.mark.slow
 
 def test_encoder_decoder_shapes():
     config = TAEConfig.tiny()
@@ -18,7 +21,6 @@ def test_encoder_decoder_shapes():
     dec_params = dec.init(jax.random.PRNGKey(1), z)
     out = dec.apply(dec_params, z)
     assert out.shape == (1, 32, 32, 3)
-
 
 def test_decoder_import_roundtrip(tmp_path):
     """Build a torch-layout taesd decoder dict from our params, import, compare."""

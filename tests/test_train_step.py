@@ -16,6 +16,7 @@ from simpletuner_tpu.training.train_state import (
     jit_train_step,
 )
 
+pytestmark = pytest.mark.slow
 
 def _tiny_setup(model_type="lora", use_ema=False, **extra):
     cfg = TrainingConfig(
@@ -39,7 +40,6 @@ def _tiny_setup(model_type="lora", use_ema=False, **extra):
     step_fn = build_train_step(model, tx, schedule, ema_cfg)
     return model, state, step_fn, batch
 
-
 def test_train_step_reduces_loss_lora():
     model, state, step_fn, batch = _tiny_setup()
     step = jax.jit(step_fn, donate_argnums=(0,))
@@ -50,14 +50,12 @@ def test_train_step_reduces_loss_lora():
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
     assert int(state.step) == 8
 
-
 def test_train_step_full_model():
     model, state, step_fn, batch = _tiny_setup(model_type="full")
     assert "params" in state.trainable and "lora" not in state.trainable
     step = jax.jit(step_fn, donate_argnums=(0,))
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert jnp.isfinite(metrics["loss"])
-
 
 def test_train_step_ema_tracks():
     model, state, step_fn, batch = _tiny_setup(use_ema=True)
@@ -72,7 +70,6 @@ def test_train_step_ema_tracks():
     # ema stays finite and near trainable
     assert all(bool(jnp.isfinite(e).all()) for e in leaves_ema)
 
-
 def test_sharded_train_step_on_virtual_mesh():
     # 8 virtual CPU devices: data=4, fsdp=2
     model, state, step_fn, batch = _tiny_setup()
@@ -84,7 +81,6 @@ def test_sharded_train_step_on_virtual_mesh():
     state2, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert jnp.isfinite(metrics["loss"])
     assert int(state2.step) == step_before + 1
-
 
 def test_nonfinite_guard_skips_update():
     model, state, step_fn, batch = _tiny_setup()
@@ -98,14 +94,12 @@ def test_nonfinite_guard_skips_update():
     for b, a in zip(before, after):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
 
-
 @pytest.mark.parametrize("name", ["adamw", "adamw_bf16", "lion", "adafactor", "prodigy", "muon"])
 def test_optimizer_variants_run(name):
     model, state, step_fn, batch = _tiny_setup(optimizer=name)
     step = jax.jit(step_fn)
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert jnp.isfinite(metrics["loss"])
-
 
 def test_grad_accumulation():
     """GA batches carry a leading micro axis; one call = one optimizer update
@@ -136,7 +130,6 @@ def test_grad_accumulation():
     p1 = jax.tree_util.tree_leaves(state2.trainable)[0]
     assert bool(jnp.any(p0 != p1))
 
-
 def test_grad_accumulation_scalars_and_aux():
     """Scalar batch entries (slider_scale) ride the scan with a broadcast
     (accum,) axis, and aux metrics survive accumulation instead of vanishing."""
@@ -164,7 +157,6 @@ def test_grad_accumulation_scalars_and_aux():
     assert jnp.isfinite(metrics["loss"])
     assert int(state2.step) == 1
 
-
 def test_lr_schedules_shapes():
     cfg = TrainingConfig({"learning_rate": 1e-3, "lr_warmup_steps": 10, "lr_scheduler": "polynomial", "max_train_steps": 100})
     sched = get_lr_schedule(cfg, 100)
@@ -178,12 +170,10 @@ def test_lr_schedules_shapes():
         values = [float(sched(i)) for i in (0, 50, 99)]
         assert all(np.isfinite(values)), (name, values)
 
-
 def test_optimizer_names_exported():
     names = optimizer_names()
     for expected in ("adamw", "adamw_bf16", "lion", "prodigy", "muon", "soap", "bnb-lion8bit"):
         assert expected in names
-
 
 def test_noise_offset_and_input_perturbation():
     model, state, step_fn, batch = _tiny_setup(

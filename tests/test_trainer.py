@@ -1,4 +1,5 @@
 """Trainer lifecycle end-to-end on the tiny slice: run → checkpoint → resume →
+
 validation render, all on the virtual CPU mesh."""
 
 import json
@@ -11,6 +12,7 @@ from PIL import Image
 from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def image_dir(tmp_path_factory):
@@ -21,7 +23,6 @@ def image_dir(tmp_path_factory):
         Image.fromarray(arr).save(root / f"img_{i}.png")
         (root / f"img_{i}.txt").write_text(f"a training photo {i}")
     return str(root)
-
 
 def make_config(image_dir, workdir, **overrides):
     cache_root = os.path.join(workdir, "cache")
@@ -72,7 +73,6 @@ def make_config(image_dir, workdir, **overrides):
     values.update(overrides)
     return TrainingConfig(values)
 
-
 @pytest.fixture(scope="module")
 def trained(image_dir, tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("run"))
@@ -80,12 +80,10 @@ def trained(image_dir, tmp_path_factory):
     trainer.run()
     return trainer, workdir
 
-
 def test_trainer_completes_all_steps(trained):
     trainer, _ = trained
     assert trainer.global_step == 4
     assert int(np.asarray(trainer._state.step)) == 4
-
 
 def test_checkpoints_written_with_guard(trained):
     trainer, workdir = trained
@@ -96,7 +94,6 @@ def test_checkpoints_written_with_guard(trained):
     # lora export artifact alongside the checkpoint
     assert os.path.exists(os.path.join(ckpts[-1], "pytorch_lora_weights.safetensors"))
 
-
 def test_metrics_logged_jsonl(trained):
     trainer, workdir = trained
     path = os.path.join(workdir, "output", "simpletuner-tpu-metrics.jsonl")
@@ -105,14 +102,12 @@ def test_metrics_logged_jsonl(trained):
     assert len(records) >= 4
     assert all(np.isfinite(r["loss"]) for r in records)
 
-
 def test_validation_images_rendered(trained):
     trainer, workdir = trained
     val_dir = os.path.join(workdir, "output", "validation")
     assert os.path.isdir(val_dir)
     files = os.listdir(val_dir)
     assert any(f.endswith(".png") for f in files)
-
 
 def test_resume_from_checkpoint(trained, image_dir):
     trainer, workdir = trained
@@ -123,7 +118,6 @@ def test_resume_from_checkpoint(trained, image_dir):
     resumed.run()
     assert resumed.global_step == 6
     assert int(np.asarray(resumed._state.step)) == 6
-
 
 def test_grad_accumulation_runs(image_dir, tmp_path_factory):
     """Canonical reference config: train_batch_size=1 + accumulation. The
@@ -145,7 +139,6 @@ def test_grad_accumulation_runs(image_dir, tmp_path_factory):
     shards = trainer.mesh.shape["data"] * trainer.mesh.shape["fsdp"]
     assert trainer.global_batch_size == 1 * shards * 2
 
-
 def test_async_checkpointing(image_dir, tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("async_run"))
     config = make_config(
@@ -159,7 +152,6 @@ def test_async_checkpointing(image_dir, tmp_path_factory):
     steps = sorted(int(p.rsplit("-", 1)[1]) for p in ckpts)
     assert 4 in steps
     assert os.path.exists(os.path.join(ckpts[-1], "pytorch_lora_weights.safetensors"))
-
 
 def test_trainer_with_context_parallel(image_dir, tmp_path_factory):
     """Whole Trainer lifecycle on the 3D mesh (data=2, fsdp=2, context=2)."""

@@ -9,6 +9,9 @@ from simpletuner_tpu.models.flux.model import Flux
 from simpletuner_tpu.models.flux.transformer import FluxConfig
 from simpletuner_tpu.training.tread import TREADRouter
 
+import pytest
+
+pytestmark = pytest.mark.slow
 
 class TestRouter:
     def test_static_keep_size(self):
@@ -46,7 +49,6 @@ class TestRouter:
         keep_idx, _ = TREADRouter(0.5).plan(tokens)
         idx = np.asarray(keep_idx)[0]
         assert np.all(np.diff(idx) > 0)
-
 
 class TestFluxTREAD:
     def _model(self):

@@ -12,6 +12,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make(family_cls, family):
     cfg = TrainingConfig(
@@ -26,7 +27,6 @@ def make(family_cls, family):
     variables = dict(model.init_params(jax.random.PRNGKey(0), batch))
     variables["controlnet"] = model.init_controlnet_params(jax.random.PRNGKey(1), batch)
     return model, batch, variables
-
 
 @pytest.mark.parametrize("family_cls,family", [(SD1x, "sd1x"), (SDXL, "sdxl")])
 def test_zero_init_identity_and_step(family_cls, family):

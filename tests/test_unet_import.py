@@ -1,4 +1,5 @@
 """UNet weight import round trip (diffusers layout) for SD-style and
+
 SDXL-style tiny archs."""
 
 import jax
@@ -12,6 +13,7 @@ from simpletuner_tpu.models.sdxl.model import SDXL
 from simpletuner_tpu.models.unet import UNetConfig
 from simpletuner_tpu.models.weight_import import unet_params_from_diffusers
 
+pytestmark = pytest.mark.slow
 
 def _params_to_diffusers(params, arch):
     w = {}
@@ -88,7 +90,6 @@ def _params_to_diffusers(params, arch):
             conv(f"up_blocks.{u}.upsamplers.0.conv", params[f"up_{level}_upsample"]["conv"])
     return w
 
-
 def _roundtrip(model):
     batch = model.example_batch(batch_size=1, resolution=64)
     variables = model.init_params(jax.random.PRNGKey(3), batch)
@@ -103,14 +104,12 @@ def _roundtrip(model):
     got = np.asarray(model.model_predict(merged, prepared))
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
-
 def test_sd_unet_roundtrip():
     cfg = TrainingConfig(
         {"model_family": "sd1x", "model_type": "lora", "model_arch_preset": "tiny",
          "lora_rank": 4, "optimizer": "adamw", "learning_rate": 1e-3, "max_train_steps": 10}
     )
     _roundtrip(SD1x(cfg))
-
 
 def test_sdxl_unet_roundtrip():
     cfg = TrainingConfig(

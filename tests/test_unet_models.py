@@ -1,4 +1,5 @@
 """SD1x / SD2x / SDXL UNet family tests: shape contracts, LoRA collections,
+
 train-step smoke, prediction-type targets."""
 
 import jax
@@ -15,6 +16,7 @@ from simpletuner_tpu.training.optimizers import get_optimizer
 from simpletuner_tpu.training.schedules import get_lr_schedule
 from simpletuner_tpu.training.train_state import build_train_step, create_train_state
 
+pytestmark = pytest.mark.slow
 
 def make_cfg(family, **extra):
     return TrainingConfig(
@@ -30,7 +32,6 @@ def make_cfg(family, **extra):
         }
     )
 
-
 @pytest.fixture(scope="module")
 def sd1x_setup():
     model = SD1x(make_cfg("sd1x"))
@@ -38,14 +39,12 @@ def sd1x_setup():
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return model, batch, variables
 
-
 @pytest.fixture(scope="module")
 def sdxl_setup():
     model = SDXL(make_cfg("sdxl"))
     batch = model.example_batch(batch_size=2, resolution=64)
     variables = model.init_params(jax.random.PRNGKey(0), batch)
     return model, batch, variables
-
 
 class TestSD1x:
     def test_registry(self):
@@ -82,7 +81,6 @@ class TestSD1x:
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
 
-
 class TestSD2x:
     def test_v_prediction_target(self):
         model = SD2x(make_cfg("sd2x"))
@@ -91,7 +89,6 @@ class TestSD2x:
         prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
         # v = sqrt(a)*eps - sqrt(1-a)*x0 — differs from plain noise
         assert not np.allclose(np.asarray(prepared["target"]), np.asarray(prepared["noise"]))
-
 
 class TestSDXL:
     def test_forward_shape(self, sdxl_setup):
@@ -135,7 +132,6 @@ class TestSDXL:
         assert embeds[0]["pooled_embeds"].shape == (64,)
         collated = model.collate_text_embeds(embeds)
         assert collated["text_embeds"].shape == (2, 77, 96)
-
 
 class TestFullArchShapes:
     """Full-size configs build (init only at trivial spatial dims to stay fast)."""

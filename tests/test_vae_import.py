@@ -9,6 +9,7 @@ import pytest
 from simpletuner_tpu.models.vae import AutoencoderKL, VAEConfig
 from simpletuner_tpu.models.weight_import import vae_params_from_diffusers
 
+pytestmark = pytest.mark.slow
 
 def _params_to_diffusers(params, config):
     w = {}
@@ -61,7 +62,6 @@ def _params_to_diffusers(params, config):
     conv("quant_conv", params["quant_conv"])
     conv("post_quant_conv", params["post_quant_conv"])
     return w
-
 
 def test_vae_roundtrip():
     config = VAEConfig.tiny()

@@ -11,6 +11,7 @@ from simpletuner_tpu.models.sd1x.model import SD1x
 from simpletuner_tpu.models.text_encoders import load_text_encoders
 from simpletuner_tpu.training.validation import Validation
 
+pytestmark = pytest.mark.slow
 
 def test_cfg_render(tmp_path):
     cfg = TrainingConfig(
@@ -41,7 +42,6 @@ def test_cfg_render(tmp_path):
     paths = validation.run_validations(variables, step=1, force=True)
     assert paths and os.path.exists(paths[0])
 
-
 def test_flux_guidance_embed_skips_cfg():
     from simpletuner_tpu.models.flux.model import Flux
     from simpletuner_tpu.models.flux.transformer import FluxConfig
@@ -54,7 +54,6 @@ def test_flux_guidance_embed_skips_cfg():
     model = Flux(cfg, arch=FluxConfig.tiny())
     validation = Validation(model, cfg)
     assert not validation._wants_cfg()  # distilled guidance embed, no CFG
-
 
 def test_validation_preview_strip(tmp_path):
     cfg = TrainingConfig(
@@ -81,7 +80,6 @@ def test_validation_preview_strip(tmp_path):
     paths = validation.run_validations(variables, step=1, force=True)
     assert paths
     assert os.path.exists(os.path.join(str(tmp_path), "validation", "preview_0.png"))
-
 
 def test_adapter_sweep(tmp_path):
     """validation_adapters renders one extra labeled pass per adapter file."""
@@ -117,7 +115,6 @@ def test_adapter_sweep(tmp_path):
     names = [os.path.basename(p) for p in paths]
     assert "step_1_0.png" in names
     assert "step_1_0_style.png" in names
-
 
 def test_external_script_validation(tmp_path):
     """validation_method=external-script shells out with placeholders resolved."""

@@ -1,4 +1,5 @@
 """Video pipeline: decode, bucketing, causal 3D VAE, Wan DiT, and an
+
 end-to-end tiny video training run."""
 
 import os
@@ -14,6 +15,7 @@ from simpletuner_tpu.data.buckets import BucketConfig
 from simpletuner_tpu.models.video_vae import VideoAutoencoderKL, VideoVAEConfig
 from simpletuner_tpu.models.wan import Wan, WanConfig
 
+pytestmark = pytest.mark.slow
 
 def _write_video(path, frames=12, w=96, h=64, seed=0):
     import cv2
@@ -25,7 +27,6 @@ def _write_video(path, frames=12, w=96, h=64, seed=0):
     writer.release()
     return str(path)
 
-
 @pytest.fixture(scope="module")
 def video_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("videos")
@@ -33,7 +34,6 @@ def video_dir(tmp_path_factory):
         _write_video(root / f"clip_{i}.mp4", frames=12, seed=i)
         (root / f"clip_{i}.txt").write_text(f"a video clip {i}")
     return str(root)
-
 
 class TestDecode:
     def test_align_frame_count(self):
@@ -63,7 +63,6 @@ class TestDecode:
         assert prepared.shape == (9, 64, 64, 3)
         assert meta["num_frames"] == 9
 
-
 class TestVideoVAE:
     def test_roundtrip_shapes(self):
         vae = VideoAutoencoderKL(VideoVAEConfig.tiny())
@@ -79,7 +78,6 @@ class TestVideoVAE:
         cfg = VideoVAEConfig.wan()
         assert cfg.spatial_factor == 8
         assert cfg.temporal_factor == 4
-
 
 class TestWanModel:
     @pytest.fixture(scope="class")
@@ -118,7 +116,6 @@ class TestWanModel:
         step = jax.jit(build_train_step(model, tx, schedule), donate_argnums=(0,))
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
-
 
 class TestVideoTrainerE2E:
     def test_end_to_end(self, video_dir, tmp_path_factory):

@@ -8,6 +8,9 @@ from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.wan import Wan, WanConfig
 from simpletuner_tpu.models.weight_import import wan_params_from_diffusers
 
+import pytest
+
+pytestmark = pytest.mark.slow
 
 def _params_to_diffusers(params, arch):
     w = {}
@@ -52,7 +55,6 @@ def _params_to_diffusers(params, arch):
             w[f"{src}.{theirs}.weight"] = np.asarray(b[ours]["scale"])
         i += 1
     return w
-
 
 def test_wan_roundtrip():
     cfg = TrainingConfig(

@@ -1,4 +1,5 @@
 """Weight-import round trip: build BFL-layout and diffusers-layout torch-style
+
 state dicts from a tiny Flux's own params, import them, and require bit-equal
 forward outputs vs the original params."""
 
@@ -18,6 +19,7 @@ from simpletuner_tpu.models.weight_import import (
     load_transformer_params,
 )
 
+pytestmark = pytest.mark.slow
 
 def _model():
     cfg = TrainingConfig(
@@ -31,7 +33,6 @@ def _model():
         }
     )
     return Flux(cfg, arch=FluxConfig.tiny())
-
 
 def _params_to_bfl(params):
     """Inverse mapping: our pytree -> BFL torch-layout flat dict."""
@@ -86,7 +87,6 @@ def _params_to_bfl(params):
         w[f"{p}.norm.key_norm.scale"] = np.asarray(block["norm_k"]["scale"])
         i += 1
     return w
-
 
 def _params_to_diffusers(params, hidden, mlp):
     """Inverse mapping: our pytree -> diffusers torch-layout flat dict."""
@@ -156,7 +156,6 @@ def _params_to_diffusers(params, hidden, mlp):
         i += 1
     return w
 
-
 @pytest.fixture(scope="module")
 def setup():
     model = _model()
@@ -166,12 +165,10 @@ def setup():
     reference_out = np.asarray(model.model_predict(variables, prepared))
     return model, batch, variables, prepared, reference_out
 
-
 def _forward_with(model, variables, params, prepared):
     merged = dict(variables)
     merged["params"] = jax.tree_util.tree_map(jnp.asarray, params)
     return np.asarray(model.model_predict(merged, prepared))
-
 
 def test_bfl_roundtrip(setup):
     model, batch, variables, prepared, ref = setup
@@ -181,7 +178,6 @@ def test_bfl_roundtrip(setup):
     out = _forward_with(model, variables, imported, prepared)
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
-
 def test_diffusers_roundtrip(setup):
     model, batch, variables, prepared, ref = setup
     host_params = jax.device_get(variables["params"])
@@ -190,7 +186,6 @@ def test_diffusers_roundtrip(setup):
     imported = flux_params_from_diffusers(dif, model.arch.depth_double, model.arch.depth_single)
     out = _forward_with(model, variables, imported, prepared)
     np.testing.assert_allclose(out, ref, atol=1e-5)
-
 
 def test_full_loader_from_file(setup, tmp_path):
     from safetensors.numpy import save_file
