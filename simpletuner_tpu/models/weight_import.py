@@ -1102,6 +1102,65 @@ def load_hunyuanvideo_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# Lumina2 (reference helpers/models/lumina2/transformer.py
+# Lumina2Transformer2DModel: Next-DiT with context/noise refiners + GQA blocks)
+# ---------------------------------------------------------------------------------
+
+
+def _lumina2_block(w: Dict[str, np.ndarray], src: str, modulated: bool) -> Dict[str, Any]:
+    block: Dict[str, Any] = {
+        "attn_q": _linear(w, f"{src}.attn.to_q"),
+        "attn_k": _linear(w, f"{src}.attn.to_k"),
+        "attn_v": _linear(w, f"{src}.attn.to_v"),
+        "norm_q": _scale(w, f"{src}.attn.norm_q.weight"),
+        "norm_k": _scale(w, f"{src}.attn.norm_k.weight"),
+        "attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+        "feed_forward": {
+            "linear_1": _linear(w, f"{src}.feed_forward.linear_1"),
+            "linear_2": _linear(w, f"{src}.feed_forward.linear_2"),
+            "linear_3": _linear(w, f"{src}.feed_forward.linear_3"),
+        },
+        "norm2": _scale(w, f"{src}.norm2.weight"),
+        "ffn_norm1": _scale(w, f"{src}.ffn_norm1.weight"),
+        "ffn_norm2": _scale(w, f"{src}.ffn_norm2.weight"),
+    }
+    if modulated:
+        block["norm1_linear"] = _linear(w, f"{src}.norm1.linear")
+        block["norm1_norm"] = _scale(w, f"{src}.norm1.norm.weight")
+    else:
+        block["norm1_norm"] = _scale(w, f"{src}.norm1.weight")
+    return block
+
+
+def lumina2_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "patch_in": _linear(w, "x_embedder"),
+        "time_in": {
+            "in_layer": _linear(w, "time_caption_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_caption_embed.timestep_embedder.linear_2"),
+        },
+        "cap_norm": _scale(w, "time_caption_embed.caption_embedder.0.weight"),
+        "cap_in": _linear(w, "time_caption_embed.caption_embedder.1"),
+        "final_mod": _linear(w, "norm_out.linear_1"),
+        "final_proj": _linear(w, "norm_out.linear_2"),
+    }
+    for i in range(arch.refiner_depth):
+        params[f"context_refiner_{i}"] = _lumina2_block(w, f"context_refiner.{i}", modulated=False)
+        params[f"noise_refiner_{i}"] = _lumina2_block(w, f"noise_refiner.{i}", modulated=True)
+    for i in range(arch.depth):
+        params[f"layer_{i}"] = _lumina2_block(w, f"layers.{i}", modulated=True)
+    return params
+
+
+def load_lumina2_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = lumina2_params_from_diffusers(weights, model.arch)
+    logger.info("imported lumina2 weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -1124,6 +1183,7 @@ _IMPORTERS = {
     "chroma": load_chroma_params,
     "qwen_image": load_qwen_image_params,
     "hunyuanvideo": load_hunyuanvideo_params,
+    "lumina2": load_lumina2_params,
 }
 
 

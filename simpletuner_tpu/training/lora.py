@@ -199,6 +199,30 @@ def pixart_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def lumina2_key_map(arch) -> Dict[str, Any]:
+    """Next-DiT layout (diffusers Lumina2Transformer2DModel): joint ``layers``
+    plus context/noise refiner blocks, bias-free GQA attention + SwiGLU FFN."""
+    mapping: Dict[str, Any] = {
+        "cap_in": "time_caption_embed.caption_embedder.1",
+        "patch_in": "x_embedder",
+        "final_proj": "norm_out.linear_2",
+    }
+    table = {
+        "attn_q": "attn.to_q", "attn_k": "attn.to_k", "attn_v": "attn.to_v",
+        "attn_proj": "attn.to_out.0",
+        "feed_forward/linear_1": "feed_forward.linear_1",
+        "feed_forward/linear_2": "feed_forward.linear_2",
+        "feed_forward/linear_3": "feed_forward.linear_3",
+    }
+    groups = [(f"layer_{i}", f"layers.{i}") for i in range(arch.depth)]
+    groups += [(f"noise_refiner_{i}", f"noise_refiner.{i}") for i in range(arch.refiner_depth)]
+    groups += [(f"context_refiner_{i}", f"context_refiner.{i}") for i in range(arch.refiner_depth)]
+    for ours_prefix, theirs_prefix in groups:
+        for ours, theirs in table.items():
+            mapping[f"{ours_prefix}/{ours}"] = f"{theirs_prefix}.{theirs}"
+    return mapping
+
+
 def sana_key_map(arch) -> Dict[str, Any]:
     mapping: Dict[str, Any] = {}
     table = {
@@ -315,7 +339,7 @@ _KEY_MAPS = {
     "kandinsky5_image": lambda m: pixart_key_map(m.arch),
     "ernie": lambda m: pixart_key_map(m.arch),
     "stable_cascade": lambda m: pixart_key_map(m.arch),
-    "lumina2": lambda m: pixart_key_map(m.arch),
+    "lumina2": lambda m: lumina2_key_map(m.arch),
     "sana": lambda m: sana_key_map(m.arch),
     "sanavideo": lambda m: sana_key_map(m.arch),
     "auraflow": lambda m: auraflow_key_map(m.arch),
