@@ -1161,6 +1161,99 @@ def load_lumina2_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# HiDream-I1 (reference helpers/models/hidream/transformer.py
+# HiDreamImageTransformer2DModel: double/single stream MMDiT with DeepSeek MoE)
+# ---------------------------------------------------------------------------------
+
+
+def _hidream_ffn(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "w1": _linear(w, f"{src}.w1"),
+        "w2": _linear(w, f"{src}.w2"),
+        "w3": _linear(w, f"{src}.w3"),
+    }
+
+
+def _hidream_moe(w: Dict[str, np.ndarray], src: str, num_experts: int) -> Dict[str, Any]:
+    # per-expert torch (out, in) weights stack into (E, in, out) einsum params
+    stack = lambda name: np.ascontiguousarray(
+        np.stack([_to_f32(w[f"{src}.experts.{e}.{name}.weight"]).T for e in range(num_experts)])
+    )
+    return {
+        "gate": _to_f32(w[f"{src}.gate.weight"]),  # (E, dim)
+        "experts_w1": stack("w1"),
+        "experts_w2": stack("w2"),
+        "experts_w3": stack("w3"),
+        "shared_experts": _hidream_ffn(w, f"{src}.shared_experts"),
+    }
+
+
+def _hidream_attn(w: Dict[str, np.ndarray], src: str, text_branch: bool) -> Dict[str, Any]:
+    out: Dict[str, Any] = {
+        "attn_q": _linear(w, f"{src}.to_q"),
+        "attn_k": _linear(w, f"{src}.to_k"),
+        "attn_v": _linear(w, f"{src}.to_v"),
+        "attn_proj": _linear(w, f"{src}.to_out"),
+        "q_rms": _to_f32(w[f"{src}.q_rms_norm.weight"]),
+        "k_rms": _to_f32(w[f"{src}.k_rms_norm.weight"]),
+    }
+    if text_branch:
+        out.update({
+            "attn_q_t": _linear(w, f"{src}.to_q_t"),
+            "attn_k_t": _linear(w, f"{src}.to_k_t"),
+            "attn_v_t": _linear(w, f"{src}.to_v_t"),
+            "attn_proj_t": _linear(w, f"{src}.to_out_t"),
+            "q_rms_t": _to_f32(w[f"{src}.q_rms_norm_t.weight"]),
+            "k_rms_t": _to_f32(w[f"{src}.k_rms_norm_t.weight"]),
+        })
+    return out
+
+
+def hidream_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    n_blocks = arch.depth_double + arch.depth_single
+    params: Dict[str, Any] = {
+        "patch_in": _linear(w, "x_embedder.proj"),
+        "time_in": {
+            "in_layer": _linear(w, "t_embedder.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "t_embedder.timestep_embedder.linear_2"),
+        },
+        "pooled_in": {
+            "in_layer": _linear(w, "p_embedder.pooled_embedder.linear_1"),
+            "out_layer": _linear(w, "p_embedder.pooled_embedder.linear_2"),
+        },
+        "caption_proj_t5": _linear(w, f"caption_projection.{n_blocks}.linear"),
+        "final_mod": _linear(w, "final_layer.adaLN_modulation.1"),
+        "final_proj": _linear(w, "final_layer.linear"),
+    }
+    for i in range(n_blocks):
+        params[f"caption_proj_{i}"] = _linear(w, f"caption_projection.{i}.linear")
+    for i in range(arch.depth_double):
+        src = f"double_stream_blocks.{i}.block"
+        params[f"double_{i}"] = {
+            "ada": _linear(w, f"{src}.adaLN_modulation.1"),
+            **_hidream_attn(w, f"{src}.attn1", text_branch=True),
+            "ff_i": _hidream_moe(w, f"{src}.ff_i", arch.num_experts),
+            "ff_t": _hidream_ffn(w, f"{src}.ff_t"),
+        }
+    for i in range(arch.depth_single):
+        src = f"single_stream_blocks.{i}.block"
+        params[f"single_{i}"] = {
+            "ada": _linear(w, f"{src}.adaLN_modulation.1"),
+            **_hidream_attn(w, f"{src}.attn1", text_branch=False),
+            "ff_i": _hidream_moe(w, f"{src}.ff_i", arch.num_experts),
+        }
+    return params
+
+
+def load_hidream_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = hidream_params_from_diffusers(weights, model.arch)
+    logger.info("imported hidream weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -1184,6 +1277,7 @@ _IMPORTERS = {
     "qwen_image": load_qwen_image_params,
     "hunyuanvideo": load_hunyuanvideo_params,
     "lumina2": load_lumina2_params,
+    "hidream": load_hidream_params,
 }
 
 

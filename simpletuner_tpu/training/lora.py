@@ -199,6 +199,29 @@ def pixart_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def hidream_key_map(arch) -> Dict[str, Any]:
+    """HiDream-I1 layout (HiDreamImageTransformer2DModel): double/single stream
+    blocks under ``.block``, plain-Linear ``to_out`` (no ``.0``)."""
+    mapping: Dict[str, Any] = {"patch_in": "x_embedder.proj"}
+    attn = {
+        "attn_q": "attn1.to_q", "attn_k": "attn1.to_k", "attn_v": "attn1.to_v",
+        "attn_proj": "attn1.to_out",
+    }
+    attn_t = {
+        "attn_q_t": "attn1.to_q_t", "attn_k_t": "attn1.to_k_t",
+        "attn_v_t": "attn1.to_v_t", "attn_proj_t": "attn1.to_out_t",
+    }
+    shared = {f"ff_i/shared_experts/w{j}": f"ff_i.shared_experts.w{j}" for j in (1, 2, 3)}
+    ff_t = {f"ff_t/w{j}": f"ff_t.w{j}" for j in (1, 2, 3)}
+    for i in range(arch.depth_double):
+        for ours, theirs in {**attn, **attn_t, **shared, **ff_t}.items():
+            mapping[f"double_{i}/{ours}"] = f"double_stream_blocks.{i}.block.{theirs}"
+    for i in range(arch.depth_single):
+        for ours, theirs in {**attn, **shared}.items():
+            mapping[f"single_{i}/{ours}"] = f"single_stream_blocks.{i}.block.{theirs}"
+    return mapping
+
+
 def lumina2_key_map(arch) -> Dict[str, Any]:
     """Next-DiT layout (diffusers Lumina2Transformer2DModel): joint ``layers``
     plus context/noise refiner blocks, bias-free GQA attention + SwiGLU FFN."""
@@ -340,6 +363,7 @@ _KEY_MAPS = {
     "ernie": lambda m: pixart_key_map(m.arch),
     "stable_cascade": lambda m: pixart_key_map(m.arch),
     "lumina2": lambda m: lumina2_key_map(m.arch),
+    "hidream": lambda m: hidream_key_map(m.arch),
     "sana": lambda m: sana_key_map(m.arch),
     "sanavideo": lambda m: sana_key_map(m.arch),
     "auraflow": lambda m: auraflow_key_map(m.arch),

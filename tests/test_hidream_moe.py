@@ -7,7 +7,7 @@ import pytest
 
 from simpletuner_tpu.configuration import TrainingConfig
 from simpletuner_tpu.models.hidream import HiDream
-from simpletuner_tpu.models.hidream.model import MoEFeedForward
+from simpletuner_tpu.models.hidream.model import HiDreamConfig, HiDreamMoE
 
 pytestmark = pytest.mark.slow
 
@@ -21,8 +21,9 @@ def make_model(**extra):
 
 class TestMoELayer:
     def test_routing_and_aux(self):
-        layer = MoEFeedForward(dim=16, num_experts=4, top_k=2, ffn_ratio=2.0)
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+        cfg = HiDreamConfig(num_heads=2, head_dim=8, num_experts=4, top_k=2, multiple_of=8)
+        layer = HiDreamMoE(cfg, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, cfg.hidden_size))
         variables = layer.init(jax.random.PRNGKey(1), x)
         out, mutated = layer.apply(variables, x, mutable=["intermediates"])
         assert out.shape == x.shape
