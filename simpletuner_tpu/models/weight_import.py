@@ -1254,6 +1254,66 @@ def load_hidream_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# FLUX.2 (reference helpers/models/flux2/transformer.py Flux2Transformer2DModel:
+# global modulation, ViT-22B parallel single blocks, bias-free linears)
+# ---------------------------------------------------------------------------------
+
+
+def flux2_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "patch_in": _linear(w, "x_embedder"),
+        "txt_in": _linear(w, "context_embedder"),
+        "time_in_1": _linear(w, "time_guidance_embed.timestep_embedder.linear_1"),
+        "time_in_2": _linear(w, "time_guidance_embed.timestep_embedder.linear_2"),
+        "mod_double_img": _linear(w, "double_stream_modulation_img.linear"),
+        "mod_double_txt": _linear(w, "double_stream_modulation_txt.linear"),
+        "mod_single": _linear(w, "single_stream_modulation.linear"),
+        "final_mod": _linear(w, "norm_out.linear"),
+        "final_proj": _linear(w, "proj_out"),
+    }
+    if arch.guidance_embed:
+        params["guidance_in_1"] = _linear(w, "time_guidance_embed.guidance_embedder.linear_1")
+        params["guidance_in_2"] = _linear(w, "time_guidance_embed.guidance_embedder.linear_2")
+    for i in range(arch.depth_double):
+        src = f"transformer_blocks.{i}"
+        params[f"double_{i}"] = {
+            "attn_q": _linear(w, f"{src}.attn.to_q"),
+            "attn_k": _linear(w, f"{src}.attn.to_k"),
+            "attn_v": _linear(w, f"{src}.attn.to_v"),
+            "attn_add_q": _linear(w, f"{src}.attn.add_q_proj"),
+            "attn_add_k": _linear(w, f"{src}.attn.add_k_proj"),
+            "attn_add_v": _linear(w, f"{src}.attn.add_v_proj"),
+            "norm_q": _scale(w, f"{src}.attn.norm_q.weight"),
+            "norm_k": _scale(w, f"{src}.attn.norm_k.weight"),
+            "norm_added_q": _scale(w, f"{src}.attn.norm_added_q.weight"),
+            "norm_added_k": _scale(w, f"{src}.attn.norm_added_k.weight"),
+            "attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "attn_add_proj": _linear(w, f"{src}.attn.to_add_out"),
+            "ff_in": _linear(w, f"{src}.ff.linear_in"),
+            "ff_out": _linear(w, f"{src}.ff.linear_out"),
+            "ff_context_in": _linear(w, f"{src}.ff_context.linear_in"),
+            "ff_context_out": _linear(w, f"{src}.ff_context.linear_out"),
+        }
+    for i in range(arch.depth_single):
+        src = f"single_transformer_blocks.{i}"
+        params[f"single_{i}"] = {
+            "qkv_mlp": _linear(w, f"{src}.attn.to_qkv_mlp_proj"),
+            "norm_q": _scale(w, f"{src}.attn.norm_q.weight"),
+            "norm_k": _scale(w, f"{src}.attn.norm_k.weight"),
+            "proj_out": _linear(w, f"{src}.attn.to_out"),
+        }
+    return params
+
+
+def load_flux2_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = flux2_params_from_diffusers(weights, model.arch)
+    logger.info("imported flux2 weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -1278,6 +1338,7 @@ _IMPORTERS = {
     "hunyuanvideo": load_hunyuanvideo_params,
     "lumina2": load_lumina2_params,
     "hidream": load_hidream_params,
+    "flux2": load_flux2_params,
 }
 
 

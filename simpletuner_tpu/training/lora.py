@@ -199,6 +199,32 @@ def pixart_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def flux2_key_map(arch) -> Dict[str, Any]:
+    """FLUX.2 layout (Flux2Transformer2DModel): bias-free double blocks plus
+    ViT-22B fused single blocks (``to_qkv_mlp_proj`` / ``to_out``)."""
+    mapping: Dict[str, Any] = {
+        "patch_in": "x_embedder",
+        "txt_in": "context_embedder",
+        "final_proj": "proj_out",
+    }
+    double = {
+        "attn_q": "attn.to_q", "attn_k": "attn.to_k", "attn_v": "attn.to_v",
+        "attn_add_q": "attn.add_q_proj", "attn_add_k": "attn.add_k_proj",
+        "attn_add_v": "attn.add_v_proj",
+        "attn_proj": "attn.to_out.0", "attn_add_proj": "attn.to_add_out",
+        "ff_in": "ff.linear_in", "ff_out": "ff.linear_out",
+        "ff_context_in": "ff_context.linear_in", "ff_context_out": "ff_context.linear_out",
+    }
+    single = {"qkv_mlp": "attn.to_qkv_mlp_proj", "proj_out": "attn.to_out"}
+    for i in range(arch.depth_double):
+        for ours, theirs in double.items():
+            mapping[f"double_{i}/{ours}"] = f"transformer_blocks.{i}.{theirs}"
+    for i in range(arch.depth_single):
+        for ours, theirs in single.items():
+            mapping[f"single_{i}/{ours}"] = f"single_transformer_blocks.{i}.{theirs}"
+    return mapping
+
+
 def hidream_key_map(arch) -> Dict[str, Any]:
     """HiDream-I1 layout (HiDreamImageTransformer2DModel): double/single stream
     blocks under ``.block``, plain-Linear ``to_out`` (no ``.0``)."""
@@ -339,7 +365,7 @@ def hunyuanvideo_key_map(arch) -> Dict[str, Any]:
 # reuse its map (reference lora_format.py resolves by module names the same way)
 _KEY_MAPS = {
     "flux": lambda m: flux_key_map(m.arch),
-    "flux2": lambda m: flux_key_map(m.arch),
+    "flux2": lambda m: flux2_key_map(m.arch),
     "krea2": lambda m: flux_key_map(m.arch),
     "mageflow": lambda m: flux_key_map(m.arch),
     "z_image": lambda m: flux_key_map(m.arch),
