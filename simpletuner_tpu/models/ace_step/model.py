@@ -1,98 +1,30 @@
 """ACE-Step audio family (reference: helpers/models/ace_step — 3.5B
-text-to-music flow DiT with DCAE audio VAE, umT5-style text conditioning and a
-lyrics embedder sidecar; SURVEY.md §2.3).
+text-to-music flow DiT with music-DCAE latents, umT5 genre/caption
+conditioning, speaker embeddings, a conformer lyric encoder, and SSL
+(MERT / m-HuBERT) projection losses; SURVEY.md §2.3).
 
-The DiT body reuses the Wan block (self-attention + cross-attention + FFN with
-AdaLN) over 1-D audio-latent tokens with 1-D RoPE — musically the same
-transformer shape the reference vendored, minus CUDA-specific attention.
-Lyrics conditioning concatenates a second text stream onto the context axis.
+The transformer body lives in ``transformer.py`` and is checkpoint-faithful to
+the reference's vendored ``ACEStepTransformer2DModel`` (Lite-LA linear
+self-attention, GLUMBConv FFN, adaLN-single, Qwen2 RoPE at theta 1e6,
+conformer lyric encoder).  Flow interpolation matches the reference
+(model.py:1701 ``σ·noise + (1-σ)·latents``) — the framework's shared flow
+path.  Lyrics ride the batch as token ids (``lyrics_tokens``/``lyrics_mask``)
+exactly like the reference's ``lyric_token_idx``.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import linen as nn
 
-from ...ops import axial_rope
-from ..common import ModelFoundation, TextEncoderSpec
 from ..audio_vae import AudioVAEConfig
-from ..layers import AdaLayerNormZero, LayerNorm, LoRADense, MLPEmbedder, modulate, timestep_embedding
-from ..wan.transformer import WanBlock, WanConfig
+from ..common import ModelFoundation, TextEncoderSpec
+from .transformer import ACEStepConfig, ACEStepTransformer
 
-Dtype = Any
-
-
-@dataclasses.dataclass(frozen=True)
-class ACEStepConfig:
-    latent_channels: int = 8
-    hidden_size: int = 2560
-    depth: int = 24
-    num_heads: int = 20
-    head_dim: int = 128
-    text_dim: int = 768
-    ffn_ratio: float = 4.0
-
-    @classmethod
-    def tiny(cls) -> "ACEStepConfig":
-        return cls(latent_channels=4, hidden_size=64, depth=2, num_heads=2, head_dim=32, text_dim=32)
-
-
-class ACEStepTransformer(nn.Module):
-    config: ACEStepConfig = ACEStepConfig()
-    dtype: Dtype = jnp.bfloat16
-    param_dtype: Dtype = jnp.float32
-    lora_rank: int = 0
-    lora_alpha: Optional[float] = None
-    lora_algo: str = "lora"
-    remat: bool = False
-
-    @nn.compact
-    def __call__(
-        self,
-        latents: jax.Array,  # (B, S, C) audio latent tokens
-        timesteps: jax.Array,
-        context: jax.Array,  # (B, L, text_dim)
-        lyrics_context: Optional[jax.Array] = None,  # (B, L2, text_dim)
-    ) -> jax.Array:
-        cfg = self.config
-        dim = cfg.hidden_size
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
-
-        x = LoRADense(dim, name="audio_in", **common, **lora)(latents)
-        txt = context
-        if lyrics_context is not None:
-            txt = jnp.concatenate([context, lyrics_context], axis=1)
-        txt = LoRADense(dim, name="text_in", **common, **lora)(txt)
-        vec = MLPEmbedder(dim, name="time_in", **common)(
-            timestep_embedding(timesteps, 256).astype(self.dtype)
-        )
-        e6 = LoRADense(6 * dim, name="time_proj", **common)(nn.silu(vec)).reshape(-1, 6, dim)
-
-        # 1-D rope over the token axis (WanBlock expects (cos, sin) for head_dim)
-        batch, seq = x.shape[:2]
-        ids = jnp.broadcast_to(jnp.arange(seq)[None, :, None], (batch, seq, 1))
-        rope = axial_rope((cfg.head_dim,), ids)
-
-        wan_cfg = WanConfig(
-            hidden_size=cfg.hidden_size,
-            num_heads=cfg.num_heads,
-            head_dim=cfg.head_dim,
-            ffn_ratio=cfg.ffn_ratio,
-            text_dim=cfg.text_dim,
-        )
-        block_cls = nn.remat(WanBlock) if self.remat else WanBlock
-        for layer in range(cfg.depth):
-            x = block_cls(wan_cfg, name=f"block_{layer}", **common, **lora)(x, txt, e6, rope)
-
-        shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(vec, dim)
-        x = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)
-        return LoRADense(cfg.latent_channels, name="final_proj", **common)(x).astype(jnp.float32)
+__all__ = ["ACEStepConfig", "ACEStepTransformer", "ACEStep"]
 
 
 class ACEStep(ModelFoundation):
@@ -106,7 +38,7 @@ class ACEStep(ModelFoundation):
     TEXT_ENCODER_CONFIGURATION = (
         TextEncoderSpec(name="umt5", family="t5-xxl", subfolder="text_encoder", max_length=256),
     )
-    DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj", "ffn_in", "ffn_out")
+    DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj")
 
     def __init__(self, config: Any, arch: Optional[ACEStepConfig] = None):
         super().__init__(config)
@@ -119,7 +51,7 @@ class ACEStep(ModelFoundation):
 
     @property
     def latent_channels(self) -> int:
-        return self.arch.latent_channels
+        return self.arch.in_channels
 
     def audio_vae_config(self) -> AudioVAEConfig:
         if getattr(self.config, "model_arch_preset", None) == "tiny":
@@ -139,27 +71,52 @@ class ACEStep(ModelFoundation):
     def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
         del resolution
         return {
-            "latents": jnp.zeros((batch_size, 64, self.arch.latent_channels), jnp.float32),
-            "text_embeds": jnp.zeros((batch_size, 32, self.arch.text_dim), jnp.float32),
+            "latents": jnp.zeros((batch_size, 16, self.arch.in_channels), jnp.float32),
+            "text_embeds": jnp.zeros((batch_size, 8, self.arch.text_dim), jnp.float32),
         }
+
+    def _to_mel_layout(self, latents: jax.Array) -> jax.Array:
+        """Audio-VAE 1-D latents (B, S, C) → mel layout (B, H, S', C)."""
+        if latents.ndim == 4:
+            return latents
+        batch, seq, channels = latents.shape
+        h = self.arch.latent_height
+        if h == 1:
+            return latents[:, None]
+        return latents.reshape(batch, h, seq // h, channels)
 
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         inputs = {
-            "latents": prepared["noisy_latents"],
+            "latents": self._to_mel_layout(prepared["noisy_latents"]),
             "timesteps": prepared["timesteps"],
-            "context": prepared["text_embeds"],
+            "text_embeds": prepared["text_embeds"],
         }
-        if "lyrics_embeds" in prepared:
-            inputs["lyrics_context"] = prepared["lyrics_embeds"]
+        if "speaker_embeds" in prepared:
+            inputs["speaker_embeds"] = prepared["speaker_embeds"]
+        if "lyrics_tokens" in prepared:
+            inputs["lyric_tokens"] = prepared["lyrics_tokens"].astype(jnp.int32)
+            inputs["lyric_mask"] = prepared.get(
+                "lyrics_mask", jnp.ones(prepared["lyrics_tokens"].shape, jnp.float32)
+            )
+        if "text_attention_mask" in prepared:
+            inputs["text_mask"] = prepared["text_attention_mask"]
         return inputs
 
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
-        return self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        pred = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        return pred.reshape(prepared["noisy_latents"].shape)
+
+    def model_predict_with_intermediates(self, variables, prepared, rngs=None):
+        pred, state = self.module.apply(
+            variables, **self.get_model_inputs(prepared), rngs=rngs, mutable=["intermediates"]
+        )
+        return pred.reshape(prepared["noisy_latents"].shape), state.get("intermediates", {})
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         cond = {"text_embeds": batch["text_embeds"]}
-        if "lyrics_embeds" in batch:
-            cond["lyrics_embeds"] = batch["lyrics_embeds"]
+        for key in ("speaker_embeds", "lyrics_tokens", "lyrics_mask"):
+            if key in batch:
+                cond[key] = batch[key]
         return cond
 
     def encode_text(self, prompts):

@@ -1314,6 +1314,101 @@ def load_flux2_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# ACE-Step (reference helpers/models/ace_step/transformer.py
+# ACEStepTransformer2DModel: Lite-LA DiT + conformer lyric encoder)
+# ---------------------------------------------------------------------------------
+
+
+def _conv2d(w: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.ascontiguousarray(_to_f32(w[f"{key}.weight"]).transpose(2, 3, 1, 0))}
+    if f"{key}.bias" in w:
+        out["bias"] = _to_f32(w[f"{key}.bias"])
+    return out
+
+
+def _conv1d(w: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.ascontiguousarray(_to_f32(w[f"{key}.weight"]).transpose(2, 1, 0))}
+    if f"{key}.bias" in w:
+        out["bias"] = _to_f32(w[f"{key}.bias"])
+    return out
+
+
+def _ln(w: Dict[str, np.ndarray], key: str) -> Dict[str, Any]:
+    return {"LayerNorm_0": _norm(w, key)}
+
+
+def acestep_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    lyric: Dict[str, Any] = {
+        "lyric_embs": _to_f32(w["lyric_embs.weight"]),
+        "embed_out": _linear(w, "lyric_encoder.embed.out.0"),
+        "embed_norm": _ln(w, "lyric_encoder.embed.out.1"),
+        "after_norm": _ln(w, "lyric_encoder.after_norm"),
+    }
+    for i in range(arch.lyric_depth):
+        src = f"lyric_encoder.encoders.{i}"
+        lyric[f"layer_{i}"] = {
+            "norm_mha": _ln(w, f"{src}.norm_mha"),
+            "attn_q": _linear(w, f"{src}.self_attn.linear_q"),
+            "attn_k": _linear(w, f"{src}.self_attn.linear_k"),
+            "attn_v": _linear(w, f"{src}.self_attn.linear_v"),
+            "attn_out": _linear(w, f"{src}.self_attn.linear_out"),
+            "linear_pos": _linear(w, f"{src}.self_attn.linear_pos"),
+            "pos_bias_u": _to_f32(w[f"{src}.self_attn.pos_bias_u"]),
+            "pos_bias_v": _to_f32(w[f"{src}.self_attn.pos_bias_v"]),
+            "norm_ff": _ln(w, f"{src}.norm_ff"),
+            "ff_1": _linear(w, f"{src}.feed_forward.w_1"),
+            "ff_2": _linear(w, f"{src}.feed_forward.w_2"),
+        }
+
+    params: Dict[str, Any] = {
+        "patch_conv": _conv2d(w, "proj_in.early_conv_layers.0"),
+        "patch_norm": _norm(w, "proj_in.early_conv_layers.1"),
+        "patch_proj": _conv2d(w, "proj_in.early_conv_layers.2"),
+        "time_in": {
+            "in_layer": _linear(w, "timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "timestep_embedder.linear_2"),
+        },
+        "t_block": _linear(w, "t_block.1"),
+        "speaker_embedder": _linear(w, "speaker_embedder"),
+        "genre_embedder": _linear(w, "genre_embedder"),
+        "lyric_encoder": lyric,
+        "lyric_proj": _linear(w, "lyric_proj"),
+        "final_proj": _linear(w, "final_layer.linear"),
+        "final_scale_shift_table": _to_f32(w["final_layer.scale_shift_table"]),
+    }
+    for i in range(arch.num_layers):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]),
+            "attn_q": _linear(w, f"{src}.attn.to_q"),
+            "attn_k": _linear(w, f"{src}.attn.to_k"),
+            "attn_v": _linear(w, f"{src}.attn.to_v"),
+            "attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "cross_q": _linear(w, f"{src}.cross_attn.to_q"),
+            "cross_k": _linear(w, f"{src}.cross_attn.to_k"),
+            "cross_v": _linear(w, f"{src}.cross_attn.to_v"),
+            "cross_proj": _linear(w, f"{src}.cross_attn.to_out.0"),
+            "ff": {
+                "inverted": _conv1d(w, f"{src}.ff.inverted_conv.conv"),
+                "depth": _conv1d(w, f"{src}.ff.depth_conv.conv"),
+                "point": _conv1d(w, f"{src}.ff.point_conv.conv"),
+            },
+        }
+    for head in range(len(arch.ssl_dims)):
+        for j, torch_idx in enumerate((0, 2, 4)):
+            params[f"projector_{head}_{j}"] = _linear(w, f"projectors.{head}.{torch_idx}")
+    return params
+
+
+def load_acestep_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = acestep_params_from_diffusers(weights, model.arch)
+    logger.info("imported ace_step weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -1339,6 +1434,7 @@ _IMPORTERS = {
     "lumina2": load_lumina2_params,
     "hidream": load_hidream_params,
     "flux2": load_flux2_params,
+    "ace_step": load_acestep_params,
 }
 
 

@@ -199,6 +199,27 @@ def pixart_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def acestep_key_map(arch) -> Dict[str, Any]:
+    """ACE-Step layout (ACEStepTransformer2DModel): Lite-LA self-attention +
+    cross-attention blocks; ``to_out`` is a ModuleList (``.0``)."""
+    mapping: Dict[str, Any] = {
+        "speaker_embedder": "speaker_embedder",
+        "genre_embedder": "genre_embedder",
+        "lyric_proj": "lyric_proj",
+        "final_proj": "final_layer.linear",
+    }
+    table = {
+        "attn_q": "attn.to_q", "attn_k": "attn.to_k", "attn_v": "attn.to_v",
+        "attn_proj": "attn.to_out.0",
+        "cross_q": "cross_attn.to_q", "cross_k": "cross_attn.to_k",
+        "cross_v": "cross_attn.to_v", "cross_proj": "cross_attn.to_out.0",
+    }
+    for i in range(arch.num_layers):
+        for ours, theirs in table.items():
+            mapping[f"block_{i}/{ours}"] = f"transformer_blocks.{i}.{theirs}"
+    return mapping
+
+
 def flux2_key_map(arch) -> Dict[str, Any]:
     """FLUX.2 layout (Flux2Transformer2DModel): bias-free double blocks plus
     ViT-22B fused single blocks (``to_qkv_mlp_proj`` / ``to_out``)."""
@@ -366,6 +387,7 @@ def hunyuanvideo_key_map(arch) -> Dict[str, Any]:
 _KEY_MAPS = {
     "flux": lambda m: flux_key_map(m.arch),
     "flux2": lambda m: flux2_key_map(m.arch),
+    "ace_step": lambda m: acestep_key_map(m.arch),
     "krea2": lambda m: flux_key_map(m.arch),
     "mageflow": lambda m: flux_key_map(m.arch),
     "z_image": lambda m: flux_key_map(m.arch),

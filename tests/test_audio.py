@@ -88,10 +88,11 @@ class TestACEStep:
     def test_lyrics_context(self, setup):
         model, batch, variables = setup
         b = dict(batch)
-        b["lyrics_embeds"] = jnp.ones((2, 8, model.arch.text_dim), jnp.float32)
+        # lyric token ids ride the batch like the reference's lyric_token_idx
+        b["lyrics_tokens"] = jnp.ones((2, 8), jnp.int32)
+        b["lyrics_mask"] = jnp.asarray([[1] * 8, [1] * 5 + [0] * 3], jnp.float32)
         prepared = model.prepare_batch(jax.random.PRNGKey(1), b)
         pred = model.model_predict(variables, prepared)
-        # different shape path must still run; lyric params are shared text_in
         assert pred.shape == batch["latents"].shape
 
 class TestAudioTrainerE2E:
