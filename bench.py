@@ -182,6 +182,9 @@ def flagship() -> dict:
             return (st, metrics["loss"])
         return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))
 
+    # 12B leaves no HBM headroom for a second fused-k program (the k=8 variant
+    # OOMs during compilation next to the live k=1 one), so time repeated k=1
+    # calls — at multi-second steps the per-call scalar fetch is noise
     step_k = jax.jit(k_steps, static_argnums=(3,), donate_argnums=(0,))
     log("flagship: compiling (full-depth remat)...")
     t0 = time.perf_counter()
@@ -189,17 +192,13 @@ def flagship() -> dict:
     loss_val = float(loss)
     log(f"  compile+first step: {time.perf_counter()-t0:.1f}s  loss={loss_val:.4f}")
 
+    state, loss = step_k(state, batch, jax.random.PRNGKey(2), 1)  # warm
+    _ = float(loss)
     t0 = time.perf_counter()
-    for _ in range(3):
+    for i in range(steps):
+        state, loss = step_k(state, batch, jax.random.PRNGKey(3 + i), 1)
         _ = float(loss)
-    fetch_overhead = (time.perf_counter() - t0) / 3
-
-    state, loss = step_k(state, batch, jax.random.PRNGKey(2), steps)
-    _ = float(loss)
-    t0 = time.perf_counter()
-    state, loss = step_k(state, batch, jax.random.PRNGKey(3), steps)
-    _ = float(loss)
-    dt = (time.perf_counter() - t0 - fetch_overhead) / steps
+    dt = (time.perf_counter() - t0) / steps
 
     step_flops = flux_step_flops(arch, batch_size, s_img, s_txt, True)
     mfu = step_flops / dt / peak_flops()
@@ -336,13 +335,23 @@ def main() -> None:
     }
 
     # Flagship 12B entry (VERDICT r1 Next #3): full-depth Flux.1, int8 base,
-    # remat, 1024px.  The headline metric is the flagship MFU when it runs;
-    # the 2.56B proxy rides along in extra for continuity with round 1.
+    # remat, 1024px.  Runs in a SUBPROCESS — the proxy's 2.56B buffers would
+    # otherwise still occupy HBM and the 12B materialization OOMs.  The
+    # headline metric is the flagship MFU when it runs; the 2.56B proxy rides
+    # along in extra for continuity with round 1.
     metric_name = "flux_lora_train_mfu_v5e"
     value = mfu
     if os.environ.get("BENCH_MODE", "flagship") != "proxy":
         try:
-            fl = flagship()
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_MODE": "flagship_only"},
+                capture_output=True, text=True, timeout=1500,
+            )
+            sys.stderr.write(proc.stderr[-4000:])
+            fl = json.loads(proc.stdout.strip().splitlines()[-1])
             extra = {"proxy_2p56b": extra, **{f"flagship_{k}": v for k, v in fl.items()}}
             metric_name = "flux12b_int8_lora_train_mfu_v5e"
             value = fl["mfu"]
@@ -363,4 +372,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "flagship_only":
+        print(json.dumps(flagship()))
+    else:
+        main()

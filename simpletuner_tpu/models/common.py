@@ -177,6 +177,12 @@ class ModelFoundation:
         rng_noise, rng_t = jax.random.split(rng)
         noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
         prepared = dict(batch)
+        # deterministic-injection hooks (loss-curve parity harness / replay):
+        # a batch may carry its own noise and flow sigmas
+        override_noise = prepared.pop("override_noise", None)
+        override_sigmas = prepared.pop("override_sigmas", None)
+        if override_noise is not None:
+            noise = override_noise.astype(jnp.float32)
         batch_size = latents.shape[0]
 
         # offset noise (reference --noise_offset/--noise_offset_probability):
@@ -202,7 +208,10 @@ class ModelFoundation:
             )
         if self.is_flow:
             seq_len = (latents.shape[1] // 2) * (latents.shape[2] // 2) if latents.ndim == 4 else None
-            sigmas = sample_flow_sigmas(rng_t, batch_size, self.flow_schedule_config(), seq_len)
+            if override_sigmas is not None:
+                sigmas = override_sigmas.astype(jnp.float32)
+            else:
+                sigmas = sample_flow_sigmas(rng_t, batch_size, self.flow_schedule_config(), seq_len)
             prepared["sigmas"] = sigmas
             prepared["timesteps"] = sigmas  # flow models take σ∈(0,1) as the timestep
             prepared["noisy_latents"] = flow_interpolate(latents.astype(jnp.float32), input_noise, sigmas)

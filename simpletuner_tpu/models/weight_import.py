@@ -108,6 +108,38 @@ def _strip_prefix(weights: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _flux_pack_permutation(packed_features: int, patch: int = 2) -> np.ndarray:
+    """Reference flux packs latent patches in (c, ph, pw) feature order
+    ("b c (h ph) (w pw) -> b (h w) (c ph pw)"); our ``pack_latents`` flattens
+    (ph, pw, c).  Returns ``perm`` with ``perm[ours] = theirs`` so imported
+    ``img_in`` rows / ``final_proj`` columns line up with our packing."""
+    channels = packed_features // (patch * patch)
+    perm = np.empty(packed_features, np.int64)
+    idx = 0
+    for ph in range(patch):
+        for pw in range(patch):
+            for c in range(channels):
+                perm[idx] = c * patch * patch + ph * patch + pw
+                idx += 1
+    return perm
+
+
+def _flux_permute_io(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Reorder img_in input rows and final_proj output columns/bias from the
+    reference (c, ph, pw) packing to ours (ph, pw, c)."""
+    perm = _flux_pack_permutation(params["img_in"]["kernel"].shape[0])
+    img_in = dict(params["img_in"])
+    img_in["kernel"] = np.ascontiguousarray(img_in["kernel"][perm])
+    params["img_in"] = img_in
+    out_perm = _flux_pack_permutation(params["final_proj"]["kernel"].shape[1])
+    final = dict(params["final_proj"])
+    final["kernel"] = np.ascontiguousarray(final["kernel"][:, out_perm])
+    if "bias" in final:
+        final["bias"] = np.ascontiguousarray(final["bias"][out_perm])
+    params["final_proj"] = final
+    return params
+
+
 def flux_params_from_bfl(weights: Dict[str, np.ndarray], depth_double: int, depth_single: int) -> Dict[str, Any]:
     w = weights
     params: Dict[str, Any] = {
@@ -161,7 +193,7 @@ def flux_params_from_bfl(weights: Dict[str, np.ndarray], depth_double: int, dept
             "norm_q": _scale(w, f"{p}.norm.query_norm.scale"),
             "norm_k": _scale(w, f"{p}.norm.key_norm.scale"),
         }
-    return params
+    return _flux_permute_io(params)
 
 
 def flux_params_from_diffusers(
@@ -249,7 +281,7 @@ def flux_params_from_diffusers(
             "norm_q": _scale(w, f"{p}.attn.norm_q.weight"),
             "norm_k": _scale(w, f"{p}.attn.norm_k.weight"),
         }
-    return params
+    return _flux_permute_io(params)
 
 
 def load_flux_params(model, path: str) -> Dict[str, Any]:

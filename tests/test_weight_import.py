@@ -34,8 +34,31 @@ def _model():
     )
     return Flux(cfg, arch=FluxConfig.tiny())
 
+
+def _unpermute_io(params):
+    """Our img_in/final_proj use (ph, pw, c) packing; reference checkpoints use
+    (c, ph, pw) — write exports in reference order (inverse of the importer's
+    ``_flux_permute_io``)."""
+    from simpletuner_tpu.models.weight_import import _flux_pack_permutation
+
+    params = dict(params)
+    perm = _flux_pack_permutation(np.asarray(params["img_in"]["kernel"]).shape[0])
+    inv = np.argsort(perm)
+    img_in = dict(params["img_in"])
+    img_in["kernel"] = np.asarray(img_in["kernel"])[inv]
+    params["img_in"] = img_in
+    out_perm = _flux_pack_permutation(np.asarray(params["final_proj"]["kernel"]).shape[1])
+    out_inv = np.argsort(out_perm)
+    final = dict(params["final_proj"])
+    final["kernel"] = np.asarray(final["kernel"])[:, out_inv]
+    if "bias" in final:
+        final["bias"] = np.asarray(final["bias"])[out_inv]
+    params["final_proj"] = final
+    return params
+
 def _params_to_bfl(params):
     """Inverse mapping: our pytree -> BFL torch-layout flat dict."""
+    params = _unpermute_io(params)
     w = {}
 
     def lin(dst, node):
@@ -90,6 +113,7 @@ def _params_to_bfl(params):
 
 def _params_to_diffusers(params, hidden, mlp):
     """Inverse mapping: our pytree -> diffusers torch-layout flat dict."""
+    params = _unpermute_io(params)
     w = {}
 
     def lin(dst, node):
