@@ -87,9 +87,21 @@ def _cmd_optimizers(args, extra: List[str]) -> int:
 
 
 def _cmd_configure(args, extra: List[str]) -> int:
-    from .configure import run_wizard
+    import sys
 
-    run_wizard(args.output_dir)
+    if getattr(args, "simple", False) or not sys.stdin.isatty():
+        # linear prompt wizard (scriptable; also the non-tty fallback)
+        from .configure import run_wizard
+
+        run_wizard(args.output_dir)
+        return 0
+    from .configure_tui import run_tui
+
+    path = run_tui(
+        output_path=f"{args.output_dir}/config.json", load=getattr(args, "load", None)
+    )
+    if path:
+        print(f"wrote {path}")
     return 0
 
 
@@ -188,8 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("optimizers", help="list optimizer choices")
     p.set_defaults(fn=_cmd_optimizers)
 
-    p = sub.add_parser("configure", help="interactive config wizard")
+    p = sub.add_parser("configure", help="interactive config wizard (curses TUI)")
     p.add_argument("--output-dir", default="config")
+    p.add_argument("--load", default=None, help="existing config.json to edit")
+    p.add_argument("--simple", action="store_true", help="linear prompts instead of the TUI")
     p.set_defaults(fn=_cmd_configure)
 
     p = sub.add_parser("server", help="run the training API server")
