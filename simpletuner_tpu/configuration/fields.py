@@ -514,6 +514,8 @@ _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-po
 _f("assistant_lora_path", FieldType.STR, None, help="Frozen guidance adapter merged into the base at load", section="model")
 _f("assistant_lora_scale", FieldType.FLOAT, 1.0, section="model")
 _f("validation_preview", FieldType.BOOL, False, help="Save intermediate-step preview strips during validation", section="validation")
+_f("validation_preview_tae_path", FieldType.STR, None,
+   help="taesd decoder safetensors for cheap preview decoding (full VAE used when unset)", section="validation")
 _f("validation_negative_prompt_2", FieldType.STR, None, section="validation")
 _f("validation_audio_duration", FieldType.FLOAT, 5.0, section="validation")
 _f("validation_audio_sample_rate", FieldType.INT, 44100, section="validation")

@@ -71,6 +71,29 @@ class Validation:
         self._embeds: List[Dict[str, np.ndarray]] = []
         self._sample_jit = None
 
+        # Tiny-AutoEncoder preview decoder (reference ValidationPreviewer,
+        # validation.py:1633): cheap streamed previews during sampling.  When
+        # no taesd weights are configured the full VAE decode is used instead.
+        self.preview_interval = max(1, int(getattr(config, "validation_preview_steps", 1) or 1))
+        self._tae_decode = None
+        tae_path = getattr(config, "validation_preview_tae_path", None)
+        if getattr(config, "validation_preview", False) and tae_path:
+            try:
+                from ..models.tae import TAEConfig, TAEDecoder, load_taesd_decoder
+
+                channels = int(getattr(model, "latent_channels", 4))
+                tae_cfg = TAEConfig.taef1() if channels == 16 else TAEConfig.taesd()
+                tae_params = load_taesd_decoder(tae_cfg, str(tae_path))
+                decoder = TAEDecoder(tae_cfg)
+                self._tae_decode = lambda z: decoder.apply(tae_params, z) * 2.0 - 1.0
+            except Exception as exc:  # missing/bad weights: fall back to the VAE
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "validation_preview_tae_path %s unusable (%s); previews use the full VAE",
+                    tae_path, exc,
+                )
+
         raw = getattr(config, "validation_prompt", None)
         if raw:
             self.prompts = [raw] if isinstance(raw, str) else list(raw)
@@ -320,6 +343,8 @@ class Validation:
         if self._sample_jit is None:
             model = self.model
             decode = self.decode_fn
+            tae_decode = self._tae_decode
+            preview_interval = self.preview_interval
 
             def sample(variables, cond, uncond, noise, init_latents=None):
                 if uncond is not None:
@@ -350,12 +375,17 @@ class Validation:
 
                 out = maybe_decode(latents)
                 if preview:
-                    # TAE-style preview: decode up to 4 evenly-spaced steps
-                    # (reference ValidationPreviewer, validation.py:1633)
+                    # streamed preview (reference ValidationPreviewer,
+                    # validation.py:1633): every Nth sampling step through the
+                    # Tiny AutoEncoder when available, else the full VAE
                     steps = intermediates.shape[0]
-                    picks = jnp.linspace(0, steps - 1, min(4, steps)).astype(jnp.int32)
-                    frames = maybe_decode(intermediates[picks][:, 0])
-                    return out, frames
+                    picks = jnp.arange(0, steps, preview_interval)
+                    frames_z = intermediates[picks][:, 0]
+                    if tae_decode is not None:
+                        frames = tae_decode(frames_z)
+                    else:
+                        frames = maybe_decode(frames_z)
+                    return out, frames, picks
                 return out
 
             self._sample_jit = jax.jit(sample)
@@ -365,13 +395,37 @@ class Validation:
         )
         result = self._sample_jit(variables, cond, uncond, noise, init_latents)
         if preview:
-            out, frames = result
+            out, frames, picks = result
             out = np.asarray(out)[0]
-            strip = np.concatenate(list(np.asarray(frames)), axis=1)
+            frames = np.asarray(frames)
+            picks = np.asarray(picks)
+            decoded = self._tae_decode is not None or self.decode_fn is not None
+            if decoded:
+                frames = np.clip((frames + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            # stream one webhook event per preview step (reference
+            # ValidationPreviewer._emit_event)
+            if self.webhook_handler is not None and decoded:
+                import base64
+                import io
+
+                from ..webhooks.events import validation_preview_event
+
+                total = int(picks[-1]) + 1 if len(picks) else 0
+                for frame, step_idx in zip(frames, picks):
+                    buffer = io.BytesIO()
+                    self._save_png(frame, buffer)
+                    payload = base64.b64encode(buffer.getvalue()).decode("ascii")
+                    self.webhook_handler.send_raw(
+                        validation_preview_event(
+                            prompt=self.prompts[index] if index < len(self.prompts) else "",
+                            sampling_step=int(step_idx),
+                            total_steps=total,
+                            image_base64=payload,
+                        )
+                    )
+            strip = np.concatenate(list(frames), axis=1)
             path = os.path.join(self.output_dir, "validation", f"preview_{index}.png")
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            if self.decode_fn is not None:
-                strip = np.clip((strip + 1.0) * 127.5, 0, 255).astype(np.uint8)
             self._save_png(strip, path)
         else:
             out = np.asarray(result)[0]
@@ -412,4 +466,4 @@ class Validation:
             image = ((image - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
         if image.ndim == 3 and image.shape[-1] not in (1, 3, 4):
             image = image[..., :3]
-        Image.fromarray(image).save(path)
+        Image.fromarray(image).save(path, format="PNG")  # path or file-like buffer

@@ -101,3 +101,24 @@ def validation_event(
     event = _base("validation", job_id)
     event.update({"global_step": global_step, "prompt": prompt, "image_path": image_path})
     return event
+
+
+def validation_preview_event(
+    prompt: str,
+    sampling_step: int,
+    total_steps: int,
+    image_base64: str,
+    job_id: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Streamed Tiny-AutoEncoder preview during validation sampling
+    (reference helpers/training/validation.py:1633 ValidationPreviewer)."""
+    event = _base("validation.preview", job_id)
+    event.update(
+        {
+            "prompt": prompt,
+            "sampling_step": sampling_step,
+            "total_steps": total_steps,
+            "image": {"src": f"data:image/png;base64,{image_base64}", "mime_type": "image/png"},
+        }
+    )
+    return event

@@ -81,6 +81,89 @@ def test_validation_preview_strip(tmp_path):
     assert paths
     assert os.path.exists(os.path.join(str(tmp_path), "validation", "preview_0.png"))
 
+def _make_taesd_fixture(path):
+    """Random full-size taesd decoder weights in the torch sequential layout."""
+    from safetensors.numpy import save_file
+
+    from simpletuner_tpu.models.tae import TAEConfig
+
+    config = TAEConfig.taesd()
+    rng = np.random.default_rng(7)
+    w = {}
+
+    def put(key, out_c, in_c, bias=True):
+        w[f"{key}.weight"] = rng.normal(0, 0.02, (out_c, in_c, 3, 3)).astype(np.float32)
+        if bias:
+            w[f"{key}.bias"] = rng.normal(0, 0.02, (out_c,)).astype(np.float32)
+
+    c = config.base_channels
+    put("1", c, config.latent_channels)
+    index, layer = 3, 0
+    for stage in range(config.num_stages):
+        for _ in range(3):
+            put(f"{index}.conv.0", c, c)
+            put(f"{index}.conv.2", c, c)
+            put(f"{index}.conv.4", c, c)
+            layer += 1
+            index += 1
+        index += 1
+        put(str(index), c, c, bias=False)
+        index += 1
+    put(f"{index}.conv.0", c, c)
+    put(f"{index}.conv.2", c, c)
+    put(f"{index}.conv.4", c, c)
+    index += 1
+    put(str(index), 3, c)
+    save_file(w, str(path))
+
+
+class _CaptureWebhook:
+    def __init__(self):
+        self.events = []
+
+    def send_raw(self, event):
+        self.events.append(event)
+
+
+def test_validation_preview_streams_tae_events(tmp_path):
+    """Streamed TAE previews (reference ValidationPreviewer, validation.py:1633):
+    one webhook event per Nth sampling step, decoded by the tiny autoencoder."""
+    tae_path = tmp_path / "taesd_decoder.safetensors"
+    _make_taesd_fixture(tae_path)
+    cfg = TrainingConfig(
+        {
+            "model_family": "sd1x",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "lora_rank": 4,
+            "optimizer": "adamw",
+            "learning_rate": 1e-3,
+            "max_train_steps": 10,
+            "validation_prompt": "a cat",
+            "validation_num_inference_steps": 4,
+            "validation_resolution": 64,
+            "validation_preview": True,
+            "validation_preview_steps": 2,
+            "validation_preview_tae_path": str(tae_path),
+        }
+    )
+    model = SD1x(cfg)
+    model.attach_text_encoders(load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, tiny=True))
+    hook = _CaptureWebhook()
+    validation = Validation(model, cfg, output_dir=str(tmp_path), webhook_handler=hook)
+    assert validation._tae_decode is not None
+    validation.precompute_embeds()
+    batch = model.example_batch(batch_size=1, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    validation.run_validations(variables, step=1, force=True)
+
+    previews = [e for e in hook.events if e.get("event_type") == "validation.preview"]
+    assert len(previews) == 2  # 4 steps, every 2nd
+    assert previews[0]["sampling_step"] == 0 and previews[1]["sampling_step"] == 2
+    assert previews[0]["image"]["src"].startswith("data:image/png;base64,")
+    assert os.path.exists(os.path.join(str(tmp_path), "validation", "preview_0.png"))
+
+
 def test_adapter_sweep(tmp_path):
     """validation_adapters renders one extra labeled pass per adapter file."""
     from simpletuner_tpu.training.lora import save_lora_safetensors
