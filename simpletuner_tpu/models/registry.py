@@ -17,6 +17,7 @@ _FAMILIES: Dict[str, tuple] = {
     "auraflow": ("simpletuner_tpu.models.auraflow.model", "AuraFlow", {"modality": "image", "prediction": "flow_matching"}),
     "wan": ("simpletuner_tpu.models.wan.model", "Wan", {"modality": "video", "prediction": "flow_matching"}),
     "ltxvideo": ("simpletuner_tpu.models.ltxvideo.model", "LTXVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "ltxvideo2": ("simpletuner_tpu.models.ltxvideo2.model", "LTXVideo2", {"modality": "video", "prediction": "flow_matching"}),
     "ace_step": ("simpletuner_tpu.models.ace_step.model", "ACEStep", {"modality": "audio", "prediction": "flow_matching"}),
     "chroma": ("simpletuner_tpu.models.chroma.model", "Chroma", {"modality": "image", "prediction": "flow_matching"}),
     "kolors": ("simpletuner_tpu.models.kolors.model", "Kolors", {"modality": "image", "prediction": "epsilon"}),
@@ -49,7 +50,7 @@ _ALIASES = {
     "sd15": "sd1x",
     "sd21": "sd2x",
     "pixart": "pixart_sigma",
-    "ltxvideo2": "ltxvideo",  # LTX-Video 2 flavours ride the same family class
+    "ltx2": "ltxvideo2",
     "krea2": "flux",  # Krea arch is a Flux flavour
     "cosmos": "cosmos3",
     "z_image_omni": "z_image",

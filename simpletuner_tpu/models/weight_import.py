@@ -1441,6 +1441,86 @@ def load_acestep_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# LTX-2 (reference helpers/models/ltxvideo2/transformer.py
+# LTX2VideoTransformer3DModel: dual-modal audiovisual DiT)
+# ---------------------------------------------------------------------------------
+
+
+def _ltx2_adaln(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "in_layer": _linear(w, f"{src}.emb.timestep_embedder.linear_1"),
+        "out_layer": _linear(w, f"{src}.emb.timestep_embedder.linear_2"),
+        "mod": _linear(w, f"{src}.linear"),
+    }
+
+
+def _ltx2_attn(w: Dict[str, np.ndarray], src: str, gated: bool) -> Dict[str, Any]:
+    out = {
+        "to_q": _linear(w, f"{src}.to_q"),
+        "to_k": _linear(w, f"{src}.to_k"),
+        "to_v": _linear(w, f"{src}.to_v"),
+        "norm_q": _to_f32(w[f"{src}.norm_q.weight"]),
+        "norm_k": _to_f32(w[f"{src}.norm_k.weight"]),
+        "to_out": _linear(w, f"{src}.to_out.0"),
+    }
+    if gated:
+        out["to_gate_logits"] = _linear(w, f"{src}.to_gate_logits")
+    return out
+
+
+def ltx2_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "proj_in": _linear(w, "proj_in"),
+        "audio_proj_in": _linear(w, "audio_proj_in"),
+        "caption_proj_1": _linear(w, "caption_projection.linear_1"),
+        "caption_proj_2": _linear(w, "caption_projection.linear_2"),
+        "audio_caption_proj_1": _linear(w, "audio_caption_projection.linear_1"),
+        "audio_caption_proj_2": _linear(w, "audio_caption_projection.linear_2"),
+        "time_embed": _ltx2_adaln(w, "time_embed"),
+        "audio_time_embed": _ltx2_adaln(w, "audio_time_embed"),
+        "av_ca_video_scale_shift": _ltx2_adaln(w, "av_cross_attn_video_scale_shift"),
+        "av_ca_video_a2v_gate": _ltx2_adaln(w, "av_cross_attn_video_a2v_gate"),
+        "av_ca_audio_scale_shift": _ltx2_adaln(w, "av_cross_attn_audio_scale_shift"),
+        "av_ca_audio_v2a_gate": _ltx2_adaln(w, "av_cross_attn_audio_v2a_gate"),
+        "scale_shift_table": _to_f32(w["scale_shift_table"]),
+        "audio_scale_shift_table": _to_f32(w["audio_scale_shift_table"]),
+        "proj_out": _linear(w, "proj_out"),
+        "audio_proj_out": _linear(w, "audio_proj_out"),
+    }
+    for i in range(arch.num_layers):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]),
+            "audio_scale_shift_table": _to_f32(w[f"{src}.audio_scale_shift_table"]),
+            "video_ca_scale_shift_table": _to_f32(w[f"{src}.video_a2v_cross_attn_scale_shift_table"]),
+            "audio_ca_scale_shift_table": _to_f32(w[f"{src}.audio_a2v_cross_attn_scale_shift_table"]),
+            "attn1": _ltx2_attn(w, f"{src}.attn1", arch.gated_attn),
+            "audio_attn1": _ltx2_attn(w, f"{src}.audio_attn1", arch.audio_gated_attn),
+            "attn2": _ltx2_attn(w, f"{src}.attn2", arch.gated_attn),
+            "audio_attn2": _ltx2_attn(w, f"{src}.audio_attn2", arch.audio_gated_attn),
+            "audio_to_video_attn": _ltx2_attn(w, f"{src}.audio_to_video_attn", arch.gated_attn),
+            "video_to_audio_attn": _ltx2_attn(w, f"{src}.video_to_audio_attn", arch.audio_gated_attn),
+            "ff": {
+                "proj_in": _linear(w, f"{src}.ff.net.0.proj"),
+                "proj_out": _linear(w, f"{src}.ff.net.2"),
+            },
+            "audio_ff": {
+                "proj_in": _linear(w, f"{src}.audio_ff.net.0.proj"),
+                "proj_out": _linear(w, f"{src}.audio_ff.net.2"),
+            },
+        }
+    return params
+
+
+def load_ltx2_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = ltx2_params_from_diffusers(weights, model.arch)
+    logger.info("imported ltxvideo2 weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -1467,6 +1547,7 @@ _IMPORTERS = {
     "hidream": load_hidream_params,
     "flux2": load_flux2_params,
     "ace_step": load_acestep_params,
+    "ltxvideo2": load_ltx2_params,
 }
 
 

@@ -199,6 +199,29 @@ def pixart_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def ltx2_key_map(arch) -> Dict[str, Any]:
+    """LTX-2 layout (LTX2VideoTransformer3DModel): dual-modal blocks with six
+    attention modules each plus video/audio FFNs."""
+    mapping: Dict[str, Any] = {
+        "proj_in": "proj_in",
+        "audio_proj_in": "audio_proj_in",
+        "proj_out": "proj_out",
+        "audio_proj_out": "audio_proj_out",
+    }
+    attn_mods = ("attn1", "audio_attn1", "attn2", "audio_attn2",
+                 "audio_to_video_attn", "video_to_audio_attn")
+    for i in range(arch.num_layers):
+        for mod in attn_mods:
+            for ours, theirs in (("to_q", "to_q"), ("to_k", "to_k"),
+                                 ("to_v", "to_v"), ("to_out", "to_out.0")):
+                mapping[f"block_{i}/{mod}/{ours}"] = f"transformer_blocks.{i}.{mod}.{theirs}"
+        mapping[f"block_{i}/ff/proj_in"] = f"transformer_blocks.{i}.ff.net.0.proj"
+        mapping[f"block_{i}/ff/proj_out"] = f"transformer_blocks.{i}.ff.net.2"
+        mapping[f"block_{i}/audio_ff/proj_in"] = f"transformer_blocks.{i}.audio_ff.net.0.proj"
+        mapping[f"block_{i}/audio_ff/proj_out"] = f"transformer_blocks.{i}.audio_ff.net.2"
+    return mapping
+
+
 def acestep_key_map(arch) -> Dict[str, Any]:
     """ACE-Step layout (ACEStepTransformer2DModel): Lite-LA self-attention +
     cross-attention blocks; ``to_out`` is a ModuleList (``.0``)."""
@@ -388,6 +411,7 @@ _KEY_MAPS = {
     "flux": lambda m: flux_key_map(m.arch),
     "flux2": lambda m: flux2_key_map(m.arch),
     "ace_step": lambda m: acestep_key_map(m.arch),
+    "ltxvideo2": lambda m: ltx2_key_map(m.arch),
     "krea2": lambda m: flux_key_map(m.arch),
     "mageflow": lambda m: flux_key_map(m.arch),
     "z_image": lambda m: flux_key_map(m.arch),

@@ -126,7 +126,7 @@ def test_latest_wave_families(family):
     assert pred.shape == batch["latents"].shape
 
 def test_family_aliases():
-    assert ModelRegistry.get("ltxvideo2").__name__ == "LTXVideo"
+    assert ModelRegistry.get("ltxvideo2").__name__ == "LTXVideo2"  # distinct 19B AV family
     assert ModelRegistry.get("krea2").__name__ == "Flux"
 
 @pytest.mark.parametrize("family", [
