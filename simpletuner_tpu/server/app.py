@@ -117,6 +117,10 @@ def create_server(
     audit = AuditLog(audit_path)
     sse = SSEManager()
     keeper.add_listener(sse.publish)
+    from .accounts import QuotaExceeded, UserStore
+
+    users = UserStore(state_dir)
+    job_owners: Dict[str, str] = {}
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "simpletuner-tpu"
@@ -147,11 +151,32 @@ def create_server(
             self.end_headers()
             self.wfile.write(data)
 
+        def _auth(self):
+            """Bearer auth (reference users/auth routes): active once any user
+            exists.  Returns the user dict, or None with a 401 already sent."""
+            if not users.auth_required:
+                return {"username": "anonymous", "role": "admin"}
+            user = users.authenticate(self.headers.get("Authorization"))
+            if user is None:
+                self._json({"error": "unauthorized"}, 401)
+                return None
+            return user
+
         # ---- GET --------------------------------------------------------------------------
         def do_GET(self):
             path = self.path.split("?")[0]
             if path == "/health":
                 return self._json({"status": "ok", "time": time.time()})
+            user = self._auth()
+            if user is None:
+                return
+            if path == "/api/users":
+                if user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                return self._json(users.list_users())
+            if path == "/api/quota":
+                usage = users.usage(user["username"])
+                return self._json(usage or {"username": user["username"], "quotas": None})
             if path in ("/", "/ui"):
                 return self._html(_UI_PAGE)
             if path == "/metrics":
@@ -270,6 +295,26 @@ def create_server(
                 body = self._read_body()
             except (ValueError, json.JSONDecodeError):
                 return self._json({"error": "invalid json"}, 400)
+            user = self._auth()
+            if user is None:
+                return
+
+            if path == "/api/users":
+                # bootstrap: the first user may be created unauthenticated and
+                # becomes the admin; afterwards admin-only
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                try:
+                    created = users.create_user(
+                        str(body.get("username") or "").strip() or "admin",
+                        role=body.get("role") or ("admin" if not users.auth_required else "user"),
+                        max_concurrent_jobs=int(body.get("max_concurrent_jobs", 2)),
+                        max_total_steps=body.get("max_total_steps"),
+                    )
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("user.create", detail={"username": created["username"]})
+                return self._json(created, 201)
 
             if path == "/api/config/validate":
                 from ..configuration import TrainingConfig
@@ -284,8 +329,22 @@ def create_server(
                 config = body.get("config") or body
                 if not config.get("model_family"):
                     return self._json({"error": "config.model_family required"}, 422)
+                if users.auth_required:
+                    active = sum(
+                        1 for j in keeper.jobs.values()
+                        if j.state in ("pending", "running")
+                        and job_owners.get(j.job_id) == user["username"]
+                    )
+                    try:
+                        users.check_quota(user["username"], config, active)
+                    except QuotaExceeded as exc:
+                        audit.append("job.quota_denied", detail={"user": user["username"]})
+                        return self._json({"error": str(exc)}, 429)
+                    users.record_submission(user["username"], config)
                 job = keeper.submit_job(config, body.get("job_id"))
+                job_owners[job.job_id] = user["username"]
                 audit.append("job.submit", detail={"job_id": job.job_id,
+                                                   "user": user["username"],
                                                    "model_family": config.get("model_family")})
                 return self._json(job.to_dict(), 201)
 
