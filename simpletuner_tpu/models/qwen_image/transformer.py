@@ -38,6 +38,9 @@ class QwenImageConfig:
     axes_dim: Tuple[int, ...] = (16, 56, 56)
     theta: float = 10000.0
     txt_in_features: int = 3584  # Qwen2.5-VL hidden
+    # MageFlow/Z-Image ride this exact block layout but do NOT rotate text
+    # tokens (vendor mage_layers.py: "text tokens are not rotated")
+    txt_rope: bool = True
 
     @classmethod
     def tiny(cls) -> "QwenImageConfig":
@@ -131,8 +134,9 @@ class QwenImageBlock(nn.Module):
         tq, tk, tv = qkv(txt_n, "txt_attn", txt.shape[1])
         iq = apply_interleaved_rope(iq, rope_img)
         ik = apply_interleaved_rope(ik, rope_img)
-        tq = apply_interleaved_rope(tq, rope_txt)
-        tk = apply_interleaved_rope(tk, rope_txt)
+        if cfg.txt_rope:
+            tq = apply_interleaved_rope(tq, rope_txt)
+            tk = apply_interleaved_rope(tk, rope_txt)
 
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)

@@ -1542,6 +1542,10 @@ _IMPORTERS = {
     "ltxvideo": load_ltx_params,
     "chroma": load_chroma_params,
     "qwen_image": load_qwen_image_params,
+    # MageFlow / Z-Image use the Qwen-Image block layout verbatim (vendor
+    # mage_layers.py; text rope disabled in the module config, not the keys)
+    "mageflow": load_qwen_image_params,
+    "z_image": load_qwen_image_params,
     "hunyuanvideo": load_hunyuanvideo_params,
     "lumina2": load_lumina2_params,
     "hidream": load_hidream_params,

@@ -413,8 +413,8 @@ _KEY_MAPS = {
     "ace_step": lambda m: acestep_key_map(m.arch),
     "ltxvideo2": lambda m: ltx2_key_map(m.arch),
     "krea2": lambda m: flux_key_map(m.arch),
-    "mageflow": lambda m: flux_key_map(m.arch),
-    "z_image": lambda m: flux_key_map(m.arch),
+    "mageflow": lambda m: qwen_image_key_map(m.arch),
+    "z_image": lambda m: qwen_image_key_map(m.arch),
     "longcat_image": lambda m: flux_key_map(m.arch),
     "boogu_image": lambda m: flux_key_map(m.arch),
     "chroma": lambda m: flux_key_map(m.arch),

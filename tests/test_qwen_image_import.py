@@ -199,3 +199,45 @@ def test_qwen_image_family_end_to_end(tmp_path):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert bool(jnp.all(jnp.isfinite(pred)))
+
+def test_mageflow_rides_qwen_layout(tmp_path):
+    """MageFlow/Z-Image load Qwen-Image-layout checkpoints with text rope
+    disabled (vendor mage_layers.py: text tokens are not rotated)."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.mageflow.model import MageFlow
+    from simpletuner_tpu.models.qwen_image.transformer import QwenImageTransformer
+    from simpletuner_tpu.models.weight_import import load_transformer_params
+
+    w = _fixture(np.random.default_rng(57))
+    path = tmp_path / "mage.safetensors"
+    save_file(w, str(path))
+    model = MageFlow(
+        TrainingConfig(
+            {"model_family": "mageflow", "model_type": "lora", "lora_rank": 0,
+             "model_arch_preset": "tiny"}
+        )
+    )
+    assert model.arch.txt_rope is False
+    variables = load_transformer_params(model, str(path))
+    batch = model.example_batch(batch_size=1, resolution=32)
+    prepared = model.prepare_batch(jax.random.PRNGKey(0), batch)
+    pred = model.model_predict(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+    assert np.isfinite(np.asarray(pred)).all()
+
+    # the text-rope flag is behavioral: the same weights with rotation enabled
+    # must produce a different output
+    params = qwen_image_params_from_diffusers(w, model.arch)
+    rotated = QwenImageTransformer(
+        config=dataclasses.replace(model.arch, txt_rope=True), dtype=jnp.float32
+    )
+    plain = QwenImageTransformer(config=model.arch, dtype=jnp.float32)
+    inputs = model.get_model_inputs(prepared)
+    vs = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    out_rot = rotated.apply(vs, **inputs)
+    out_plain = plain.apply(vs, **inputs)
+    assert float(jnp.abs(out_rot - out_plain).max()) > 1e-6
