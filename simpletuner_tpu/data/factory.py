@@ -98,6 +98,50 @@ class DataPlane:
     def load_state(self, state):
         self.iterator.load_state(state)
 
+    def tag_frequency(self, max_files_per_dataset: int = 2000) -> Dict[str, Dict[str, int]]:
+        """{dataset_id: {tag: count}} from caption content (reference
+        save_hooks.py:593-610 ``ss_tag_frequency`` for ComfyUI trigger-word
+        extensions).  Tags split on commas, whitespace-normalized."""
+        from .captions import get_caption
+
+        frequency: Dict[str, Dict[str, int]] = {}
+        for bundle in self.bundles.values():
+            cfg = bundle.config
+            if getattr(cfg, "dataset_type", "image") not in ("image", "video", "audio"):
+                continue
+            counts: Dict[str, int] = {}
+            files = []
+            for bucket_files in bundle.metadata_backend.aspect_ratio_bucket_indices.values():
+                files.extend(bucket_files)
+            for path in files[:max_files_per_dataset]:
+                try:
+                    caption = get_caption(
+                        path,
+                        bundle.data_backend,
+                        strategy=getattr(cfg, "caption_strategy", None) or "textfile",
+                        instance_prompt=getattr(cfg, "instance_prompt", None),
+                        prepend_instance_prompt=bool(getattr(cfg, "prepend_instance_prompt", False)),
+                        only_instance_prompt=bool(getattr(cfg, "only_instance_prompt", False)),
+                    )
+                except Exception:
+                    continue
+                for tag in str(caption or "").split(","):
+                    tag = tag.strip()
+                    if tag:
+                        counts[tag] = counts.get(tag, 0) + 1
+            if counts:
+                frequency[bundle.id] = counts
+        return frequency
+
+    def trigger_words(self) -> List[str]:
+        """Instance prompts across datasets (reference _collect_trigger_words)."""
+        words: List[str] = []
+        for bundle in self.bundles.values():
+            prompt = getattr(bundle.config, "instance_prompt", None)
+            if prompt and str(prompt) not in words:
+                words.append(str(prompt))
+        return words
+
 
 def configure_multi_databackend(
     args,

@@ -35,8 +35,18 @@ _LICENSES = {
 }
 
 
-def safetensors_modelspec(model, config, adapter_type: str = "lora") -> Dict[str, str]:
-    """ModelSpec-style metadata written into exported safetensors headers."""
+def safetensors_modelspec(
+    model,
+    config,
+    adapter_type: str = "lora",
+    trigger_words=None,
+    tag_frequency=None,
+) -> Dict[str, str]:
+    """ModelSpec-style metadata written into exported safetensors headers
+    (reference save_hooks.py:614-686: sai spec + description + ComfyUI
+    trigger-word keys ``trained_words``/``ss_tag_frequency`` + comment)."""
+    import json as _json
+
     resolution = int(config.get("resolution", model.DEFAULT_RESOLUTION) or 1024)
     spec = {
         "modelspec.sai_model_spec": "1.0.0",
@@ -48,9 +58,22 @@ def safetensors_modelspec(model, config, adapter_type: str = "lora") -> Dict[str
         "modelspec.resolution": f"{resolution}x{resolution}",
         "modelspec.date": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
+    description = getattr(model, "MODEL_DESCRIPTION", None)
+    if description:
+        spec["modelspec.description"] = str(description)
+    words = list(trigger_words or [])
     trigger = config.get("instance_prompt")
-    if trigger:
-        spec["modelspec.trigger_phrase"] = str(trigger)
+    if trigger and str(trigger) not in words:
+        words.insert(0, str(trigger))
+    if words:
+        spec["modelspec.trigger_phrase"] = words[0]
+        # ComfyUI-Lora-Auto-Trigger-Words compatibility
+        spec["trained_words"] = ", ".join(words)
+    if tag_frequency:
+        spec["ss_tag_frequency"] = _json.dumps(tag_frequency)
+    comment = config.get("modelspec_comment")
+    if comment:
+        spec["modelspec.comment"] = str(comment)
     return spec
 
 

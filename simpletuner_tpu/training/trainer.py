@@ -544,11 +544,26 @@ class Trainer:
             if lora is None:
                 lora = jax.device_get(self._state.trainable.get("lora"))
             if lora is not None:
+                data_plane = getattr(self, "data_plane", None)
+                if not hasattr(self, "_tag_frequency_cache") and data_plane is not None:
+                    # computed once per run; rides every export's metadata
+                    # (reference ss_tag_frequency, save_hooks.py:593-610)
+                    try:
+                        self._tag_frequency_cache = data_plane.tag_frequency()
+                        self._trigger_words_cache = data_plane.trigger_words()
+                    except Exception:
+                        self._tag_frequency_cache = {}
+                        self._trigger_words_cache = []
                 save_lora_safetensors(
                     self.model,
                     lora,
                     os.path.join(checkpoint_path, "pytorch_lora_weights.safetensors"),
-                    metadata=safetensors_modelspec(self.model, self.config),
+                    metadata=safetensors_modelspec(
+                        self.model,
+                        self.config,
+                        trigger_words=getattr(self, "_trigger_words_cache", None),
+                        tag_frequency=getattr(self, "_tag_frequency_cache", None),
+                    ),
                 )
         except Exception as exc:
             logger.warning("LoRA export failed: %s", exc)

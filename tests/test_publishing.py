@@ -37,6 +37,22 @@ def test_modelspec(model):
     assert all(isinstance(v, str) for v in spec.values())
 
 
+def test_modelspec_trigger_words_and_tag_frequency(model):
+    """ComfyUI trigger-word metadata (reference save_hooks.py:593-610)."""
+    import json
+
+    spec = safetensors_modelspec(
+        model, model.config,
+        trigger_words=["ohwx person"],
+        tag_frequency={"train": {"a photo": 12, "ohwx person": 12}},
+    )
+    # dataset trigger words merge with the config instance_prompt
+    assert spec["trained_words"] == "sks style, ohwx person"
+    assert spec["modelspec.trigger_phrase"] == "sks style"
+    freq = json.loads(spec["ss_tag_frequency"])
+    assert freq["train"]["a photo"] == 12
+
+
 def test_model_card(model):
     card = build_model_card(
         model, model.config, validation_prompts=["a photo"], train_steps=500
