@@ -1521,6 +1521,64 @@ def load_ltx2_params(model, path: str) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------------
+# Cosmos3 (reference helpers/models/cosmos3/transformer.py
+# Cosmos3OmniTransformer: flat-layout MoT VL backbone + diffusion pathway)
+# ---------------------------------------------------------------------------------
+
+
+def cosmos3_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+
+    def mlp(src):
+        return {
+            "gate_proj": _linear(w, f"{src}.gate_proj"),
+            "up_proj": _linear(w, f"{src}.up_proj"),
+            "down_proj": _linear(w, f"{src}.down_proj"),
+        }
+
+    params: Dict[str, Any] = {
+        "embed_tokens": _to_f32(w["embed_tokens.weight"]),
+        "norm": _to_f32(w["norm.weight"]),
+        "norm_moe_gen": _to_f32(w["norm_moe_gen.weight"]),
+        "lm_head": _linear(w, "lm_head"),
+        "proj_in": _linear(w, "proj_in"),
+        "proj_out": _linear(w, "proj_out"),
+        "time_in_1": _linear(w, "time_embedder.linear_1"),
+        "time_in_2": _linear(w, "time_embedder.linear_2"),
+    }
+    for i in range(arch.num_layers):
+        src = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "attn_und_q": _linear(w, f"{src}.self_attn.to_q"),
+            "attn_und_k": _linear(w, f"{src}.self_attn.to_k"),
+            "attn_und_v": _linear(w, f"{src}.self_attn.to_v"),
+            "attn_und_out": _linear(w, f"{src}.self_attn.to_out"),
+            "attn_gen_q": _linear(w, f"{src}.self_attn.add_q_proj"),
+            "attn_gen_k": _linear(w, f"{src}.self_attn.add_k_proj"),
+            "attn_gen_v": _linear(w, f"{src}.self_attn.add_v_proj"),
+            "attn_gen_out": _linear(w, f"{src}.self_attn.to_add_out"),
+            "norm_q": _to_f32(w[f"{src}.self_attn.norm_q.weight"]),
+            "norm_k": _to_f32(w[f"{src}.self_attn.norm_k.weight"]),
+            "norm_added_q": _to_f32(w[f"{src}.self_attn.norm_added_q.weight"]),
+            "norm_added_k": _to_f32(w[f"{src}.self_attn.norm_added_k.weight"]),
+            "input_layernorm": _to_f32(w[f"{src}.input_layernorm.weight"]),
+            "post_attention_layernorm": _to_f32(w[f"{src}.post_attention_layernorm.weight"]),
+            "input_layernorm_moe_gen": _to_f32(w[f"{src}.input_layernorm_moe_gen.weight"]),
+            "post_attention_layernorm_moe_gen": _to_f32(w[f"{src}.post_attention_layernorm_moe_gen.weight"]),
+            "mlp": mlp(f"{src}.mlp"),
+            "mlp_moe_gen": mlp(f"{src}.mlp_moe_gen"),
+        }
+    return params
+
+
+def load_cosmos3_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = cosmos3_params_from_checkpoint(weights, model.arch)
+    logger.info("imported cosmos3 weights from %s", path)
+    return params
+
+
+# ---------------------------------------------------------------------------------
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
@@ -1552,6 +1610,7 @@ _IMPORTERS = {
     "flux2": load_flux2_params,
     "ace_step": load_acestep_params,
     "ltxvideo2": load_ltx2_params,
+    "cosmos3": load_cosmos3_params,
 }
 
 

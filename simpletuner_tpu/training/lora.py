@@ -199,6 +199,27 @@ def pixart_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def cosmos3_key_map(arch) -> Dict[str, Any]:
+    """Cosmos3 MoT layout (Cosmos3OmniTransformer, flat keys): understanding
+    pathway rides ``to_*``, generation pathway ``add_*_proj``/``to_add_out``."""
+    mapping: Dict[str, Any] = {"proj_in": "proj_in", "proj_out": "proj_out"}
+    table = {
+        "attn_und_q": "self_attn.to_q", "attn_und_k": "self_attn.to_k",
+        "attn_und_v": "self_attn.to_v", "attn_und_out": "self_attn.to_out",
+        "attn_gen_q": "self_attn.add_q_proj", "attn_gen_k": "self_attn.add_k_proj",
+        "attn_gen_v": "self_attn.add_v_proj", "attn_gen_out": "self_attn.to_add_out",
+        "mlp/gate_proj": "mlp.gate_proj", "mlp/up_proj": "mlp.up_proj",
+        "mlp/down_proj": "mlp.down_proj",
+        "mlp_moe_gen/gate_proj": "mlp_moe_gen.gate_proj",
+        "mlp_moe_gen/up_proj": "mlp_moe_gen.up_proj",
+        "mlp_moe_gen/down_proj": "mlp_moe_gen.down_proj",
+    }
+    for i in range(arch.num_layers):
+        for ours, theirs in table.items():
+            mapping[f"layer_{i}/{ours}"] = f"layers.{i}.{theirs}"
+    return mapping
+
+
 def ltx2_key_map(arch) -> Dict[str, Any]:
     """LTX-2 layout (LTX2VideoTransformer3DModel): dual-modal blocks with six
     attention modules each plus video/audio FFNs."""
@@ -412,6 +433,7 @@ _KEY_MAPS = {
     "flux2": lambda m: flux2_key_map(m.arch),
     "ace_step": lambda m: acestep_key_map(m.arch),
     "ltxvideo2": lambda m: ltx2_key_map(m.arch),
+    "cosmos3": lambda m: cosmos3_key_map(m.arch),
     "krea2": lambda m: flux_key_map(m.arch),
     "mageflow": lambda m: qwen_image_key_map(m.arch),
     "z_image": lambda m: qwen_image_key_map(m.arch),
