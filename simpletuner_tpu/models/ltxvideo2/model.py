@@ -60,6 +60,33 @@ class LTXVideo2(ModelFoundation):
         if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
             raise ValueError("ltxvideo2 is a flow-matching family")
 
+    def video_vae_config(self):
+        """Generic causal-VAE config for the latent cache (32x spatial /
+        8x temporal / 128ch, matching AutoencoderKLLTX2Video compression).
+        ``load_video_vae`` below imports the checkpoint-faithful VAE."""
+        from ..video_vae import VideoVAEConfig
+
+        if getattr(self.config, "model_arch_preset", None) == "tiny":
+            import dataclasses as _dc
+
+            return _dc.replace(VideoVAEConfig.tiny(), latent_channels=self.arch.in_channels)
+        return VideoVAEConfig(
+            latent_channels=128,
+            base_channels=64,
+            channel_multipliers=(1, 2, 4, 8, 8, 8),
+            temporal_downsample=(False, True, True, True, False, False),
+            num_res_blocks=2,
+        )
+
+    @staticmethod
+    def load_video_vae(path: str, tiny: bool = False):
+        """Checkpoint-faithful ``AutoencoderKLLTX2Video`` import → (module,
+        variables); see ``video_vae.py`` for the architecture contract."""
+        from .video_vae import LTX2VideoVAE, LTX2VideoVAEConfig, load_ltx2_video_vae
+
+        cfg = LTX2VideoVAEConfig.tiny() if tiny else LTX2VideoVAEConfig()
+        return LTX2VideoVAE(cfg), load_ltx2_video_vae(cfg, path)
+
     def create_module(self):
         return LTX2Transformer(
             config=self.arch,
