@@ -423,7 +423,9 @@ _f(
     help="FlowMap delta-time parameterisation: embed r itself or the width t-r",
     section="distillation",
 )
-_f("fuse_qkv_projections", FieldType.BOOL, False, section="acceleration")
+_f("fuse_qkv_projections", FieldType.BOOL, False, section="acceleration",
+   help="Accepted for config compatibility; on TPU XLA already fuses the "
+        "Q/K/V GEMMs that share an input operand, so this is a no-op")
 
 # --- observability --------------------------------------------------------------------------
 _f("report_to", FieldType.STR, "none", help="wandb|tensorboard|none|comma-separated", section="observability")

@@ -19,7 +19,7 @@ Split of responsibilities:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,50 @@ class ModelFoundation:
         self.flavour = getattr(config, "model_flavour", None) or self.DEFAULT_FLAVOUR
         self._module: Optional[nn.Module] = None
         self._alphas_cumprod: Optional[jax.Array] = None
+
+    # ---- acceleration presets ---------------------------------------------------------
+    @classmethod
+    def get_acceleration_presets(cls) -> List[Dict[str, Any]]:
+        """Declarative memory/speed presets for the UI and configure wizard
+        (reference ``get_acceleration_presets`` flux/model.py:122-229 exposes
+        RamTorch/block-swap/DeepSpeed/group-offload tradeoffs).  The TPU
+        equivalents are rematerialization policy, int8 frozen-base weights,
+        quantized optimizer states, and mesh sharding — each entry carries the
+        config overrides that enact it plus a human tradeoff string."""
+        return [
+            {
+                "name": "speed",
+                "description": "No remat, bf16 base — fastest when the model fits HBM",
+                "tradeoff": "highest HBM; full activation residency",
+                "config": {"gradient_checkpointing": False, "base_model_precision": "no_change"},
+            },
+            {
+                "name": "balanced",
+                "description": "Full remat with attention outputs saved across the boundary",
+                "tradeoff": "~2/3 of peak activations for ~5% step-time",
+                "config": {
+                    "gradient_checkpointing": True,
+                    "gradient_checkpointing_policy": "attn",
+                },
+            },
+            {
+                "name": "memory",
+                "description": "Full remat + int8 frozen base (LoRA) + int8 optimizer states",
+                "tradeoff": "fits the largest models per chip; ~15-20% step-time",
+                "config": {
+                    "gradient_checkpointing": True,
+                    "gradient_checkpointing_policy": "full",
+                    "base_model_precision": "int8",
+                    "optimizer": "bnb-adamw8bit",
+                },
+            },
+            {
+                "name": "multichip",
+                "description": "FSDP-shard params/optimizer over the mesh (pjit)",
+                "tradeoff": "near-linear HBM relief over ICI; collective overhead",
+                "config": {"fsdp": True, "gradient_checkpointing": True},
+            },
+        ]
 
     @property
     def latent_channels(self) -> int:
@@ -181,6 +225,7 @@ class ModelFoundation:
         # a batch may carry its own noise and flow sigmas
         override_noise = prepared.pop("override_noise", None)
         override_sigmas = prepared.pop("override_sigmas", None)
+        override_timesteps = prepared.pop("override_timesteps", None)
         if override_noise is not None:
             noise = override_noise.astype(jnp.float32)
         batch_size = latents.shape[0]
@@ -217,7 +262,10 @@ class ModelFoundation:
             prepared["noisy_latents"] = flow_interpolate(latents.astype(jnp.float32), input_noise, sigmas)
             prepared["target"] = flow_target(latents.astype(jnp.float32), noise)
         else:
-            timesteps = sample_timesteps(rng_t, batch_size, self.timestep_sampling_config())
+            if override_timesteps is not None:
+                timesteps = override_timesteps.astype(jnp.int32)
+            else:
+                timesteps = sample_timesteps(rng_t, batch_size, self.timestep_sampling_config())
             prepared["timesteps"] = timesteps
             prepared["noisy_latents"] = add_noise(
                 latents.astype(jnp.float32), input_noise, timesteps, self.alphas_cumprod

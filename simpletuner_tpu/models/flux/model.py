@@ -41,6 +41,28 @@ class Flux(ModelFoundation):
     VAE_SCALING_FACTOR = 0.3611
     VAE_SHIFT_FACTOR = 0.1159
 
+    @classmethod
+    def get_acceleration_presets(cls):
+        """Generic TPU presets plus the measured 12B-on-16G-v5e recipe
+        (bench.py flagship: int8 frozen base + rank-16 LoRA + full remat at
+        1024px runs at >50% MFU on a single 16G chip)."""
+        presets = super().get_acceleration_presets()
+        presets.append(
+            {
+                "name": "v5e-16g-12b-lora",
+                "description": "Full 12B Flux LoRA on one 16G v5e: int8 base, full remat, bs1@1024px",
+                "tradeoff": "measured 52% MFU / ~0.46 samples/s on v5e-1",
+                "config": {
+                    "gradient_checkpointing": True,
+                    "gradient_checkpointing_policy": "full",
+                    "base_model_precision": "int8",
+                    "train_batch_size": 1,
+                    "resolution": 1024,
+                },
+            }
+        )
+        return presets
+
     def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
         super().__init__(config)
         if arch is not None:

@@ -16,6 +16,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 from flax import linen as nn
 
 from ...ops import axial_rope
@@ -126,6 +127,7 @@ class DoubleStreamBlock(nn.Module):
         attn = dot_product_attention(
             q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
         )
+        attn = _ckpt_name(attn, "attn_out")
         batch = img.shape[0]
         attn = attn.reshape(batch, -1, dim)
         txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
@@ -186,8 +188,11 @@ class SingleStreamBlock(nn.Module):
                 "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32)
             ) * (cfg.head_dim ** -0.5)
             self.sow("intermediates", "qk_max", jnp.max(logits, axis=(0, 2, 3)))
-        attn = dot_product_attention(
-            q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
+        attn = _ckpt_name(
+            dot_product_attention(
+                q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
+            ),
+            "attn_out",
         ).reshape(batch, seq, dim)
 
         out = LoRADense(dim, name="linear2", **common, **lora)(
@@ -286,6 +291,11 @@ class FluxTransformer(nn.Module):
             policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif self.remat_policy == "attn":
+                # save only the flash-attention outputs across the remat
+                # boundary: the bwd recompute skips the O(S^2) kernel (~20% of
+                # block flops) for ~28MB/block of HBM at 1024px
+                policy = jax.checkpoint_policies.save_only_these_names("attn_out")
             # "single": remat only the single-stream stack (they are 2/3 of the
             # depth); doubles keep activations -> less recompute when HBM allows
             if self.remat_policy != "single":

@@ -105,12 +105,12 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         residual = x
-        h = nn.GroupNorm(_gn(self.norm_groups, x.shape[-1]), dtype=jnp.float32)(x.astype(jnp.float32))
+        h = nn.GroupNorm(_gn(self.norm_groups, x.shape[-1]), epsilon=1e-5, dtype=jnp.float32)(x.astype(jnp.float32))
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="conv1")(h)
         t = LoRADense(self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(_gn(self.norm_groups, h.shape[-1]), dtype=jnp.float32)(h.astype(jnp.float32))
+        h = nn.GroupNorm(_gn(self.norm_groups, h.shape[-1]), epsilon=1e-5, dtype=jnp.float32)(h.astype(jnp.float32))
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
@@ -209,7 +209,7 @@ class TransformerBlock(nn.Module):
             param_dtype=self.param_dtype,
         )
         x = x + CrossAttention(name="attn1", **common)(
-            nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
         )
         if objs is not None:
             # GLIGEN gated self-attention fuser (diffusers
@@ -222,18 +222,18 @@ class TransformerBlock(nn.Module):
             n_vis = x.shape[1]
             fused = jnp.concatenate([x, proj], axis=1)
             h = CrossAttention(name="gligen_attn", **common)(
-                nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="gligen_norm1")(fused)
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="gligen_norm1")(fused)
             )[:, :n_vis]
             x = x + jnp.tanh(self._gate("gligen_alpha_attn")) * h
-            h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="gligen_norm2")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="gligen_norm2")(x)
             gate = LoRADense(inner * 8, name="gligen_ff_proj", **dense)(h)
             a, b = jnp.split(gate, 2, axis=-1)
             h = LoRADense(inner, name="gligen_ff_out", **dense)(a * nn.gelu(b))
             x = x + jnp.tanh(self._gate("gligen_alpha_dense")) * h
         x = x + CrossAttention(name="attn2", **common)(
-            nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x), context
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x), context
         )
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm3")(x)
         inner = x.shape[-1]
         dense = dict(dtype=self.dtype, param_dtype=self.param_dtype, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         # GEGLU feed-forward (diffusers layout: ff.net.0.proj, ff.net.2)
@@ -437,7 +437,7 @@ class UNet2DCondition(nn.Module):
             if level > 0:
                 x = Upsample(out_ch, name=f"up_{level}_upsample", **common)(x)
 
-        x = nn.GroupNorm(_gn(cfg.norm_groups, x.shape[-1]), dtype=jnp.float32, name="conv_norm_out")(
+        x = nn.GroupNorm(_gn(cfg.norm_groups, x.shape[-1]), epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out")(
             x.astype(jnp.float32)
         )
         x = nn.silu(x).astype(self.dtype)

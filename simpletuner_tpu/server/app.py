@@ -206,6 +206,17 @@ def create_server(
                 return self._json(
                     {f: ModelRegistry.metadata(f) for f in ModelRegistry.families()}
                 )
+            match = re.match(r"^/api/models/([\w-]+)/presets$", path)
+            if match:
+                # per-family acceleration presets (reference
+                # get_acceleration_presets flux/model.py:122-229)
+                from ..models.registry import ModelRegistry
+
+                try:
+                    cls = ModelRegistry.get(match.group(1))
+                except KeyError:
+                    return self._json({"error": "unknown model family"}, status=404)
+                return self._json(cls.get_acceleration_presets())
             if path == "/api/optimizers":
                 from ..training.optimizers import optimizer_names
 
