@@ -6,7 +6,10 @@ The MoT core lives in ``transformer.py`` and is checkpoint-faithful to the
 vendored ``Cosmos3OmniTransformer`` (text2world path: causal text prefix +
 full-attention diffusion tokens).  Cosmos3 has NO external text encoder — the
 backbone embeds raw token ids (``embed_tokens``), so the text cache carries
-token ids; sound/action submodalities and reasoner replay are not yet ported.
+token ids.  The sound submodality's AVAE waveform codec is in
+``audio_tokenizer.py`` and the frozen split-reasoner (per-layer K/V replay
+into the generator-only transformer) in ``reasoner.py``; dedicated
+sound/action output heads are not ported.
 """
 
 from __future__ import annotations
@@ -63,6 +66,20 @@ class Cosmos3(ModelFoundation):
     def check_user_config(self) -> None:
         if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
             raise ValueError("cosmos3 is a flow-matching family")
+
+    @staticmethod
+    def load_sound_tokenizer(path: str, tiny: bool = False):
+        """Checkpoint-faithful ``Cosmos3AVAEAudioTokenizer`` import →
+        (module, variables); the sound submodality's waveform↔latent codec
+        (reference model.py:494-519 _load_sound_tokenizer)."""
+        from .audio_tokenizer import (
+            Cosmos3AudioTokenizer,
+            Cosmos3AudioTokenizerConfig,
+            load_cosmos3_audio_tokenizer,
+        )
+
+        cfg = Cosmos3AudioTokenizerConfig.tiny() if tiny else Cosmos3AudioTokenizerConfig()
+        return Cosmos3AudioTokenizer(cfg), load_cosmos3_audio_tokenizer(cfg, path)
 
     def create_module(self):
         return Cosmos3OmniTransformer(

@@ -16,8 +16,9 @@ theta 5e6 over 3-axis position ids.  Vision latents are 2x2-patchified to
 through ``proj_out`` after the generation-side final norm.
 
 This core covers the text2world training path (text prefix + all-noisy
-vision tokens); the optional sound/action heads and the split-reasoner replay
-cache are not yet ported.
+vision tokens) plus the generator-only split-reasoner replay (``reasoner_kv``
+from ``reasoner.py``); the sound submodality's waveform codec lives in
+``audio_tokenizer.py``.  Dedicated sound/action output heads are not ported.
 """
 
 from __future__ import annotations
@@ -132,18 +133,20 @@ class Cosmos3MoTLayer(nn.Module):
     lora_algo: str = "lora"
 
     @nn.compact
-    def __call__(self, und, gen, rope_und, rope_gen):
+    def __call__(self, und, gen, rope_und, rope_gen, reasoner_kv=None):
+        """``reasoner_kv`` = (k, v) replayed from a frozen ``Cosmos3Reasoner``
+        (reference forward_gen_only transformer.py:420-451, :542-552): the und
+        pathway is skipped and the generation tokens attend over
+        [reasoner_k, gen_k] instead — matching generator-only checkpoints."""
         cfg = self.config
         dh = cfg.head_dim
         eps = cfg.rms_norm_eps
         n_rep = cfg.num_heads // cfg.num_kv_heads
-        batch, und_len = und.shape[:2]
-        gen_len = gen.shape[1]
+        batch, gen_len = gen.shape[:2]
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_bias=cfg.attention_bias)
 
         scale = lambda name, dim: self.param(name, nn.initializers.ones, (dim,), self.param_dtype)
-        und_n = _rms(und, scale("input_layernorm", cfg.hidden_size), eps)
         gen_n = _rms(gen, scale("input_layernorm_moe_gen", cfg.hidden_size), eps)
 
         def qkv(x, prefix, seq):
@@ -155,20 +158,6 @@ class Cosmos3MoTLayer(nn.Module):
                 k.reshape(batch, seq, cfg.num_kv_heads, dh),
                 v.reshape(batch, seq, cfg.num_kv_heads, dh),
             )
-
-        q_u, k_u, v_u = qkv(und_n, "attn_und_", und_len)
-        q_g, k_g, v_g = qkv(gen_n, "attn_gen_", gen_len)
-        q_u = _rms(q_u, scale("norm_q", dh), eps)
-        k_u = _rms(k_u, scale("norm_k", dh), eps)
-        q_g = _rms(q_g, scale("norm_added_q", dh), eps)
-        k_g = _rms(k_g, scale("norm_added_k", dh), eps)
-
-        cos_u, sin_u = rope_und
-        cos_g, sin_g = rope_gen
-        q_u = _apply_mrope(q_u, cos_u, sin_u)
-        k_u = _apply_mrope(k_u, cos_u, sin_u)
-        q_g = _apply_mrope(q_g, cos_g, sin_g)
-        k_g = _apply_mrope(k_g, cos_g, sin_g)
 
         def attend(q, k, v, causal):
             qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)
@@ -182,20 +171,39 @@ class Cosmos3MoTLayer(nn.Module):
             out = (probs @ vf).transpose(0, 2, 1, 3)
             return out.reshape(batch, q.shape[1], cfg.num_heads * dh).astype(self.dtype)
 
-        und_attn = attend(q_u, k_u, v_u, causal=True)
-        all_k = jnp.concatenate([k_u, k_g], axis=1)
-        all_v = jnp.concatenate([v_u, v_g], axis=1)
+        cos_g, sin_g = rope_gen
+        q_g, k_g, v_g = qkv(gen_n, "attn_gen_", gen_len)
+        q_g = _rms(q_g, scale("norm_added_q", dh), eps)
+        k_g = _rms(k_g, scale("norm_added_k", dh), eps)
+        q_g = _apply_mrope(q_g, cos_g, sin_g)
+        k_g = _apply_mrope(k_g, cos_g, sin_g)
+
+        if reasoner_kv is None:
+            und_n = _rms(und, scale("input_layernorm", cfg.hidden_size), eps)
+            und_len = und.shape[1]
+            q_u, k_u, v_u = qkv(und_n, "attn_und_", und_len)
+            q_u = _rms(q_u, scale("norm_q", dh), eps)
+            k_u = _rms(k_u, scale("norm_k", dh), eps)
+            cos_u, sin_u = rope_und
+            q_u = _apply_mrope(q_u, cos_u, sin_u)
+            k_u = _apply_mrope(k_u, cos_u, sin_u)
+            und_attn = attend(q_u, k_u, v_u, causal=True)
+        else:
+            k_u, v_u = reasoner_kv  # roped k / raw v from the frozen reasoner
+
+        all_k = jnp.concatenate([k_u.astype(k_g.dtype), k_g], axis=1)
+        all_v = jnp.concatenate([v_u.astype(v_g.dtype), v_g], axis=1)
         gen_attn = attend(q_g, all_k, all_v, causal=False)
-
-        und = und + LoRADense(cfg.hidden_size, name="attn_und_out", **common, **lora)(und_attn)
         gen = gen + LoRADense(cfg.hidden_size, name="attn_gen_out", **common, **lora)(gen_attn)
-
-        und_n = _rms(und, scale("post_attention_layernorm", cfg.hidden_size), eps)
         gen_n = _rms(gen, scale("post_attention_layernorm_moe_gen", cfg.hidden_size), eps)
-        und = und + Cosmos3MLP(cfg, name="mlp", dtype=self.dtype, param_dtype=self.param_dtype,
-                               **lora)(und_n)
         gen = gen + Cosmos3MLP(cfg, name="mlp_moe_gen", dtype=self.dtype, param_dtype=self.param_dtype,
                                **lora)(gen_n)
+
+        if reasoner_kv is None:
+            und = und + LoRADense(cfg.hidden_size, name="attn_und_out", **common, **lora)(und_attn)
+            und_n = _rms(und, scale("post_attention_layernorm", cfg.hidden_size), eps)
+            und = und + Cosmos3MLP(cfg, name="mlp", dtype=self.dtype, param_dtype=self.param_dtype,
+                                   **lora)(und_n)
         return und, gen
 
 
@@ -211,23 +219,38 @@ class Cosmos3OmniTransformer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        text_ids: jax.Array,  # (B, S_und) int token ids (understanding prefix)
+        text_ids: Optional[jax.Array],  # (B, S_und) int token ids (understanding prefix)
         vision_tokens: jax.Array,  # (B, S_gen, patch_latent_dim) patchified latents
         position_ids: jax.Array,  # (B, 3, S_und + S_gen) mRoPE ids
         timesteps: jax.Array,  # (B, S_gen) per-token σ·1000-style scheduler values
         noisy_mask: Optional[jax.Array] = None,  # (B, S_gen) 1 = noisy (gets temb)
+        reasoner_kv: Optional[Tuple[Any, ...]] = None,  # per-layer (k, v) replay
     ):
+        """With ``reasoner_kv`` (one (k, v) pair per layer from a frozen
+        ``Cosmos3Reasoner``), the understanding pathway is skipped entirely
+        and ``text_ids`` may be None — the generator-only replay mode
+        (reference transformer.py:947-953); ``position_ids`` still covers
+        [reasoner prefix, gen] so the gen rope slice lines up."""
         cfg = self.config
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
-        batch, und_len = text_ids.shape
-        gen_len = vision_tokens.shape[1]
+        batch, gen_len = vision_tokens.shape[:2]
+        und_len = position_ids.shape[2] - gen_len
+        replay = reasoner_kv is not None
+        if replay and len(reasoner_kv) != cfg.num_layers:
+            raise ValueError(
+                f"reasoner replay needs {cfg.num_layers} (k, v) pairs, got {len(reasoner_kv)}"
+            )
 
-        embed = self.param(
-            "embed_tokens", nn.initializers.normal(stddev=0.02),
-            (cfg.vocab_size, cfg.hidden_size), self.param_dtype,
-        )
-        und = jnp.take(embed, text_ids, axis=0).astype(self.dtype)
+        und = None
+        if not replay:
+            if text_ids is None:
+                raise ValueError("text_ids required unless reasoner_kv replay is given")
+            embed = self.param(
+                "embed_tokens", nn.initializers.normal(stddev=0.02),
+                (cfg.vocab_size, cfg.hidden_size), self.param_dtype,
+            )
+            und = jnp.take(embed, text_ids, axis=0).astype(self.dtype)
 
         gen = LoRADense(cfg.hidden_size, name="proj_in", use_bias=True, **common, **lora)(
             vision_tokens.astype(self.dtype)
@@ -252,17 +275,19 @@ class Cosmos3OmniTransformer(nn.Module):
         layer_cls = nn.remat(Cosmos3MoTLayer) if self.remat else Cosmos3MoTLayer
         for layer in range(cfg.num_layers):
             und, gen = layer_cls(cfg, name=f"layer_{layer}", **common, **lora)(
-                und, gen, rope_und, rope_gen
+                und, gen, rope_und, rope_gen,
+                reasoner_kv[layer] if replay else None,
             )
             self.sow("intermediates", f"layer_{layer}_hidden", gen)
 
         scale = lambda name: self.param(name, nn.initializers.ones, (cfg.hidden_size,), self.param_dtype)
-        und_out = _rms(und, scale("norm"), cfg.rms_norm_eps)
         gen_out = _rms(gen, scale("norm_moe_gen"), cfg.rms_norm_eps)
-
         vision_pred = LoRADense(
             cfg.patch_latent_dim, name="proj_out", use_bias=True, **common, **lora
         )(gen_out)
+        if replay:
+            return vision_pred.astype(jnp.float32), None
+        und_out = _rms(und, scale("norm"), cfg.rms_norm_eps)
         logits = LoRADense(cfg.vocab_size, name="lm_head", use_bias=False, **common)(und_out)
         return vision_pred.astype(jnp.float32), logits.astype(jnp.float32)
 

@@ -14,24 +14,33 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..common import TextEncoderSpec
+from ..flux.model import Flux
 from ..flux.transformer import FluxConfig
-from ..mageflow.model import MageFlow
+from ..lumina2.model import Lumina2
+from ..lumina2.transformer import Lumina2Config
 from ..pixart.model import PixartConfig, PixartSigma
 from ..sana.model import Sana, SanaConfig
 from ..wan.model import Wan
 from ..wan.transformer import WanConfig
 
 
-class LongcatImage(MageFlow):
-    """reference: helpers/models/longcat_image/transformer.py:296-300 — Flux
-    topology (19 double + 38 single), 24 heads × 128, 3584-dim context."""
+class LongcatImage(Flux):
+    """reference: helpers/models/longcat_image/transformer.py:295-302 — the
+    Flux MMDiT topology verbatim (19 double + 38 single, 24 heads × 128,
+    axes (16,56,56)) with a 3584-dim Qwen context/pooled width and no
+    guidance embedding; flux diffusers-layout importer applies."""
 
     NAME = "longcat_image"
+    PREDICTION_TYPE = "flow_matching"
     DEFAULT_FLAVOUR = "v1"
     HUGGINGFACE_PATHS = {"v1": "meituan-longcat/LongCat-Image"}
     LATENT_CHANNEL_COUNT = 16
+    TEXT_ENCODER_CONFIGURATION = (
+        TextEncoderSpec(name="qwen", family="qwen2.5", subfolder="text_encoder", max_length=512),
+    )
 
     def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
         if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
@@ -41,6 +50,24 @@ class LongcatImage(MageFlow):
                 vec_in_features=3584, guidance_embed=False,
             )
         super().__init__(config, arch=arch)
+
+    def encode_text(self, prompts):
+        """One Qwen encoder supplies both streams (reference longcat_image
+        model.py: sequence features are the context; the pooled projection is
+        the mean-pooled hidden state)."""
+        (qwen,) = self.text_encoders
+        out = qwen.encode(prompts)
+        hidden = np.asarray(out["last_hidden_state"], np.float32)
+        mask = np.asarray(out["attention_mask"], np.float32)[..., None]
+        pooled = (hidden * mask).sum(1) / np.maximum(mask.sum(1), 1.0)
+        return [
+            {
+                "t5_embeds": hidden[i],
+                "pooled_embeds": pooled[i].astype(np.float32),
+                "attention_mask": np.asarray(out["attention_mask"][i]),
+            }
+            for i in range(len(prompts))
+        ]
 
 
 class Anima(PixartSigma):
@@ -142,19 +169,18 @@ class LongcatVideo(Wan):
         super().__init__(config, arch=arch)
 
 
-class BooguImage(MageFlow):
-    """reference: helpers/models/boogu_image — image model with edit
-    (reference-image) conditioning; edit tokens ride the Kontext-style
-    concat path inherited from Flux."""
+class BooguImage(Lumina2):
+    """reference: helpers/models/boogu_image/transformer.py:684-697 — a
+    Lumina2 (Next-DiT) body: hidden 2304 × 26 layers, 24q/8kv heads, the
+    lumina RMSNorm-zero blocks/refiners, edit (reference-image) conditioning
+    pipelines.  The reference's class defaults are internally inconsistent
+    (its own :711 assert — head_dim 96 vs axes sum 120 — would raise), so the
+    consistent Lumina2 axes ride here; the prompt-tuning /
+    instruction-reasoner sidecars are not ported."""
 
     NAME = "boogu_image"
     DEFAULT_FLAVOUR = "v0.1"
     HUGGINGFACE_PATHS = {"v0.1": "boogu/boogu-image-v0.1"}
-
-    @property
-    def is_kontext(self) -> bool:
-        # boogu always trains with paired edit conditioning when present
-        return True
 
 
 class Ernie(PixartSigma):

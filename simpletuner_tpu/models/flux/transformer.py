@@ -127,7 +127,7 @@ class DoubleStreamBlock(nn.Module):
         attn = dot_product_attention(
             q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
         )
-        attn = _ckpt_name(attn, "attn_out")
+        attn = _ckpt_name(attn, "attn_out_double")
         batch = img.shape[0]
         attn = attn.reshape(batch, -1, dim)
         txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
@@ -292,10 +292,16 @@ class FluxTransformer(nn.Module):
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             elif self.remat_policy == "attn":
-                # save only the flash-attention outputs across the remat
-                # boundary: the bwd recompute skips the O(S^2) kernel (~20% of
-                # block flops) for ~28MB/block of HBM at 1024px
+                # save the flash-attention outputs of the 38 single-stream
+                # blocks across the remat boundary: their bwd recompute skips
+                # the O(S^2) kernel (~20% of block flops) for ~27MB/block of
+                # HBM at 1024px.  Double-stream outputs stay rematerialized —
+                # saving all 57 overflows a 16G v5e by ~140MB at 12B-int8.
                 policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+            elif self.remat_policy == "attn_all":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_out_double"
+                )
             # "single": remat only the single-stream stack (they are 2/3 of the
             # depth); doubles keep activations -> less recompute when HBM allows
             if self.remat_policy != "single":

@@ -438,7 +438,7 @@ _KEY_MAPS = {
     "mageflow": lambda m: qwen_image_key_map(m.arch),
     "z_image": lambda m: qwen_image_key_map(m.arch),
     "longcat_image": lambda m: flux_key_map(m.arch),
-    "boogu_image": lambda m: flux_key_map(m.arch),
+    "boogu_image": lambda m: lumina2_key_map(m.arch),
     "chroma": lambda m: flux_key_map(m.arch),
     "sd1x": lambda m: unet_key_map(m.arch),
     "sd2x": lambda m: unet_key_map(m.arch),
