@@ -4,8 +4,6 @@ from .model import (
     Ernie,
     StableCascade,
     Ideogram,
-    KandinskyImage,
-    KandinskyVideo,
     LongcatImage,
     LongcatVideo,
     SanaVideo,

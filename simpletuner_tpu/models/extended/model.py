@@ -116,46 +116,6 @@ class Ideogram(PixartSigma):
             raise ValueError("ideogram is a flow-matching family")
 
 
-class KandinskyImage(PixartSigma):
-    """reference: helpers/models/kandinsky5_image — latent DiT with
-    Qwen2.5-VL + CLIP conditioning (kandinsky_lora_loader.py key layout)."""
-
-    NAME = "kandinsky5_image"
-    PREDICTION_TYPE = "flow_matching"
-    DEFAULT_FLAVOUR = "lite"
-    HUGGINGFACE_PATHS = {"lite": "ai-forever/Kandinsky-5.0-Lite"}
-    LATENT_CHANNEL_COUNT = 16
-
-    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = PixartConfig(
-                in_channels=16, hidden_size=2048, depth=28, num_heads=16,
-                head_dim=128, text_dim=3584,
-            )
-        super().__init__(config, arch=arch)
-
-    def check_user_config(self) -> None:
-        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
-            raise ValueError("kandinsky5_image is a flow-matching family")
-
-
-class KandinskyVideo(Wan):
-    """reference: helpers/models/kandinsky5_video — video latent DiT
-    (self-attn 3D RoPE + text cross-attn), Qwen2.5-VL conditioning."""
-
-    NAME = "kandinsky5_video"
-    DEFAULT_FLAVOUR = "lite-t2v"
-    HUGGINGFACE_PATHS = {"lite-t2v": "ai-forever/Kandinsky-5.0-T2V-Lite"}
-    TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="qwen2.5-vl", family="qwen2.5-vl", subfolder="text_encoder", max_length=512),
-    )
-
-    def __init__(self, config: Any, arch: Optional[WanConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = WanConfig(hidden_size=1792, depth=32, num_heads=14, text_dim=3584)
-        super().__init__(config, arch=arch)
-
-
 class LongcatVideo(Wan):
     """reference: helpers/models/longcat_video — 13.6B video DiT."""
 

@@ -1582,6 +1582,71 @@ def load_cosmos3_params(model, path: str) -> Dict[str, Any]:
 # dispatch + validation
 # ---------------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------------
+# Kandinsky 5.0 (Kandinsky5Transformer3DModel; reference
+# helpers/models/kandinsky5_video/transformer_kandinsky5.py)
+# ---------------------------------------------------------------------------------
+
+
+def _k5_attention(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "to_query": _linear(w, f"{src}.to_query"),
+        "to_key": _linear(w, f"{src}.to_key"),
+        "to_value": _linear(w, f"{src}.to_value"),
+        "out_layer": _linear(w, f"{src}.out_layer"),
+        "query_norm": _to_f32(w[f"{src}.query_norm.weight"]),
+        "key_norm": _to_f32(w[f"{src}.key_norm.weight"]),
+    }
+
+
+def _k5_ff(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "in_layer": _linear(w, f"{src}.in_layer"),
+        "out_layer": _linear(w, f"{src}.out_layer"),
+    }
+
+
+def kandinsky5_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "time_in": _linear(w, "time_embeddings.in_layer"),
+        "time_out": _linear(w, "time_embeddings.out_layer"),
+        "text_in": _linear(w, "text_embeddings.in_layer"),
+        "text_norm": _norm(w, "text_embeddings.norm"),
+        "pooled_in": _linear(w, "pooled_text_embeddings.in_layer"),
+        "pooled_norm": _norm(w, "pooled_text_embeddings.norm"),
+        "visual_in": _linear(w, "visual_embeddings.in_layer"),
+        "out_modulation": {"out_layer": _linear(w, "out_layer.modulation.out_layer")},
+        "out_proj": _linear(w, "out_layer.out_layer"),
+    }
+    for i in range(arch.num_text_blocks):
+        src = f"text_transformer_blocks.{i}"
+        params[f"text_block_{i}"] = {
+            "text_modulation": {"out_layer": _linear(w, f"{src}.text_modulation.out_layer")},
+            "self_attention": _k5_attention(w, f"{src}.self_attention"),
+            "feed_forward": _k5_ff(w, f"{src}.feed_forward"),
+        }
+    for i in range(arch.num_visual_blocks):
+        src = f"visual_transformer_blocks.{i}"
+        params[f"visual_block_{i}"] = {
+            "visual_modulation": {"out_layer": _linear(w, f"{src}.visual_modulation.out_layer")},
+            "self_attention": _k5_attention(w, f"{src}.self_attention"),
+            "cross_attention": _k5_attention(w, f"{src}.cross_attention"),
+            "feed_forward": _k5_ff(w, f"{src}.feed_forward"),
+        }
+    return params
+
+
+def load_kandinsky5_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = kandinsky5_params_from_checkpoint(weights, model.arch)
+    logger.info("imported kandinsky5 weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -1611,6 +1676,8 @@ _IMPORTERS = {
     "ace_step": load_acestep_params,
     "ltxvideo2": load_ltx2_params,
     "cosmos3": load_cosmos3_params,
+    "kandinsky5_video": load_kandinsky5_params,
+    "kandinsky5_image": load_kandinsky5_params,
 }
 
 

@@ -161,6 +161,33 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def kandinsky5_key_map(arch) -> Dict[str, Any]:
+    """Kandinsky5Transformer3DModel layout (reference
+    helpers/models/kandinsky5_video/transformer_kandinsky5.py)."""
+    mapping: Dict[str, Any] = {"visual_in": "visual_embeddings.in_layer",
+                               "out_proj": "out_layer.out_layer"}
+    attn = {"to_query": "to_query", "to_key": "to_key", "to_value": "to_value",
+            "out_layer": "out_layer"}
+    for layer in range(arch.num_text_blocks):
+        for ours, theirs in attn.items():
+            mapping[f"text_block_{layer}/self_attention/{ours}"] = (
+                f"text_transformer_blocks.{layer}.self_attention.{theirs}")
+        mapping[f"text_block_{layer}/feed_forward/in_layer"] = (
+            f"text_transformer_blocks.{layer}.feed_forward.in_layer")
+        mapping[f"text_block_{layer}/feed_forward/out_layer"] = (
+            f"text_transformer_blocks.{layer}.feed_forward.out_layer")
+    for layer in range(arch.num_visual_blocks):
+        for branch in ("self_attention", "cross_attention"):
+            for ours, theirs in attn.items():
+                mapping[f"visual_block_{layer}/{branch}/{ours}"] = (
+                    f"visual_transformer_blocks.{layer}.{branch}.{theirs}")
+        mapping[f"visual_block_{layer}/feed_forward/in_layer"] = (
+            f"visual_transformer_blocks.{layer}.feed_forward.in_layer")
+        mapping[f"visual_block_{layer}/feed_forward/out_layer"] = (
+            f"visual_transformer_blocks.{layer}.feed_forward.out_layer")
+    return mapping
+
+
 def wan_key_map(arch) -> Dict[str, Any]:
     mapping: Dict[str, Any] = {}
     table = {
@@ -448,12 +475,12 @@ _KEY_MAPS = {
     "sd3": lambda m: sd3_key_map(m.arch),
     "wan": lambda m: wan_key_map(m.arch),
     "wan_s2v": lambda m: wan_key_map(m.arch),
-    "kandinsky5_video": lambda m: wan_key_map(m.arch),
+    "kandinsky5_video": lambda m: kandinsky5_key_map(m.arch),
     "longcat_video": lambda m: wan_key_map(m.arch),
     "pixart_sigma": lambda m: pixart_key_map(m.arch),
     "anima": lambda m: pixart_key_map(m.arch),
     "ideogram": lambda m: pixart_key_map(m.arch),
-    "kandinsky5_image": lambda m: pixart_key_map(m.arch),
+    "kandinsky5_image": lambda m: kandinsky5_key_map(m.arch),
     "ernie": lambda m: pixart_key_map(m.arch),
     "stable_cascade": lambda m: pixart_key_map(m.arch),
     "lumina2": lambda m: lumina2_key_map(m.arch),
