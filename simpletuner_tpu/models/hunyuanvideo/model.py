@@ -61,6 +61,15 @@ class HunyuanVideo(ModelFoundation):
 
         return _dc.replace(VideoVAEConfig.wan(), latent_channels=self.arch.out_channels)
 
+    @staticmethod
+    def load_sr_upsampler(kind: str, path: str, tiny: bool = False):
+        """Checkpoint-faithful SR-stage latent upsampler → (module,
+        variables); kind ∈ {"720p", "1080p"} (reference
+        helpers/models/hunyuanvideo/modules/upsample.py second stage)."""
+        from .sr_upsampler import load_sr_upsampler
+
+        return load_sr_upsampler(kind, path, tiny=tiny)
+
     def create_module(self):
         return HunyuanVideo15Transformer(
             config=self.arch,

@@ -78,6 +78,67 @@ class LTXVideo2(ModelFoundation):
             num_res_blocks=2,
         )
 
+    # ---- multistage (spatial-upscale) validation ------------------------------------
+    # reference ltxvideo2/model.py:140 LTX2_STAGE2_SIGMAS + :1026-1089: stage 1
+    # renders at half resolution, the latent upsampler doubles it, stage 2
+    # re-noises at sigmas[0] and runs this short ladder
+    LTX2_STAGE2_SIGMAS = (0.909375, 0.725, 0.421875)
+
+    def supports_multistage_validation(self) -> bool:
+        mode = str(getattr(self.config, "ltx2_validation_pipeline_mode", "trained-stage")
+                   or "trained-stage").strip().lower()
+        if mode not in ("trained-stage", "spatial-upscale"):
+            raise ValueError(
+                "ltx2_validation_pipeline_mode must be trained-stage or spatial-upscale"
+            )
+        return mode == "spatial-upscale"
+
+    def latent_upsampler(self):
+        """Cached (module, variables) for the stage-2 spatial upsampler.
+        Requires a resolvable checkpoint except under the tiny test preset,
+        where a fresh x2 upsampler stands in."""
+        if getattr(self, "_latent_upsampler", None) is None:
+            import os
+
+            path = getattr(self.config, "ltx2_validation_spatial_upsampler_model", None)
+            if path and os.path.isfile(str(path)):
+                from .latent_upsampler import load_ltx2_latent_upsampler
+
+                self._latent_upsampler = load_ltx2_latent_upsampler(str(path))
+            elif getattr(self.config, "model_arch_preset", None) == "tiny":
+                import dataclasses as _dc
+
+                from .latent_upsampler import LTX2LatentUpsampler, LTX2UpsamplerConfig
+
+                cfg = _dc.replace(LTX2UpsamplerConfig.tiny(), in_channels=self.arch.in_channels)
+                module = LTX2LatentUpsampler(cfg)
+                variables = module.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 1, 4, 4, cfg.in_channels))
+                )
+                self._latent_upsampler = (module, variables)
+            else:
+                raise ValueError(
+                    "spatial-upscale validation requires "
+                    "ltx2_validation_spatial_upsampler_model to point at a local "
+                    "safetensors file (no silent random-weight fallback)"
+                )
+        return self._latent_upsampler
+
+    def spatial_upscale_latents(self, latents: jax.Array) -> jax.Array:
+        """2x spatial upscale of (B, T, H, W, C) diffusion latents.  Uses the
+        faithful video-VAE per-channel statistics when a real VAE is attached
+        (``self._video_vae_stats``); identity statistics otherwise."""
+        from .latent_upsampler import upsample_ltx2_video_latents
+
+        module, variables = self.latent_upsampler()
+        stats = getattr(self, "_video_vae_stats", None)
+        if stats is not None:
+            mean, std = stats
+        else:
+            mean = jnp.zeros((latents.shape[-1],), jnp.float32)
+            std = jnp.ones((latents.shape[-1],), jnp.float32)
+        return upsample_ltx2_video_latents(latents, module, variables, mean, std)
+
     @staticmethod
     def load_video_vae(path: str, tiny: bool = False):
         """Checkpoint-faithful ``AutoencoderKLLTX2Video`` import → (module,

@@ -311,6 +311,60 @@ class Validation:
         return paths
 
     def _render(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
+        supports = getattr(self.model, "supports_multistage_validation", None)
+        if callable(supports) and supports() and len(self._latent_shape(1)) == 5:
+            return self._render_multistage(variables, embeds, index)
+        return self._render_single(variables, embeds, index)
+
+    def _render_multistage(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
+        """Two-stage spatial-upscale validation (reference ltxvideo2
+        model.py:1026-1089): stage 1 samples at half spatial resolution, the
+        latent upsampler doubles it, stage 2 re-noises at
+        ``LTX2_STAGE2_SIGMAS[0]`` and denoises over that short ladder."""
+        from ..schedulers.flow_euler import FlowMatchEulerScheduler
+
+        full_shape = self._latent_shape(1)
+        b, t, h, w, c = full_shape
+        stage1_shape = (b, t, max(h // 2, 1), max(w // 2, 1), c)
+
+        batch = {"latents": jnp.zeros(stage1_shape, jnp.float32)}
+        for key, value in embeds.items():
+            if hasattr(value, "shape"):
+                batch[key] = jnp.asarray(value)[None]
+        cond = self.model.inference_conditioning(batch)
+
+        seq = stage1_shape[1] * (stage1_shape[2] // 2) * (stage1_shape[3] // 2)
+        scheduler1 = build_scheduler(self.model, self.num_steps, image_seq_len=max(seq, 1))
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), index)
+        noise1 = jax.random.normal(rng, stage1_shape, jnp.float32)
+
+        @jax.jit
+        def stage1(variables, cond, noise):
+            return sample_loop(scheduler1, self.model.denoise_fn(variables, cond), noise)
+
+        latents = stage1(variables, cond, noise1)
+        upscaled = self.model.spatial_upscale_latents(latents)
+
+        sigma_list = [float(s) for s in self.model.LTX2_STAGE2_SIGMAS]
+        sigmas2 = jnp.asarray(sigma_list + [0.0], jnp.float32)
+        scheduler2 = FlowMatchEulerScheduler(sigmas=sigmas2, timesteps=sigmas2[:-1])
+        noise2 = jax.random.normal(jax.random.fold_in(rng, 1), upscaled.shape, jnp.float32)
+        start = (1.0 - sigma_list[0]) * upscaled + sigma_list[0] * noise2
+
+        @jax.jit
+        def stage2(variables, cond, start_latents):
+            return sample_loop(scheduler2, self.model.denoise_fn(variables, cond), start_latents)
+
+        final = stage2(variables, cond, start)
+        out = np.asarray(final)[0]
+        if self.decode_fn is not None:
+            scaling = self.model.VAE_SCALING_FACTOR or 1.0
+            shift = self.model.VAE_SHIFT_FACTOR or 0.0
+            out = np.asarray(self.decode_fn(jnp.asarray(out)[None] / scaling + shift))[0]
+            out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return out
+
+    def _render_single(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
         latent_shape = self._latent_shape(1)
         if len(latent_shape) == 5:  # video: (B, T, H, W, C)
             seq_len = latent_shape[1] * (latent_shape[2] // 2) * (latent_shape[3] // 2)
