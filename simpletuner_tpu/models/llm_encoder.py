@@ -244,7 +244,16 @@ class LLMEncoder(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        output_hidden_states: bool = False,
+    ):
+        """Final-norm hidden states; with ``output_hidden_states`` also the
+        per-layer taps (embeddings + each block output, transformers
+        convention) as a (num_layers+1)-tuple — consumed by families that
+        stack tapped layers (krea2 text fusion)."""
         cfg = self.config
         batch, seq = input_ids.shape
         embed = self.param(
@@ -262,11 +271,16 @@ class LLMEncoder(nn.Module):
         if attention_mask is not None:
             causal = causal & attention_mask.astype(jnp.bool_)[:, None, None, :]
 
+        taps = [x]
         for i in range(cfg.num_layers):
             x = LLMBlock(cfg, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}")(
                 x, cos, sin, causal
             )
-        return _Norm(cfg.rms_eps, cfg.rms_unit_offset, self.param_dtype, name="final_norm")(x)
+            taps.append(x)
+        out = _Norm(cfg.rms_eps, cfg.rms_unit_offset, self.param_dtype, name="final_norm")(x)
+        if output_hidden_states:
+            return out, tuple(taps)
+        return out
 
 
 # ---------------------------------------------------------------------------------

@@ -20,6 +20,7 @@ _FAMILIES: Dict[str, tuple] = {
     "ltxvideo2": ("simpletuner_tpu.models.ltxvideo2.model", "LTXVideo2", {"modality": "video", "prediction": "flow_matching"}),
     "ace_step": ("simpletuner_tpu.models.ace_step.model", "ACEStep", {"modality": "audio", "prediction": "flow_matching"}),
     "chroma": ("simpletuner_tpu.models.chroma.model", "Chroma", {"modality": "image", "prediction": "flow_matching"}),
+    "krea2": ("simpletuner_tpu.models.krea2.model", "Krea2", {"modality": "image", "prediction": "flow_matching"}),
     "kolors": ("simpletuner_tpu.models.kolors.model", "Kolors", {"modality": "image", "prediction": "epsilon"}),
     "hunyuanvideo": ("simpletuner_tpu.models.hunyuanvideo.model", "HunyuanVideo", {"modality": "video", "prediction": "flow_matching"}),
     "flux2": ("simpletuner_tpu.models.flux2.model", "Flux2", {"modality": "image", "prediction": "flow_matching"}),
@@ -51,7 +52,6 @@ _ALIASES = {
     "sd21": "sd2x",
     "pixart": "pixart_sigma",
     "ltx2": "ltxvideo2",
-    "krea2": "flux",  # Krea arch is a Flux flavour
     "cosmos": "cosmos3",
     "z_image_omni": "z_image",
     "zlab_i1": "z_image",

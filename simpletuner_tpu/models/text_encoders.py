@@ -156,6 +156,26 @@ class LLMTextEncoder:
         pooled = hidden[np.arange(hidden.shape[0]), last]
         return {"last_hidden_state": hidden, "attention_mask": mask, "pooled": pooled}
 
+    def encode_with_hidden_states(self, prompts: Sequence[str]) -> Dict[str, Any]:
+        """Per-layer hidden-state taps (embeddings first, transformers
+        ``output_hidden_states`` convention) for families that stack tapped
+        layers (krea2 text fusion; reference krea2/pipeline.py:271-273)."""
+        tokens = self.tokenize(prompts)
+        if not hasattr(self, "_encode_taps_jit"):
+            self._encode_taps_jit = jax.jit(
+                lambda ids, mask: self.module.apply(
+                    {"params": self.params}, ids, mask, output_hidden_states=True
+                )
+            )
+        final, taps = self._encode_taps_jit(
+            jnp.asarray(tokens["input_ids"]), jnp.asarray(tokens["attention_mask"])
+        )
+        return {
+            "last_hidden_state": np.asarray(final, np.float32),
+            "hidden_states": tuple(np.asarray(t, np.float32) for t in taps),
+            "attention_mask": np.asarray(tokens["attention_mask"]),
+        }
+
 
 _LLM_ARCHES = {
     "gemma": "gemma2",

@@ -1647,6 +1647,91 @@ def load_kandinsky5_params(model, path: str) -> Dict[str, Any]:
 
 
 
+
+
+# ---------------------------------------------------------------------------------
+# Krea 2 (Krea2Transformer2DModel; reference helpers/models/krea2/transformer.py)
+# ---------------------------------------------------------------------------------
+
+
+def _krea2_attn(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "to_q": _linear(w, f"{src}.to_q"),
+        "to_k": _linear(w, f"{src}.to_k"),
+        "to_v": _linear(w, f"{src}.to_v"),
+        "to_gate": _linear(w, f"{src}.to_gate"),
+        "to_out": _linear(w, f"{src}.to_out.0"),
+        "norm_q": _to_f32(w[f"{src}.norm_q.weight"]),
+        "norm_k": _to_f32(w[f"{src}.norm_k.weight"]),
+    }
+
+
+def _krea2_ff(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "gate": _linear(w, f"{src}.gate"),
+        "up": _linear(w, f"{src}.up"),
+        "down": _linear(w, f"{src}.down"),
+    }
+
+
+def _krea2_fusion_block(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "norm1": _to_f32(w[f"{src}.norm1.weight"]),
+        "norm2": _to_f32(w[f"{src}.norm2.weight"]),
+        "attn": _krea2_attn(w, f"{src}.attn"),
+        "ff": _krea2_ff(w, f"{src}.ff"),
+    }
+
+
+def krea2_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "img_in": _linear(w, "img_in"),
+        "time_in_1": _linear(w, "time_embed.linear_1"),
+        "time_in_2": _linear(w, "time_embed.linear_2"),
+        "time_mod_proj": _linear(w, "time_mod_proj"),
+        # projector: torch Linear(L, 1) weight (1, L) -> ours (L, 1)
+        "text_projector": np.ascontiguousarray(_to_f32(w["text_fusion.projector.weight"]).T),
+        "txt_norm": _to_f32(w["txt_in.norm.weight"]),
+        "txt_in_1": _linear(w, "txt_in.linear_1"),
+        "txt_in_2": _linear(w, "txt_in.linear_2"),
+        "final_scale_shift_table": _to_f32(w["final_layer.scale_shift_table"]),
+        "final_norm": _to_f32(w["final_layer.norm.weight"]),
+        "final_linear": _linear(w, "final_layer.linear"),
+    }
+    for i in range(arch.num_layerwise_text_blocks):
+        params[f"text_layerwise_{i}"] = _krea2_fusion_block(w, f"text_fusion.layerwise_blocks.{i}")
+    for i in range(arch.num_refiner_text_blocks):
+        params[f"text_refiner_{i}"] = _krea2_fusion_block(w, f"text_fusion.refiner_blocks.{i}")
+    for i in range(arch.num_layers):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]),
+            "norm1": _to_f32(w[f"{src}.norm1.weight"]),
+            "norm2": _to_f32(w[f"{src}.norm2.weight"]),
+            "attn": _krea2_attn(w, f"{src}.attn"),
+            "ff": _krea2_ff(w, f"{src}.ff"),
+        }
+    # reference packs latents (c, ph, pw); our pack_latents is (ph, pw, c)
+    perm = _flux_pack_permutation(params["img_in"]["kernel"].shape[0])
+    params["img_in"]["kernel"] = np.ascontiguousarray(params["img_in"]["kernel"][perm])
+    out_perm = _flux_pack_permutation(params["final_linear"]["kernel"].shape[1])
+    params["final_linear"]["kernel"] = np.ascontiguousarray(
+        params["final_linear"]["kernel"][:, out_perm])
+    if "bias" in params["final_linear"]:
+        params["final_linear"]["bias"] = np.ascontiguousarray(
+            params["final_linear"]["bias"][out_perm])
+    return params
+
+
+def load_krea2_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = krea2_params_from_checkpoint(weights, model.arch)
+    logger.info("imported krea2 weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -1678,6 +1763,7 @@ _IMPORTERS = {
     "cosmos3": load_cosmos3_params,
     "kandinsky5_video": load_kandinsky5_params,
     "kandinsky5_image": load_kandinsky5_params,
+    "krea2": load_krea2_params,
 }
 
 

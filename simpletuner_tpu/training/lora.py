@@ -161,6 +161,19 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def krea2_key_map(arch) -> Dict[str, Any]:
+    """Krea2Transformer2DModel layout (reference helpers/models/krea2)."""
+    mapping: Dict[str, Any] = {"img_in": "img_in", "final_linear": "final_layer.linear"}
+    attn = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
+            "to_gate": "to_gate", "to_out": "to_out.0"}
+    for layer in range(arch.num_layers):
+        for ours, theirs in attn.items():
+            mapping[f"block_{layer}/attn/{ours}"] = f"transformer_blocks.{layer}.attn.{theirs}"
+        for p in ("gate", "up", "down"):
+            mapping[f"block_{layer}/ff/{p}"] = f"transformer_blocks.{layer}.ff.{p}"
+    return mapping
+
+
 def kandinsky5_key_map(arch) -> Dict[str, Any]:
     """Kandinsky5Transformer3DModel layout (reference
     helpers/models/kandinsky5_video/transformer_kandinsky5.py)."""
@@ -461,7 +474,7 @@ _KEY_MAPS = {
     "ace_step": lambda m: acestep_key_map(m.arch),
     "ltxvideo2": lambda m: ltx2_key_map(m.arch),
     "cosmos3": lambda m: cosmos3_key_map(m.arch),
-    "krea2": lambda m: flux_key_map(m.arch),
+    "krea2": lambda m: krea2_key_map(m.arch),
     "mageflow": lambda m: qwen_image_key_map(m.arch),
     "z_image": lambda m: qwen_image_key_map(m.arch),
     "longcat_image": lambda m: flux_key_map(m.arch),

@@ -127,12 +127,12 @@ def test_latest_wave_families(family):
 
 def test_family_aliases():
     assert ModelRegistry.get("ltxvideo2").__name__ == "LTXVideo2"  # distinct 19B AV family
-    assert ModelRegistry.get("krea2").__name__ == "Flux"
+    assert ModelRegistry.get("krea2").__name__ == "Krea2"  # own GQA MMDiT family now
 
 @pytest.mark.parametrize("family", [
     "qwen_image", "longcat_image", "longcat_video", "anima", "ideogram",
     "kandinsky5_image", "kandinsky5_video", "sanavideo",
-    "boogu_image", "ernie", "stable_cascade",
+    "boogu_image", "ernie", "stable_cascade", "krea2",
 ])
 def test_extended_families(family):
     model = make_model(family)
