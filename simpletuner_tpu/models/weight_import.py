@@ -1732,6 +1732,55 @@ def load_krea2_params(model, path: str) -> Dict[str, Any]:
 
 
 
+
+
+# ---------------------------------------------------------------------------------
+# Ideogram 4 (Ideogram4Transformer; reference helpers/models/ideogram/transformer.py)
+# ---------------------------------------------------------------------------------
+
+
+def ideogram_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "input_proj": _linear(w, "input_proj"),
+        "llm_cond_norm": _to_f32(w["llm_cond_norm.weight"]),
+        "llm_cond_proj": _linear(w, "llm_cond_proj"),
+        "t_in": _linear(w, "t_embedding.mlp_in"),
+        "t_out": _linear(w, "t_embedding.mlp_out"),
+        "adaln_proj": _linear(w, "adaln_proj"),
+        "embed_image_indicator": _to_f32(w["embed_image_indicator.weight"]),
+        "final_linear": _linear(w, "final_layer.linear"),
+        "final_adaln": _linear(w, "final_layer.adaln_modulation"),
+    }
+    for i in range(arch.num_layers):
+        src = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "qkv": _linear(w, f"{src}.attention.qkv"),
+            "o": _linear(w, f"{src}.attention.o"),
+            "norm_q": _to_f32(w[f"{src}.attention.norm_q.weight"]),
+            "norm_k": _to_f32(w[f"{src}.attention.norm_k.weight"]),
+            "w1": _linear(w, f"{src}.feed_forward.w1"),
+            "w2": _linear(w, f"{src}.feed_forward.w2"),
+            "w3": _linear(w, f"{src}.feed_forward.w3"),
+            "attention_norm1": _to_f32(w[f"{src}.attention_norm1.weight"]),
+            "attention_norm2": _to_f32(w[f"{src}.attention_norm2.weight"]),
+            "ffn_norm1": _to_f32(w[f"{src}.ffn_norm1.weight"]),
+            "ffn_norm2": _to_f32(w[f"{src}.ffn_norm2.weight"]),
+            "adaln_modulation": _linear(w, f"{src}.adaln_modulation"),
+        }
+    # reference fused-qkv layout is (q ++ k ++ v) interleaved per head exactly
+    # as ours (view(B, L, 3, heads, hd) unbind) -> kernel maps 1:1
+    return params
+
+
+def load_ideogram_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = ideogram_params_from_checkpoint(weights, model.arch)
+    logger.info("imported ideogram weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -1764,6 +1813,7 @@ _IMPORTERS = {
     "kandinsky5_video": load_kandinsky5_params,
     "kandinsky5_image": load_kandinsky5_params,
     "krea2": load_krea2_params,
+    "ideogram": load_ideogram_params,
 }
 
 

@@ -161,6 +161,18 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def ideogram_key_map(arch) -> Dict[str, Any]:
+    """Ideogram4Transformer layout (reference helpers/models/ideogram)."""
+    mapping: Dict[str, Any] = {"input_proj": "input_proj",
+                               "final_linear": "final_layer.linear"}
+    for layer in range(arch.num_layers):
+        mapping[f"layer_{layer}/qkv"] = f"layers.{layer}.attention.qkv"
+        mapping[f"layer_{layer}/o"] = f"layers.{layer}.attention.o"
+        for p in ("w1", "w2", "w3"):
+            mapping[f"layer_{layer}/{p}"] = f"layers.{layer}.feed_forward.{p}"
+    return mapping
+
+
 def krea2_key_map(arch) -> Dict[str, Any]:
     """Krea2Transformer2DModel layout (reference helpers/models/krea2)."""
     mapping: Dict[str, Any] = {"img_in": "img_in", "final_linear": "final_layer.linear"}
@@ -492,7 +504,7 @@ _KEY_MAPS = {
     "longcat_video": lambda m: wan_key_map(m.arch),
     "pixart_sigma": lambda m: pixart_key_map(m.arch),
     "anima": lambda m: pixart_key_map(m.arch),
-    "ideogram": lambda m: pixart_key_map(m.arch),
+    "ideogram": lambda m: ideogram_key_map(m.arch),
     "kandinsky5_image": lambda m: kandinsky5_key_map(m.arch),
     "ernie": lambda m: pixart_key_map(m.arch),
     "stable_cascade": lambda m: pixart_key_map(m.arch),
