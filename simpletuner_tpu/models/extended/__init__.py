@@ -1,7 +1,6 @@
 from .model import (
     Anima,
     BooguImage,
-    Ernie,
     StableCascade,
     Ideogram,
     LongcatImage,

@@ -143,28 +143,6 @@ class BooguImage(Lumina2):
     HUGGINGFACE_PATHS = {"v0.1": "boogu/boogu-image-v0.1"}
 
 
-class Ernie(PixartSigma):
-    """reference: helpers/models/ernie — ERNIE-conditioned image DiT."""
-
-    NAME = "ernie"
-    PREDICTION_TYPE = "flow_matching"
-    DEFAULT_FLAVOUR = "v1"
-    HUGGINGFACE_PATHS = {"v1": "baidu/ERNIE-4.5-VL-image"}
-    LATENT_CHANNEL_COUNT = 16
-
-    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = PixartConfig(
-                in_channels=16, hidden_size=2304, depth=28, num_heads=18,
-                head_dim=128, text_dim=4096,
-            )
-        super().__init__(config, arch=arch)
-
-    def check_user_config(self) -> None:
-        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
-            raise ValueError("ernie is a flow-matching family")
-
-
 class StableCascade(PixartSigma):
     """reference: helpers/models/stable_cascade — Stage C prior: an
     epsilon-prediction DiT over heavily-compressed (42x) EffNet latents.

@@ -40,7 +40,7 @@ _FAMILIES: Dict[str, tuple] = {
     "kandinsky5_video": ("simpletuner_tpu.models.kandinsky5.model", "Kandinsky5Video", {"modality": "video", "prediction": "flow_matching"}),
     "sanavideo": ("simpletuner_tpu.models.extended.model", "SanaVideo", {"modality": "video", "prediction": "flow_matching"}),
     "boogu_image": ("simpletuner_tpu.models.extended.model", "BooguImage", {"modality": "image", "prediction": "flow_matching"}),
-    "ernie": ("simpletuner_tpu.models.extended.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
+    "ernie": ("simpletuner_tpu.models.ernie.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
     "stable_cascade": ("simpletuner_tpu.models.extended.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),
     "wan_s2v": ("simpletuner_tpu.models.extended.model", "WanS2V", {"modality": "video", "prediction": "flow_matching"}),
     "heartmula": ("simpletuner_tpu.models.heartmula.model", "HeartMuLa", {"modality": "audio", "prediction": "autoregressive"}),

@@ -1781,6 +1781,54 @@ def load_ideogram_params(model, path: str) -> Dict[str, Any]:
 
 
 
+
+
+# ---------------------------------------------------------------------------------
+# ERNIE (ErnieImageTransformer2DModel; reference helpers/models/ernie)
+# ---------------------------------------------------------------------------------
+
+
+def ernie_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    # x_embedder is a k=1 Conv2d: weight (H, C, 1, 1) -> dense kernel (C, H)
+    conv = _to_f32(w["x_embedder.proj.weight"])[:, :, 0, 0]
+    params: Dict[str, Any] = {
+        "x_embedder": {"kernel": np.ascontiguousarray(conv.T),
+                       "bias": _to_f32(w["x_embedder.proj.bias"])},
+        "time_in": _linear(w, "time_embedding.linear_1"),
+        "time_out": _linear(w, "time_embedding.linear_2"),
+        "adaLN_modulation": _linear(w, "adaLN_modulation.1"),
+        "final_adaLN": _linear(w, "final_norm.linear"),
+        "final_linear": _linear(w, "final_linear"),
+    }
+    if "text_proj.weight" in w:
+        params["text_proj"] = _linear(w, "text_proj")
+    for i in range(arch.num_layers):
+        src = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "adaLN_sa_ln": _to_f32(w[f"{src}.adaLN_sa_ln.weight"]),
+            "adaLN_mlp_ln": _to_f32(w[f"{src}.adaLN_mlp_ln.weight"]),
+            "to_q": _linear(w, f"{src}.self_attention.to_q"),
+            "to_k": _linear(w, f"{src}.self_attention.to_k"),
+            "to_v": _linear(w, f"{src}.self_attention.to_v"),
+            "to_out": _linear(w, f"{src}.self_attention.to_out.0"),
+            "norm_q": _to_f32(w[f"{src}.self_attention.norm_q.weight"]),
+            "norm_k": _to_f32(w[f"{src}.self_attention.norm_k.weight"]),
+            "gate_proj": _linear(w, f"{src}.mlp.gate_proj"),
+            "up_proj": _linear(w, f"{src}.mlp.up_proj"),
+            "linear_fc2": _linear(w, f"{src}.mlp.linear_fc2"),
+        }
+    return params
+
+
+def load_ernie_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = ernie_params_from_checkpoint(weights, model.arch)
+    logger.info("imported ernie weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -1814,6 +1862,7 @@ _IMPORTERS = {
     "kandinsky5_image": load_kandinsky5_params,
     "krea2": load_krea2_params,
     "ideogram": load_ideogram_params,
+    "ernie": load_ernie_params,
 }
 
 

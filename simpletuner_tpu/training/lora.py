@@ -161,6 +161,18 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def ernie_key_map(arch) -> Dict[str, Any]:
+    """ErnieImageTransformer2DModel layout (reference helpers/models/ernie)."""
+    mapping: Dict[str, Any] = {"final_linear": "final_linear"}
+    for layer in range(arch.num_layers):
+        for ours, theirs in (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"),
+                             ("to_out", "to_out.0")):
+            mapping[f"layer_{layer}/{ours}"] = f"layers.{layer}.self_attention.{theirs}"
+        for p in ("gate_proj", "up_proj", "linear_fc2"):
+            mapping[f"layer_{layer}/{p}"] = f"layers.{layer}.mlp.{p}"
+    return mapping
+
+
 def ideogram_key_map(arch) -> Dict[str, Any]:
     """Ideogram4Transformer layout (reference helpers/models/ideogram)."""
     mapping: Dict[str, Any] = {"input_proj": "input_proj",
@@ -506,7 +518,7 @@ _KEY_MAPS = {
     "anima": lambda m: pixart_key_map(m.arch),
     "ideogram": lambda m: ideogram_key_map(m.arch),
     "kandinsky5_image": lambda m: kandinsky5_key_map(m.arch),
-    "ernie": lambda m: pixart_key_map(m.arch),
+    "ernie": lambda m: ernie_key_map(m.arch),
     "stable_cascade": lambda m: pixart_key_map(m.arch),
     "lumina2": lambda m: lumina2_key_map(m.arch),
     "hidream": lambda m: hidream_key_map(m.arch),
