@@ -22,7 +22,6 @@ from ..flux.transformer import FluxConfig
 from ..lumina2.model import Lumina2
 from ..lumina2.transformer import Lumina2Config
 from ..pixart.model import PixartConfig, PixartSigma
-from ..sana.model import Sana, SanaConfig
 from ..wan.model import Wan
 from ..wan.transformer import WanConfig
 
@@ -91,29 +90,6 @@ class Anima(PixartSigma):
     def check_user_config(self) -> None:
         if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
             raise ValueError("anima is a flow-matching family")
-
-
-class Ideogram(PixartSigma):
-    """reference: helpers/models/ideogram/transformer.py:38 — 34-layer DiT,
-    FP8-first deployment (int8/fp8 path here via base_model_precision)."""
-
-    NAME = "ideogram"
-    PREDICTION_TYPE = "flow_matching"
-    DEFAULT_FLAVOUR = "v3"
-    HUGGINGFACE_PATHS = {"v3": "ideogram-ai/ideogram-v3"}
-    LATENT_CHANNEL_COUNT = 16
-
-    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = PixartConfig(
-                in_channels=16, hidden_size=2560, depth=34, num_heads=20,
-                head_dim=128, text_dim=4096,
-            )
-        super().__init__(config, arch=arch)
-
-    def check_user_config(self) -> None:
-        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
-            raise ValueError("ideogram is a flow-matching family")
 
 
 class LongcatVideo(Wan):
@@ -202,43 +178,3 @@ class WanS2V(Wan):
         if "audio_embeds" in batch:
             cond["audio_embeds"] = batch["audio_embeds"]
         return cond
-
-
-class SanaVideo(Sana):
-    """reference: helpers/models/sanavideo — Sana's linear-attention DiT over
-    video-latent tokens (O(N) attention makes the long token streams cheap)."""
-
-    NAME = "sanavideo"
-    MODALITY = "video"
-    DEFAULT_FLAVOUR = "2b"
-    HUGGINGFACE_PATHS = {"2b": "Efficient-Large-Model/SANA-Video_2B_480p"}
-
-    def video_vae_config(self):
-        from ..video_vae import VideoVAEConfig
-
-        if getattr(self.config, "model_arch_preset", None) == "tiny":
-            return VideoVAEConfig.tiny()
-        return VideoVAEConfig.wan()
-
-    def example_batch(self, batch_size: int = 1, resolution: int = 64) -> Dict[str, jax.Array]:
-        vae_cfg = self.video_vae_config()
-        latent = resolution // vae_cfg.spatial_factor
-        return {
-            "latents": jnp.zeros((batch_size, 3, latent, latent, self.arch.in_channels), jnp.float32),
-            "text_embeds": jnp.zeros((batch_size, 32, self.arch.text_dim), jnp.float32),
-        }
-
-    def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        noisy = prepared["noisy_latents"]
-        b, t, h, w, c = noisy.shape
-        return {
-            # fold time into the row axis: patch-1 tokens = every latent cell
-            "latents": noisy.reshape(b, t * h, w, c),
-            "timesteps": prepared["timesteps"],
-            "context": prepared["text_embeds"],
-        }
-
-    def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
-        out = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
-        b, t, h, w, c = prepared["noisy_latents"].shape
-        return out.reshape(b, t, h, w, c)

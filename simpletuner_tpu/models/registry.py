@@ -38,7 +38,7 @@ _FAMILIES: Dict[str, tuple] = {
     "ideogram": ("simpletuner_tpu.models.ideogram.model", "Ideogram", {"modality": "image", "prediction": "flow_matching"}),
     "kandinsky5_image": ("simpletuner_tpu.models.kandinsky5.model", "Kandinsky5Image", {"modality": "image", "prediction": "flow_matching"}),
     "kandinsky5_video": ("simpletuner_tpu.models.kandinsky5.model", "Kandinsky5Video", {"modality": "video", "prediction": "flow_matching"}),
-    "sanavideo": ("simpletuner_tpu.models.extended.model", "SanaVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "sanavideo": ("simpletuner_tpu.models.sanavideo.model", "SanaVideo", {"modality": "video", "prediction": "flow_matching"}),
     "boogu_image": ("simpletuner_tpu.models.extended.model", "BooguImage", {"modality": "image", "prediction": "flow_matching"}),
     "ernie": ("simpletuner_tpu.models.ernie.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
     "stable_cascade": ("simpletuner_tpu.models.extended.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),

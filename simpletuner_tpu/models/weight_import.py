@@ -1829,6 +1829,70 @@ def load_ernie_params(model, path: str) -> Dict[str, Any]:
 
 
 
+
+
+# ---------------------------------------------------------------------------------
+# Sana-Video (SanaVideoTransformer3DModel; reference helpers/models/sanavideo)
+# ---------------------------------------------------------------------------------
+
+
+def _conv_generic(weights: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    weight = _to_f32(weights[f"{key}.weight"])
+    # (O, I, *spatial) -> (*spatial, I, O)
+    perm = tuple(range(2, weight.ndim)) + (1, 0)
+    out = {"kernel": np.ascontiguousarray(weight.transpose(*perm))}
+    if f"{key}.bias" in weights:
+        out["bias"] = _to_f32(weights[f"{key}.bias"])
+    return out
+
+
+def sanavideo_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "patch_embedding": _conv_generic(w, "patch_embedding"),
+        "time_in": _linear(w, "time_embed.emb.timestep_embedder.linear_1"),
+        "time_out": _linear(w, "time_embed.emb.timestep_embedder.linear_2"),
+        "time_mod": _linear(w, "time_embed.linear"),
+        "caption_in_1": _linear(w, "caption_projection.linear_1"),
+        "caption_in_2": _linear(w, "caption_projection.linear_2"),
+        "caption_norm": _to_f32(w["caption_norm.weight"]),
+        "scale_shift_table": _to_f32(w["scale_shift_table"]),
+        "proj_out": _linear(w, "proj_out"),
+    }
+    for i in range(arch.num_layers):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]),
+            "attn1_q": _linear(w, f"{src}.attn1.to_q"),
+            "attn1_k": _linear(w, f"{src}.attn1.to_k"),
+            "attn1_v": _linear(w, f"{src}.attn1.to_v"),
+            "attn1_proj": _linear(w, f"{src}.attn1.to_out.0"),
+            "attn1_norm_q": _to_f32(w[f"{src}.attn1.norm_q.weight"]),
+            "attn1_norm_k": _to_f32(w[f"{src}.attn1.norm_k.weight"]),
+            "attn2_q": _linear(w, f"{src}.attn2.to_q"),
+            "attn2_k": _linear(w, f"{src}.attn2.to_k"),
+            "attn2_v": _linear(w, f"{src}.attn2.to_v"),
+            "attn2_proj": _linear(w, f"{src}.attn2.to_out.0"),
+            "attn2_norm_q": _to_f32(w[f"{src}.attn2.norm_q.weight"]),
+            "attn2_norm_k": _to_f32(w[f"{src}.attn2.norm_k.weight"]),
+            "ff": {
+                "conv_inverted": _conv_generic(w, f"{src}.ff.conv_inverted"),
+                "conv_depth": _conv_generic(w, f"{src}.ff.conv_depth"),
+                "conv_point": _conv_generic(w, f"{src}.ff.conv_point"),
+                "conv_temp": _conv_generic(w, f"{src}.ff.conv_temp"),
+            },
+        }
+    return params
+
+
+def load_sanavideo_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = sanavideo_params_from_checkpoint(weights, model.arch)
+    logger.info("imported sanavideo weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -1863,6 +1927,7 @@ _IMPORTERS = {
     "krea2": load_krea2_params,
     "ideogram": load_ideogram_params,
     "ernie": load_ernie_params,
+    "sanavideo": load_sanavideo_params,
 }
 
 

@@ -161,6 +161,21 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def sanavideo_key_map(arch) -> Dict[str, Any]:
+    """SanaVideoTransformer3DModel layout (reference helpers/models/sanavideo)."""
+    mapping: Dict[str, Any] = {"proj_out": "proj_out"}
+    table = {
+        "attn1_q": "attn1.to_q", "attn1_k": "attn1.to_k", "attn1_v": "attn1.to_v",
+        "attn1_proj": "attn1.to_out.0",
+        "attn2_q": "attn2.to_q", "attn2_k": "attn2.to_k", "attn2_v": "attn2.to_v",
+        "attn2_proj": "attn2.to_out.0",
+    }
+    for layer in range(arch.num_layers):
+        for ours, theirs in table.items():
+            mapping[f"block_{layer}/{ours}"] = f"transformer_blocks.{layer}.{theirs}"
+    return mapping
+
+
 def ernie_key_map(arch) -> Dict[str, Any]:
     """ErnieImageTransformer2DModel layout (reference helpers/models/ernie)."""
     mapping: Dict[str, Any] = {"final_linear": "final_linear"}
@@ -523,7 +538,7 @@ _KEY_MAPS = {
     "lumina2": lambda m: lumina2_key_map(m.arch),
     "hidream": lambda m: hidream_key_map(m.arch),
     "sana": lambda m: sana_key_map(m.arch),
-    "sanavideo": lambda m: sana_key_map(m.arch),
+    "sanavideo": lambda m: sanavideo_key_map(m.arch),
     "auraflow": lambda m: auraflow_key_map(m.arch),
     "ltxvideo": lambda m: ltx_key_map(m.arch),
     "qwen_image": lambda m: qwen_image_key_map(m.arch),
