@@ -1,5 +1,4 @@
 from .model import (
-    Anima,
     BooguImage,
     StableCascade,
     LongcatImage,

@@ -69,29 +69,6 @@ class LongcatImage(Flux):
         ]
 
 
-class Anima(PixartSigma):
-    """reference: helpers/models/anima/transformer.py:347-349 — 28-layer DiT,
-    16 heads × 128; flow matching with AnyFlow conditioning support."""
-
-    NAME = "anima"
-    PREDICTION_TYPE = "flow_matching"
-    DEFAULT_FLAVOUR = "release"
-    HUGGINGFACE_PATHS = {"release": "circulus/anima"}
-    LATENT_CHANNEL_COUNT = 16
-
-    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = PixartConfig(
-                in_channels=16, hidden_size=2048, depth=28, num_heads=16,
-                head_dim=128, text_dim=2304,
-            )
-        super().__init__(config, arch=arch)
-
-    def check_user_config(self) -> None:
-        if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):
-            raise ValueError("anima is a flow-matching family")
-
-
 class LongcatVideo(Wan):
     """reference: helpers/models/longcat_video — 13.6B video DiT."""
 

@@ -34,7 +34,7 @@ _FAMILIES: Dict[str, tuple] = {
     "qwen_image": ("simpletuner_tpu.models.qwen_image.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_image": ("simpletuner_tpu.models.extended.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_video": ("simpletuner_tpu.models.extended.model", "LongcatVideo", {"modality": "video", "prediction": "flow_matching"}),
-    "anima": ("simpletuner_tpu.models.extended.model", "Anima", {"modality": "image", "prediction": "flow_matching"}),
+    "anima": ("simpletuner_tpu.models.anima.model", "Anima", {"modality": "image", "prediction": "flow_matching"}),
     "ideogram": ("simpletuner_tpu.models.ideogram.model", "Ideogram", {"modality": "image", "prediction": "flow_matching"}),
     "kandinsky5_image": ("simpletuner_tpu.models.kandinsky5.model", "Kandinsky5Image", {"modality": "image", "prediction": "flow_matching"}),
     "kandinsky5_video": ("simpletuner_tpu.models.kandinsky5.model", "Kandinsky5Video", {"modality": "video", "prediction": "flow_matching"}),

@@ -1893,6 +1893,101 @@ def load_sanavideo_params(model, path: str) -> Dict[str, Any]:
 
 
 
+
+
+# ---------------------------------------------------------------------------------
+# Cosmos 1/2 DiT core + Anima (reference helpers/models/cosmos/transformer.py,
+# helpers/models/anima/transformer.py)
+# ---------------------------------------------------------------------------------
+
+
+def cosmos1_params_from_checkpoint(weights: Dict[str, np.ndarray], arch, prefix: str = "") -> Dict[str, Any]:
+    w = weights
+    p = prefix
+
+    def lin(key):
+        out = {"kernel": np.ascontiguousarray(_to_f32(w[f"{p}{key}.weight"]).T)}
+        if f"{p}{key}.bias" in w:
+            out["bias"] = _to_f32(w[f"{p}{key}.bias"])
+        return out
+
+    params: Dict[str, Any] = {
+        "patch_embed": lin("patch_embed.proj"),
+        "t_embedder_1": lin("time_embed.t_embedder.linear_1"),
+        "t_embedder_2": lin("time_embed.t_embedder.linear_2"),
+        "t_norm": _to_f32(w[f"{p}time_embed.norm.weight"]),
+        "norm_out_1": lin("norm_out.linear_1"),
+        "norm_out_2": lin("norm_out.linear_2"),
+        "proj_out": lin("proj_out"),
+    }
+    if arch.learnable_pos_embed:
+        params["pos_emb_t"] = _to_f32(w[f"{p}learnable_pos_embed.pos_emb_t"])
+        params["pos_emb_h"] = _to_f32(w[f"{p}learnable_pos_embed.pos_emb_h"])
+        params["pos_emb_w"] = _to_f32(w[f"{p}learnable_pos_embed.pos_emb_w"])
+    for i in range(arch.num_layers):
+        src = f"transformer_blocks.{i}"
+        node: Dict[str, Any] = {}
+        for norm, attn in (("norm1", "attn1"), ("norm2", "attn2")):
+            node[norm] = {"linear_1": lin(f"{src}.{norm}.linear_1"),
+                          "linear_2": lin(f"{src}.{norm}.linear_2")}
+            node[f"{attn}_q"] = lin(f"{src}.{attn}.to_q")
+            node[f"{attn}_k"] = lin(f"{src}.{attn}.to_k")
+            node[f"{attn}_v"] = lin(f"{src}.{attn}.to_v")
+            node[f"{attn}_out"] = lin(f"{src}.{attn}.to_out.0")
+            node[f"{attn}_norm_q"] = _to_f32(w[f"{p}{src}.{attn}.norm_q.weight"])
+            node[f"{attn}_norm_k"] = _to_f32(w[f"{p}{src}.{attn}.norm_k.weight"])
+        node["norm3"] = {"linear_1": lin(f"{src}.norm3.linear_1"),
+                         "linear_2": lin(f"{src}.norm3.linear_2")}
+        node["ff_in"] = lin(f"{src}.ff.net.0.proj")
+        node["ff_out"] = lin(f"{src}.ff.net.2")
+        params[f"block_{i}"] = node
+    return params
+
+
+def anima_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+
+    def lin(key):
+        out = {"kernel": np.ascontiguousarray(_to_f32(w[f"{key}.weight"]).T)}
+        if f"{key}.bias" in w:
+            out["bias"] = _to_f32(w[f"{key}.bias"])
+        return out
+
+    adapter: Dict[str, Any] = {
+        "embed": _to_f32(w["llm_adapter.embed.weight"]),
+        "out_proj": lin("llm_adapter.out_proj"),
+        "norm": _to_f32(w["llm_adapter.norm.weight"]),
+    }
+    for i in range(arch.adapter_layers):
+        src = f"llm_adapter.blocks.{i}"
+        adapter[f"block_{i}_norm_self"] = _to_f32(w[f"{src}.norm_self_attn.weight"])
+        adapter[f"block_{i}_norm_cross"] = _to_f32(w[f"{src}.norm_cross_attn.weight"])
+        adapter[f"block_{i}_norm_mlp"] = _to_f32(w[f"{src}.norm_mlp.weight"])
+        for ours, theirs in (("self", "self_attn"), ("cross", "cross_attn")):
+            adapter[f"block_{i}_{ours}"] = {
+                "q_proj": lin(f"{src}.{theirs}.q_proj"),
+                "k_proj": lin(f"{src}.{theirs}.k_proj"),
+                "v_proj": lin(f"{src}.{theirs}.v_proj"),
+                "o_proj": lin(f"{src}.{theirs}.o_proj"),
+                "q_norm": _to_f32(w[f"{src}.{theirs}.q_norm.weight"]),
+                "k_norm": _to_f32(w[f"{src}.{theirs}.k_norm.weight"]),
+            }
+        adapter[f"block_{i}_mlp_in"] = lin(f"{src}.mlp.0")
+        adapter[f"block_{i}_mlp_out"] = lin(f"{src}.mlp.2")
+    return {
+        "llm_adapter": adapter,
+        "core": cosmos1_params_from_checkpoint(w, arch.core, prefix="core."),
+    }
+
+
+def load_anima_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = anima_params_from_checkpoint(weights, model.arch)
+    logger.info("imported anima weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -1928,6 +2023,7 @@ _IMPORTERS = {
     "ideogram": load_ideogram_params,
     "ernie": load_ernie_params,
     "sanavideo": load_sanavideo_params,
+    "anima": load_anima_params,
 }
 
 

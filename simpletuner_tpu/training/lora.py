@@ -161,6 +161,21 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def anima_key_map(arch) -> Dict[str, Any]:
+    """AnimaTransformerModel layout (adapter + cosmos core)."""
+    mapping: Dict[str, Any] = {"core/proj_out": "core.proj_out"}
+    for layer in range(arch.core.num_layers):
+        for attn in ("attn1", "attn2"):
+            for p in ("q", "k", "v"):
+                mapping[f"core/block_{layer}/{attn}_{p}"] = (
+                    f"core.transformer_blocks.{layer}.{attn}.to_{p}")
+            mapping[f"core/block_{layer}/{attn}_out"] = (
+                f"core.transformer_blocks.{layer}.{attn}.to_out.0")
+        mapping[f"core/block_{layer}/ff_in"] = f"core.transformer_blocks.{layer}.ff.net.0.proj"
+        mapping[f"core/block_{layer}/ff_out"] = f"core.transformer_blocks.{layer}.ff.net.2"
+    return mapping
+
+
 def sanavideo_key_map(arch) -> Dict[str, Any]:
     """SanaVideoTransformer3DModel layout (reference helpers/models/sanavideo)."""
     mapping: Dict[str, Any] = {"proj_out": "proj_out"}
@@ -530,7 +545,7 @@ _KEY_MAPS = {
     "kandinsky5_video": lambda m: kandinsky5_key_map(m.arch),
     "longcat_video": lambda m: wan_key_map(m.arch),
     "pixart_sigma": lambda m: pixart_key_map(m.arch),
-    "anima": lambda m: pixart_key_map(m.arch),
+    "anima": lambda m: anima_key_map(m.arch),
     "ideogram": lambda m: ideogram_key_map(m.arch),
     "kandinsky5_image": lambda m: kandinsky5_key_map(m.arch),
     "ernie": lambda m: ernie_key_map(m.arch),
