@@ -1,7 +1,5 @@
 from .model import (
     BooguImage,
-    StableCascade,
     LongcatImage,
-    LongcatVideo,
     WanS2V,
 )

@@ -69,19 +69,6 @@ class LongcatImage(Flux):
         ]
 
 
-class LongcatVideo(Wan):
-    """reference: helpers/models/longcat_video — 13.6B video DiT."""
-
-    NAME = "longcat_video"
-    DEFAULT_FLAVOUR = "v1"
-    HUGGINGFACE_PATHS = {"v1": "meituan-longcat/LongCat-Video"}
-
-    def __init__(self, config: Any, arch: Optional[WanConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = WanConfig(hidden_size=4096, depth=48, num_heads=32, text_dim=4096)
-        super().__init__(config, arch=arch)
-
-
 class BooguImage(Lumina2):
     """reference: helpers/models/boogu_image/transformer.py:684-697 — a
     Lumina2 (Next-DiT) body: hidden 2304 × 26 layers, 24q/8kv heads, the
@@ -94,30 +81,6 @@ class BooguImage(Lumina2):
     NAME = "boogu_image"
     DEFAULT_FLAVOUR = "v0.1"
     HUGGINGFACE_PATHS = {"v0.1": "boogu/boogu-image-v0.1"}
-
-
-class StableCascade(PixartSigma):
-    """reference: helpers/models/stable_cascade — Stage C prior: an
-    epsilon-prediction DiT over heavily-compressed (42x) EffNet latents.
-    The latent encoder plugs in through the factory's ``vae_encode_fn``."""
-
-    NAME = "stable_cascade"
-    PREDICTION_TYPE = "epsilon"
-    DEFAULT_FLAVOUR = "stage-c"
-    HUGGINGFACE_PATHS = {"stage-c": "stabilityai/stable-cascade-prior"}
-    LATENT_CHANNEL_COUNT = 16
-
-    def __init__(self, config: Any, arch: Optional[PixartConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = PixartConfig(
-                in_channels=16, patch_size=1, hidden_size=2048, depth=42,
-                num_heads=32, head_dim=64, text_dim=1280,
-            )
-        super().__init__(config, arch=arch)
-
-    def check_user_config(self) -> None:
-        if getattr(self.config, "prediction_type", None) == "flow_matching":
-            raise ValueError("stable_cascade is an epsilon-prediction family")
 
 
 class WanS2V(Wan):

@@ -33,7 +33,7 @@ _FAMILIES: Dict[str, tuple] = {
     "hidream": ("simpletuner_tpu.models.hidream.model", "HiDream", {"modality": "image", "prediction": "flow_matching"}),
     "qwen_image": ("simpletuner_tpu.models.qwen_image.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_image": ("simpletuner_tpu.models.extended.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
-    "longcat_video": ("simpletuner_tpu.models.extended.model", "LongcatVideo", {"modality": "video", "prediction": "flow_matching"}),
+    "longcat_video": ("simpletuner_tpu.models.longcat_video.model", "LongcatVideo", {"modality": "video", "prediction": "flow_matching"}),
     "anima": ("simpletuner_tpu.models.anima.model", "Anima", {"modality": "image", "prediction": "flow_matching"}),
     "ideogram": ("simpletuner_tpu.models.ideogram.model", "Ideogram", {"modality": "image", "prediction": "flow_matching"}),
     "kandinsky5_image": ("simpletuner_tpu.models.kandinsky5.model", "Kandinsky5Image", {"modality": "image", "prediction": "flow_matching"}),
@@ -41,7 +41,7 @@ _FAMILIES: Dict[str, tuple] = {
     "sanavideo": ("simpletuner_tpu.models.sanavideo.model", "SanaVideo", {"modality": "video", "prediction": "flow_matching"}),
     "boogu_image": ("simpletuner_tpu.models.extended.model", "BooguImage", {"modality": "image", "prediction": "flow_matching"}),
     "ernie": ("simpletuner_tpu.models.ernie.model", "Ernie", {"modality": "image", "prediction": "flow_matching"}),
-    "stable_cascade": ("simpletuner_tpu.models.extended.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),
+    "stable_cascade": ("simpletuner_tpu.models.stable_cascade.model", "StableCascade", {"modality": "image", "prediction": "epsilon"}),
     "wan_s2v": ("simpletuner_tpu.models.extended.model", "WanS2V", {"modality": "video", "prediction": "flow_matching"}),
     "heartmula": ("simpletuner_tpu.models.heartmula.model", "HeartMuLa", {"modality": "audio", "prediction": "autoregressive"}),
     "omnigen": ("simpletuner_tpu.models.omnigen.model", "OmniGen", {"modality": "image", "prediction": "flow_matching"}),

@@ -1988,6 +1988,131 @@ def load_anima_params(model, path: str) -> Dict[str, Any]:
 
 
 
+
+
+# ---------------------------------------------------------------------------------
+# LongCat-Video (LongCatVideoTransformer3DModel; reference
+# helpers/models/longcat_video/transformer.py)
+# ---------------------------------------------------------------------------------
+
+
+def longcat_video_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "x_embedder": _conv_generic(w, "x_embedder.proj"),
+        "t_in": _linear(w, "t_embedder.mlp.0"),
+        "t_out": _linear(w, "t_embedder.mlp.2"),
+        "y_in_1": _linear(w, "y_embedder.y_proj.0"),
+        "y_in_2": _linear(w, "y_embedder.y_proj.2"),
+        "final_adaLN": _linear(w, "final_layer.adaLN_modulation.1"),
+        "final_linear": _linear(w, "final_layer.linear"),
+    }
+    for i in range(arch.depth):
+        src = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "adaLN": _linear(w, f"{src}.adaLN_modulation.1"),
+            "qkv": _linear(w, f"{src}.attn.qkv"),
+            "attn_proj": _linear(w, f"{src}.attn.proj"),
+            "q_norm": _to_f32(w[f"{src}.attn.q_norm.weight"]),
+            "k_norm": _to_f32(w[f"{src}.attn.k_norm.weight"]),
+            "pre_crs_scale": _to_f32(w[f"{src}.pre_crs_attn_norm.weight"]),
+            "pre_crs_bias": _to_f32(w[f"{src}.pre_crs_attn_norm.bias"]),
+            "crs_q": _linear(w, f"{src}.cross_attn.q_linear"),
+            "crs_kv": _linear(w, f"{src}.cross_attn.kv_linear"),
+            "crs_proj": _linear(w, f"{src}.cross_attn.proj"),
+            "crs_q_norm": _to_f32(w[f"{src}.cross_attn.q_norm.weight"]),
+            "crs_k_norm": _to_f32(w[f"{src}.cross_attn.k_norm.weight"]),
+            "ffn_w1": _linear(w, f"{src}.ffn.w1"),
+            "ffn_w2": _linear(w, f"{src}.ffn.w2"),
+            "ffn_w3": _linear(w, f"{src}.ffn.w3"),
+        }
+    return params
+
+
+def load_longcat_video_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = longcat_video_params_from_checkpoint(weights, model.arch)
+    logger.info("imported longcat_video weights from %s", path)
+    return params
+
+
+
+
+
+# ---------------------------------------------------------------------------------
+# Stable Cascade Stage C (StableCascadeUNet; reference
+# helpers/models/stable_cascade/unet.py)
+# ---------------------------------------------------------------------------------
+
+
+def _cascade_conv(w: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    weight = _to_f32(w[f"{key}.weight"])
+    out = {"kernel": np.ascontiguousarray(weight.transpose(2, 3, 1, 0))}
+    if f"{key}.bias" in w:
+        out["bias"] = _to_f32(w[f"{key}.bias"])
+    return out
+
+
+def stable_cascade_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    params: Dict[str, Any] = {
+        "clip_txt_pooled_mapper": _linear(w, "clip_txt_pooled_mapper"),
+        "embedding_conv": _cascade_conv(w, "embedding.1"),
+        "clf_conv": _cascade_conv(w, "clf.1"),
+    }
+    if arch.clip_text_in_channels is not None and "clip_txt_mapper.weight" in w:
+        params["clip_txt_mapper"] = _linear(w, "clip_txt_mapper")
+
+    def layer(dst, res_src, time_src, attn_src):
+        params[f"{dst}_res"] = {
+            "depthwise": _cascade_conv(w, f"{res_src}.depthwise"),
+            "channelwise_0": _linear(w, f"{res_src}.channelwise.0"),
+            "channelwise_1": _linear(w, f"{res_src}.channelwise.4"),
+            "grn_gamma": _to_f32(w[f"{res_src}.channelwise.2.gamma"]).reshape(-1),
+            "grn_beta": _to_f32(w[f"{res_src}.channelwise.2.beta"]).reshape(-1),
+        }
+        node = {"mapper": _linear(w, f"{time_src}.mapper")}
+        for cond in arch.timestep_conditioning_type:
+            node[f"mapper_{cond}"] = _linear(w, f"{time_src}.mapper_{cond}")
+        params[f"{dst}_time"] = node
+        params[f"{dst}_attn"] = {
+            "kv_mapper": _linear(w, f"{attn_src}.kv_mapper.1"),
+            "to_q": _linear(w, f"{attn_src}.attention.to_q"),
+            "to_k": _linear(w, f"{attn_src}.attention.to_k"),
+            "to_v": _linear(w, f"{attn_src}.attention.to_v"),
+            "to_out": _linear(w, f"{attn_src}.attention.to_out.0"),
+        }
+
+    levels = len(arch.block_out_channels)
+    for i in range(levels):
+        if i > 0:
+            params[f"down_scaler_{i}"] = _cascade_conv(w, f"down_downscalers.{i}.1")
+        for j in range(arch.down_num_layers_per_block[i]):
+            base = j * 3
+            layer(f"down_{i}_{j}", f"down_blocks.{i}.{base}",
+                  f"down_blocks.{i}.{base + 1}", f"down_blocks.{i}.{base + 2}")
+    for u in range(levels):
+        level = levels - 1 - u
+        for j in range(arch.up_num_layers_per_block[::-1][level]):
+            base = j * 3
+            layer(f"up_{u}_{j}", f"up_blocks.{u}.{base}",
+                  f"up_blocks.{u}.{base + 1}", f"up_blocks.{u}.{base + 2}")
+        if level > 0:
+            # ConvTranspose2d weight (in, out, 2, 2) -> ours (2, 2, in, out)
+            weight = _to_f32(w[f"up_upscalers.{u}.1.weight"])
+            params[f"up_scaler_{u}_kernel"] = np.ascontiguousarray(weight.transpose(2, 3, 0, 1))
+            params[f"up_scaler_{u}_bias"] = _to_f32(w[f"up_upscalers.{u}.1.bias"])
+    return params
+
+
+def load_stable_cascade_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = stable_cascade_params_from_checkpoint(weights, model.arch)
+    logger.info("imported stable_cascade weights from %s", path)
+    return params
+
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -2024,6 +2149,8 @@ _IMPORTERS = {
     "ernie": load_ernie_params,
     "sanavideo": load_sanavideo_params,
     "anima": load_anima_params,
+    "longcat_video": load_longcat_video_params,
+    "stable_cascade": load_stable_cascade_params,
 }
 
 

@@ -161,6 +161,41 @@ def sd3_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def stable_cascade_key_map(arch) -> Dict[str, Any]:
+    """StableCascadeUNet layout (reference helpers/models/stable_cascade)."""
+    mapping: Dict[str, Any] = {}
+    levels = len(arch.block_out_channels)
+
+    def attn(dst, src):
+        mapping[f"{dst}_attn/to_q"] = f"{src}.attention.to_q"
+        mapping[f"{dst}_attn/to_k"] = f"{src}.attention.to_k"
+        mapping[f"{dst}_attn/to_v"] = f"{src}.attention.to_v"
+        mapping[f"{dst}_attn/to_out"] = f"{src}.attention.to_out.0"
+
+    for i in range(levels):
+        for j in range(arch.down_num_layers_per_block[i]):
+            attn(f"down_{i}_{j}", f"down_blocks.{i}.{j * 3 + 2}")
+    for u in range(levels):
+        level = levels - 1 - u
+        for j in range(arch.up_num_layers_per_block[::-1][level]):
+            attn(f"up_{u}_{j}", f"up_blocks.{u}.{j * 3 + 2}")
+    return mapping
+
+
+def longcat_video_key_map(arch) -> Dict[str, Any]:
+    """LongCatVideoTransformer3DModel layout (reference helpers/models/longcat_video)."""
+    mapping: Dict[str, Any] = {"final_linear": "final_layer.linear"}
+    for layer in range(arch.depth):
+        mapping[f"block_{layer}/qkv"] = f"blocks.{layer}.attn.qkv"
+        mapping[f"block_{layer}/attn_proj"] = f"blocks.{layer}.attn.proj"
+        mapping[f"block_{layer}/crs_q"] = f"blocks.{layer}.cross_attn.q_linear"
+        mapping[f"block_{layer}/crs_kv"] = f"blocks.{layer}.cross_attn.kv_linear"
+        mapping[f"block_{layer}/crs_proj"] = f"blocks.{layer}.cross_attn.proj"
+        for p in ("w1", "w2", "w3"):
+            mapping[f"block_{layer}/ffn_{p}"] = f"blocks.{layer}.ffn.{p}"
+    return mapping
+
+
 def anima_key_map(arch) -> Dict[str, Any]:
     """AnimaTransformerModel layout (adapter + cosmos core)."""
     mapping: Dict[str, Any] = {"core/proj_out": "core.proj_out"}
@@ -543,13 +578,13 @@ _KEY_MAPS = {
     "wan": lambda m: wan_key_map(m.arch),
     "wan_s2v": lambda m: wan_key_map(m.arch),
     "kandinsky5_video": lambda m: kandinsky5_key_map(m.arch),
-    "longcat_video": lambda m: wan_key_map(m.arch),
+    "longcat_video": lambda m: longcat_video_key_map(m.arch),
     "pixart_sigma": lambda m: pixart_key_map(m.arch),
     "anima": lambda m: anima_key_map(m.arch),
     "ideogram": lambda m: ideogram_key_map(m.arch),
     "kandinsky5_image": lambda m: kandinsky5_key_map(m.arch),
     "ernie": lambda m: ernie_key_map(m.arch),
-    "stable_cascade": lambda m: pixart_key_map(m.arch),
+    "stable_cascade": lambda m: stable_cascade_key_map(m.arch),
     "lumina2": lambda m: lumina2_key_map(m.arch),
     "hidream": lambda m: hidream_key_map(m.arch),
     "sana": lambda m: sana_key_map(m.arch),
