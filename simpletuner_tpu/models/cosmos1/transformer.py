@@ -78,10 +78,27 @@ class Cosmos1Config:
 
     @classmethod
     def anima(cls) -> "Cosmos1Config":
-        """Anima core dims (anima/transformer.py:342-355)."""
+        """Anima core dims (anima/transformer.py:342-355, :775: the Anima /
+        Cosmos-Predict2 core sets ``extra_pos_embed_type=None``)."""
         return cls(
             num_heads=16, head_dim=128, num_layers=28, text_embed_dim=1024,
-            rope_scale=(1.0, 4.0, 4.0),
+            rope_scale=(1.0, 4.0, 4.0), learnable_pos_embed=False,
+        )
+
+    @classmethod
+    def predict2_2b(cls) -> "Cosmos1Config":
+        """Cosmos-Predict2-2B-Text2Image transformer config (reference
+        cosmos/model.py:52-66 loads nvidia/Cosmos-Predict2-2B-Text2Image;
+        same core dims as the Anima wrap of it, anima/transformer.py:775)."""
+        return cls.anima()
+
+    @classmethod
+    def predict2_14b(cls) -> "Cosmos1Config":
+        """Cosmos-Predict2-14B-Text2Image: 36 heads x 128 = 5120 wide, 36
+        layers (NVIDIA Cosmos-Predict2 14B release)."""
+        return cls(
+            num_heads=40, head_dim=128, num_layers=36, text_embed_dim=1024,
+            rope_scale=(1.0, 4.0, 4.0), learnable_pos_embed=False,
         )
 
 

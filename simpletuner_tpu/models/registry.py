@@ -30,6 +30,7 @@ _FAMILIES: Dict[str, tuple] = {
     "mageflow": ("simpletuner_tpu.models.mageflow.model", "MageFlow", {"modality": "image", "prediction": "flow_matching"}),
     "z_image": ("simpletuner_tpu.models.mageflow.model", "ZImage", {"modality": "image", "prediction": "flow_matching"}),
     "cosmos3": ("simpletuner_tpu.models.cosmos3.model", "Cosmos3", {"modality": "video", "prediction": "flow_matching"}),
+    "cosmos": ("simpletuner_tpu.models.cosmos2.model", "Cosmos2Image", {"modality": "image", "prediction": "sample"}),
     "hidream": ("simpletuner_tpu.models.hidream.model", "HiDream", {"modality": "image", "prediction": "flow_matching"}),
     "qwen_image": ("simpletuner_tpu.models.qwen_image.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_image": ("simpletuner_tpu.models.extended.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
@@ -52,7 +53,6 @@ _ALIASES = {
     "sd21": "sd2x",
     "pixart": "pixart_sigma",
     "ltx2": "ltxvideo2",
-    "cosmos": "cosmos3",
     "z_image_omni": "z_image",
     "zlab_i1": "z_image",
     "kandinsky5-image": "kandinsky5_image",  # examples use the dashed spelling

@@ -1987,6 +1987,15 @@ def load_anima_params(model, path: str) -> Dict[str, Any]:
     return params
 
 
+def load_cosmos2_params(model, path: str) -> Dict[str, Any]:
+    """Cosmos-Predict2 T2I: the bare CosmosTransformer3DModel checkpoint
+    (reference helpers/models/cosmos/model.py:52-66)."""
+    weights = _strip_prefix(read_safetensors(path))
+    params = cosmos1_params_from_checkpoint(weights, model.arch)
+    logger.info("imported cosmos weights from %s", path)
+    return params
+
+
 
 
 
@@ -2142,6 +2151,7 @@ _IMPORTERS = {
     "ace_step": load_acestep_params,
     "ltxvideo2": load_ltx2_params,
     "cosmos3": load_cosmos3_params,
+    "cosmos": load_cosmos2_params,
     "kandinsky5_video": load_kandinsky5_params,
     "kandinsky5_image": load_kandinsky5_params,
     "krea2": load_krea2_params,

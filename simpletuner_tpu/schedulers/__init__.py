@@ -10,12 +10,14 @@ to one XLA program via ``lax.fori_loop`` (see ``sample_loop``).
 
 from .flow_euler import FlowMatchEulerScheduler
 from .ddim import DDIMScheduler
+from .edm_euler import EDMEulerScheduler
 from .unipc import UniPCScheduler
 from .sampling import sample_loop, classifier_free_guidance
 
 __all__ = [
     "FlowMatchEulerScheduler",
     "DDIMScheduler",
+    "EDMEulerScheduler",
     "UniPCScheduler",
     "sample_loop",
     "classifier_free_guidance",

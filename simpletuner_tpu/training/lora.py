@@ -196,19 +196,26 @@ def longcat_video_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
-def anima_key_map(arch) -> Dict[str, Any]:
-    """AnimaTransformerModel layout (adapter + cosmos core)."""
-    mapping: Dict[str, Any] = {"core/proj_out": "core.proj_out"}
-    for layer in range(arch.core.num_layers):
+def cosmos1_core_key_map(core, ours_prefix: str = "", theirs_prefix: str = "") -> Dict[str, Any]:
+    """Shared Cosmos 1/2 DiT core layout (CosmosTransformer3DModel)."""
+    mapping: Dict[str, Any] = {f"{ours_prefix}proj_out": f"{theirs_prefix}proj_out"}
+    for layer in range(core.num_layers):
         for attn in ("attn1", "attn2"):
             for p in ("q", "k", "v"):
-                mapping[f"core/block_{layer}/{attn}_{p}"] = (
-                    f"core.transformer_blocks.{layer}.{attn}.to_{p}")
-            mapping[f"core/block_{layer}/{attn}_out"] = (
-                f"core.transformer_blocks.{layer}.{attn}.to_out.0")
-        mapping[f"core/block_{layer}/ff_in"] = f"core.transformer_blocks.{layer}.ff.net.0.proj"
-        mapping[f"core/block_{layer}/ff_out"] = f"core.transformer_blocks.{layer}.ff.net.2"
+                mapping[f"{ours_prefix}block_{layer}/{attn}_{p}"] = (
+                    f"{theirs_prefix}transformer_blocks.{layer}.{attn}.to_{p}")
+            mapping[f"{ours_prefix}block_{layer}/{attn}_out"] = (
+                f"{theirs_prefix}transformer_blocks.{layer}.{attn}.to_out.0")
+        mapping[f"{ours_prefix}block_{layer}/ff_in"] = (
+            f"{theirs_prefix}transformer_blocks.{layer}.ff.net.0.proj")
+        mapping[f"{ours_prefix}block_{layer}/ff_out"] = (
+            f"{theirs_prefix}transformer_blocks.{layer}.ff.net.2")
     return mapping
+
+
+def anima_key_map(arch) -> Dict[str, Any]:
+    """AnimaTransformerModel layout (adapter + cosmos core)."""
+    return cosmos1_core_key_map(arch.core, ours_prefix="core/", theirs_prefix="core.")
 
 
 def sanavideo_key_map(arch) -> Dict[str, Any]:
@@ -581,6 +588,7 @@ _KEY_MAPS = {
     "longcat_video": lambda m: longcat_video_key_map(m.arch),
     "pixart_sigma": lambda m: pixart_key_map(m.arch),
     "anima": lambda m: anima_key_map(m.arch),
+    "cosmos": lambda m: cosmos1_core_key_map(m.arch),
     "ideogram": lambda m: ideogram_key_map(m.arch),
     "kandinsky5_image": lambda m: kandinsky5_key_map(m.arch),
     "ernie": lambda m: ernie_key_map(m.arch),

@@ -35,6 +35,17 @@ def build_scheduler(model, num_steps: int, image_seq_len: Optional[int] = None):
             use_dynamic_shifting=use_dyn,
             image_seq_len=image_seq_len,
         )
+    if model.prediction_type == "sample" and hasattr(model, "sigma_max"):
+        # EDM x0-prediction family (cosmos): Karras-ρ Euler ladder
+        # (reference cosmos/model.py:80-84 sigma_min/max + schedule order 7)
+        from ..schedulers import EDMEulerScheduler
+
+        return EDMEulerScheduler.create(
+            num_steps,
+            sigma_min=float(getattr(model, "sigma_min", 0.002)),
+            sigma_max=float(getattr(model, "sigma_max", 80.0)),
+            rho=float(getattr(model, "sigma_schedule_order", 7.0)),
+        )
     name = (getattr(model.config, "validation_noise_scheduler", None) or "ddim").lower()
     schedule = DDPMScheduleConfig(
         rescale_betas_zero_snr=bool(getattr(model.config, "rescale_betas_zero_snr", False))

@@ -17,7 +17,7 @@ from simpletuner_tpu.training.lora import load_lora_safetensors, lora_state_dict
 pytestmark = pytest.mark.slow
 
 FAMILIES = ["flux", "sd3", "sdxl", "wan", "pixart_sigma", "sana", "auraflow",
-            "ltxvideo", "chroma", "qwen_image", "hunyuanvideo", "kolors"]
+            "ltxvideo", "chroma", "qwen_image", "hunyuanvideo", "kolors", "cosmos"]
 
 def _model(family):
     cfg = TrainingConfig(

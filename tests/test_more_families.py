@@ -143,7 +143,7 @@ def test_extended_families(family):
     assert pred.shape == batch["latents"].shape
 
 def test_extended_aliases():
-    assert ModelRegistry.get("cosmos").__name__ == "Cosmos3"
+    assert ModelRegistry.get("cosmos").__name__ == "Cosmos2Image"
     assert ModelRegistry.get("z_image_omni").__name__ == "ZImage"
     assert ModelRegistry.get("zlab_i1").__name__ == "ZImage"
 
