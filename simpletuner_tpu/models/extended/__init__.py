@@ -1,5 +1,4 @@
 from .model import (
     BooguImage,
-    LongcatImage,
     WanS2V,
 )

@@ -26,49 +26,6 @@ from ..wan.model import Wan
 from ..wan.transformer import WanConfig
 
 
-class LongcatImage(Flux):
-    """reference: helpers/models/longcat_image/transformer.py:295-302 — the
-    Flux MMDiT topology verbatim (19 double + 38 single, 24 heads × 128,
-    axes (16,56,56)) with a 3584-dim Qwen context/pooled width and no
-    guidance embedding; flux diffusers-layout importer applies."""
-
-    NAME = "longcat_image"
-    PREDICTION_TYPE = "flow_matching"
-    DEFAULT_FLAVOUR = "v1"
-    HUGGINGFACE_PATHS = {"v1": "meituan-longcat/LongCat-Image"}
-    LATENT_CHANNEL_COUNT = 16
-    TEXT_ENCODER_CONFIGURATION = (
-        TextEncoderSpec(name="qwen", family="qwen2.5", subfolder="text_encoder", max_length=512),
-    )
-
-    def __init__(self, config: Any, arch: Optional[FluxConfig] = None):
-        if arch is None and getattr(config, "model_arch_preset", None) != "tiny":
-            arch = FluxConfig(
-                in_channels=64, hidden_size=3072, num_heads=24, head_dim=128,
-                depth_double=19, depth_single=38, txt_in_features=3584,
-                vec_in_features=3584, guidance_embed=False,
-            )
-        super().__init__(config, arch=arch)
-
-    def encode_text(self, prompts):
-        """One Qwen encoder supplies both streams (reference longcat_image
-        model.py: sequence features are the context; the pooled projection is
-        the mean-pooled hidden state)."""
-        (qwen,) = self.text_encoders
-        out = qwen.encode(prompts)
-        hidden = np.asarray(out["last_hidden_state"], np.float32)
-        mask = np.asarray(out["attention_mask"], np.float32)[..., None]
-        pooled = (hidden * mask).sum(1) / np.maximum(mask.sum(1), 1.0)
-        return [
-            {
-                "t5_embeds": hidden[i],
-                "pooled_embeds": pooled[i].astype(np.float32),
-                "attention_mask": np.asarray(out["attention_mask"][i]),
-            }
-            for i in range(len(prompts))
-        ]
-
-
 class BooguImage(Lumina2):
     """reference: helpers/models/boogu_image/transformer.py:684-697 — a
     Lumina2 (Next-DiT) body: hidden 2304 × 26 layers, 24q/8kv heads, the

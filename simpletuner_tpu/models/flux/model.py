@@ -251,7 +251,7 @@ class Flux(ModelFoundation):
             "txt": prepared["t5_embeds"],
             "txt_ids": prepared["txt_ids"],
             "timesteps": prepared["timesteps"],
-            "vec": prepared["pooled_embeds"],
+            "vec": prepared.get("pooled_embeds"),
             "guidance": prepared.get("guidance"),
         }
         if "tread_rng" in prepared:

@@ -28,6 +28,7 @@ from ..layers import (
     LoRADense,
     MLPEmbedder,
     RMSNorm,
+    gate_mod,
     modulate,
     timestep_embedding,
 )
@@ -48,6 +49,10 @@ class FluxConfig:
     theta: float = 10000.0
     txt_in_features: int = 4096  # T5-XXL hidden
     vec_in_features: int = 768  # pooled CLIP-L
+    # pooled-text conditioning head; LongCat-Image (reference
+    # longcat_image/transformer.py:292-321 TimestepEmbeddings) modulates on
+    # the timestep alone, so it disables this.
+    vector_embed: bool = True
     guidance_embed: bool = True
     qkv_bias: bool = True
 
@@ -82,14 +87,18 @@ class DoubleStreamBlock(nn.Module):
     qk_clip: bool = False
 
     @nn.compact
-    def __call__(self, img, txt, vec, rope, segment_ids=None):
+    def __call__(self, img, txt, vec, rope, segment_ids=None, vec_txt=None):
         cfg = self.config
         dim = cfg.hidden_size
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
+        # vec may be tokenwise (B, S_img, dim) — LongCat-Image edit gives ref
+        # tokens t=0 (reference longcat_image/model.py:684-706); the text
+        # stream then modulates on the per-image mean (transformer.py:444-447)
         img_mods = AdaLayerNormZero(6, name="img_mod", **common)(vec, dim)
-        txt_mods = AdaLayerNormZero(6, name="txt_mod", **common)(vec, dim)
+        txt_mods = AdaLayerNormZero(6, name="txt_mod", **common)(
+            vec if vec_txt is None else vec_txt, dim)
 
         # --- joint attention ---------------------------------------------------------
         img_n = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(img), img_mods[0], img_mods[1])
@@ -132,16 +141,16 @@ class DoubleStreamBlock(nn.Module):
         attn = attn.reshape(batch, -1, dim)
         txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
 
-        img = img + img_mods[2] [:, None, :] * LoRADense(dim, name="img_attn_proj", **common, **lora)(img_attn)
-        txt = txt + txt_mods[2][:, None, :] * LoRADense(dim, name="txt_attn_proj", **common, **lora)(txt_attn)
+        img = img + gate_mod(img_mods[2]) * LoRADense(dim, name="img_attn_proj", **common, **lora)(img_attn)
+        txt = txt + gate_mod(txt_mods[2]) * LoRADense(dim, name="txt_attn_proj", **common, **lora)(txt_attn)
 
         # --- per-stream MLP ------------------------------------------------------------
         img_m = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(img), img_mods[3], img_mods[4])
-        img = img + img_mods[5][:, None, :] * FeedForward(
+        img = img + gate_mod(img_mods[5]) * FeedForward(
             dim, cfg.mlp_ratio, name="img_mlp", **common, **lora
         )(img_m)
         txt_m = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(txt), txt_mods[3], txt_mods[4])
-        txt = txt + txt_mods[5][:, None, :] * FeedForward(
+        txt = txt + gate_mod(txt_mods[5]) * FeedForward(
             dim, cfg.mlp_ratio, name="txt_mlp", **common, **lora
         )(txt_m)
         return img, txt
@@ -198,7 +207,7 @@ class SingleStreamBlock(nn.Module):
         out = LoRADense(dim, name="linear2", **common, **lora)(
             jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1)
         )
-        return x + gate[:, None, :] * out
+        return x + gate_mod(gate) * out
 
 
 class FluxTransformer(nn.Module):
@@ -261,9 +270,19 @@ class FluxTransformer(nn.Module):
         img_tok = LoRADense(dim, name="img_in", **common, **lora)(img)
         txt_tok = LoRADense(dim, name="txt_in", **common, **lora)(txt)
 
-        time_vec = MLPEmbedder(dim, name="time_in", **common)(
-            timestep_embedding(timesteps, 256).astype(self.dtype)
-        )
+        # timesteps may be tokenwise (B, S_img): LongCat-Image edit modulates
+        # ref tokens at t=0 (reference longcat_image/transformer.py:380-447)
+        tokenwise = timesteps.ndim == 2
+        if tokenwise:
+            if self.tread_routes:
+                raise ValueError("tokenwise timesteps are incompatible with TREAD routing")
+            if self.flowmap_gate > 0.0:
+                raise ValueError("tokenwise timesteps are incompatible with flowmap conditioning")
+            t_batch, t_seq = timesteps.shape
+            t_emb = timestep_embedding(timesteps.reshape(-1), 256).reshape(t_batch, t_seq, 256)
+        else:
+            t_emb = timestep_embedding(timesteps, 256)
+        time_vec = MLPEmbedder(dim, name="time_in", **common)(t_emb.astype(self.dtype))
         if self.flowmap_gate > 0.0:
             # r defaults to t (zero-width interval == plain flow matching)
             r = timesteps if r_timesteps is None else r_timesteps
@@ -273,14 +292,21 @@ class FluxTransformer(nn.Module):
             )
             gate = jnp.asarray(self.flowmap_gate, time_vec.dtype)
             time_vec = (1.0 - gate) * time_vec + gate * delta_vec
-        vec_cond = MLPEmbedder(dim, name="vector_in", **common)(vec.astype(self.dtype))
-        cond = time_vec + vec_cond
+        cond = time_vec
+        if cfg.vector_embed:
+            vec_cond = MLPEmbedder(dim, name="vector_in", **common)(vec.astype(self.dtype))
+            cond = cond + (vec_cond[:, None, :] if tokenwise else vec_cond)
         if cfg.guidance_embed:
             if guidance is None:
-                guidance = jnp.ones_like(timesteps)
-            cond = cond + MLPEmbedder(dim, name="guidance_in", **common)(
+                guidance = jnp.ones((img.shape[0],), jnp.float32)
+            g_cond = MLPEmbedder(dim, name="guidance_in", **common)(
                 timestep_embedding(guidance, 256).astype(self.dtype)
             )
+            cond = cond + (g_cond[:, None, :] if tokenwise else g_cond)
+        # text-stream / single-stream conditioning views (reference
+        # longcat_image/transformer.py:443-447: tokenwise temb feeds the text
+        # modulation with its per-image mean)
+        cond_txt = cond.mean(axis=1) if tokenwise else cond
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=1)
         rope = axial_rope(cfg.axes_dim, ids, cfg.theta)
@@ -311,7 +337,8 @@ class FluxTransformer(nn.Module):
         for layer in range(cfg.depth_double):
             img_tok, txt_tok = double_cls(
                 cfg, name=f"double_{layer}", qk_clip=self.qk_clip, **common, **lora
-            )(img_tok, txt_tok, cond, rope, segment_ids)
+            )(img_tok, txt_tok, cond, rope, segment_ids,
+              cond_txt if tokenwise else None)
             # hidden-state tap (CREPA/LayerSync plumbing; no-op unless the
             # caller requests mutable=['intermediates'])
             self.sow("intermediates", f"double_{layer}_hidden", img_tok)
@@ -323,6 +350,13 @@ class FluxTransformer(nn.Module):
 
         stream = jnp.concatenate([txt_tok, img_tok], axis=1)
         txt_len = txt_tok.shape[1]
+        cond_single = (
+            jnp.concatenate(
+                [jnp.repeat(cond_txt[:, None, :], txt_len, axis=1), cond], axis=1
+            )
+            if tokenwise
+            else cond
+        )
 
         # normalize TREAD routes to (start, end, ratio) over single-stream layers
         routes = []
@@ -358,7 +392,7 @@ class FluxTransformer(nn.Module):
                     sin = jnp.take_along_axis(saved[2][1], keep_idx[..., None], axis=1)
             stream = single_cls(
                 cfg, name=f"single_{layer}", qk_clip=self.qk_clip, **common, **lora
-            )(stream, cond, (cos, sin), None if saved is not None else segment_ids)
+            )(stream, cond_single, (cos, sin), None if saved is not None else segment_ids)
             if saved is None:
                 self.sow("intermediates", f"single_{layer}_hidden", stream[:, txt_len:])
             if controlnet_single_residuals is not None and saved is None:

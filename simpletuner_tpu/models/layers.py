@@ -344,7 +344,18 @@ class PatchEmbed(nn.Module):
 
 
 def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
-    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    """(B, dim) mods broadcast over the sequence; (B, S, dim) mods apply
+    per token (LongCat-Image tokenwise timesteps, reference
+    longcat_image/transformer.py:169-180)."""
+    if shift.ndim == 2:
+        shift, scale = shift[:, None, :], scale[:, None, :]
+    return x * (1.0 + scale) + shift
+
+
+def gate_mod(gate: jax.Array) -> jax.Array:
+    """Broadcast a (B, dim) gate over the sequence axis; pass (B, S, dim)
+    tokenwise gates through unchanged."""
+    return gate[:, None, :] if gate.ndim == 2 else gate
 
 
 class AdaLayerNormZero(nn.Module):

@@ -33,7 +33,7 @@ _FAMILIES: Dict[str, tuple] = {
     "cosmos": ("simpletuner_tpu.models.cosmos2.model", "Cosmos2Image", {"modality": "image", "prediction": "sample"}),
     "hidream": ("simpletuner_tpu.models.hidream.model", "HiDream", {"modality": "image", "prediction": "flow_matching"}),
     "qwen_image": ("simpletuner_tpu.models.qwen_image.model", "QwenImage", {"modality": "image", "prediction": "flow_matching"}),
-    "longcat_image": ("simpletuner_tpu.models.extended.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
+    "longcat_image": ("simpletuner_tpu.models.longcat_image.model", "LongcatImage", {"modality": "image", "prediction": "flow_matching"}),
     "longcat_video": ("simpletuner_tpu.models.longcat_video.model", "LongcatVideo", {"modality": "video", "prediction": "flow_matching"}),
     "anima": ("simpletuner_tpu.models.anima.model", "Anima", {"modality": "image", "prediction": "flow_matching"}),
     "ideogram": ("simpletuner_tpu.models.ideogram.model", "Ideogram", {"modality": "image", "prediction": "flow_matching"}),

@@ -207,12 +207,14 @@ def flux_params_from_diffusers(
             "in_layer": _linear(w, "time_text_embed.timestep_embedder.linear_1"),
             "out_layer": _linear(w, "time_text_embed.timestep_embedder.linear_2"),
         },
-        "vector_in": {
-            "in_layer": _linear(w, "time_text_embed.text_embedder.linear_1"),
-            "out_layer": _linear(w, "time_text_embed.text_embedder.linear_2"),
-        },
         "final_proj": _linear(w, "proj_out"),
     }
+    # LongCat-Image (timestep-only modulation) has no pooled-text embedder
+    if "time_text_embed.text_embedder.linear_1.weight" in w:
+        params["vector_in"] = {
+            "in_layer": _linear(w, "time_text_embed.text_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.text_embedder.linear_2"),
+        }
     if "time_text_embed.guidance_embedder.linear_1.weight" in w:
         params["guidance_in"] = {
             "in_layer": _linear(w, "time_text_embed.guidance_embedder.linear_1"),
@@ -1987,6 +1989,23 @@ def load_anima_params(model, path: str) -> Dict[str, Any]:
     return params
 
 
+def load_longcat_image_params(model, path: str) -> Dict[str, Any]:
+    """LongCat-Image: the diffusers-layout Flux body with a bare
+    ``time_embed.timestep_embedder`` (reference
+    longcat_image/transformer.py:315-321 — no pooled-text or guidance
+    embedder)."""
+    weights = _strip_prefix(read_safetensors(path))
+    renamed = {}
+    for key, value in weights.items():
+        if key.startswith("time_embed."):
+            key = "time_text_embed." + key[len("time_embed."):]
+        renamed[key] = value
+    arch = model.arch
+    params = flux_params_from_diffusers(renamed, arch.depth_double, arch.depth_single)
+    logger.info("imported longcat_image weights from %s", path)
+    return params
+
+
 def load_cosmos2_params(model, path: str) -> Dict[str, Any]:
     """Cosmos-Predict2 T2I: the bare CosmosTransformer3DModel checkpoint
     (reference helpers/models/cosmos/model.py:52-66)."""
@@ -2160,6 +2179,7 @@ _IMPORTERS = {
     "sanavideo": load_sanavideo_params,
     "anima": load_anima_params,
     "longcat_video": load_longcat_video_params,
+    "longcat_image": load_longcat_image_params,
     "stable_cascade": load_stable_cascade_params,
 }
 
