@@ -134,7 +134,7 @@ class DataloaderConfigError(ValueError):
     pass
 
 
-def _validate(configs: Sequence[DatasetConfig]) -> None:
+def _validate(configs: Sequence[DatasetConfig], require_text_embeds: bool = True) -> None:
     errors: List[str] = []
     seen = set()
     ids = {c.id for c in configs}
@@ -173,7 +173,7 @@ def _validate(configs: Sequence[DatasetConfig]) -> None:
         errors.append("multiple text_embeds datasets marked default=true")
     primaries = [c for c in configs if c.dataset_type in ("image", "video", "audio") and not c.disabled]
     text_embed_sets = [c for c in configs if c.dataset_type == "text_embeds" and not c.disabled]
-    if primaries and not text_embed_sets:
+    if require_text_embeds and primaries and not text_embed_sets:
         errors.append("at least one text_embeds dataset is required when training datasets are present")
     if errors:
         raise DataloaderConfigError("; ".join(errors))
@@ -215,6 +215,7 @@ def sort_by_dependencies(configs: Sequence[DatasetConfig]) -> List[DatasetConfig
 def load_dataloader_config(
     path_or_list: Any,
     global_defaults: Optional[Dict[str, Any]] = None,
+    require_text_embeds: bool = True,
 ) -> List[DatasetConfig]:
     """Parse, default-fill, validate and dependency-sort a multidatabackend config.
 
@@ -248,7 +249,7 @@ def load_dataloader_config(
             if key not in merged and defaults.get(key) is not None:
                 merged[key] = defaults[key]
         configs.append(DatasetConfig.from_dict(merged))
-    _validate(configs)
+    _validate(configs, require_text_embeds=require_text_embeds)
     active = [c for c in configs if not c.disabled]
     return sort_by_dependencies(active)
 

@@ -68,6 +68,48 @@ def probe_audio(data_backend, path: str) -> Optional[Dict[str, Any]]:
         return None
 
 
+TOKEN_EXTENSIONS = (".npy", ".npz")
+
+
+def load_token_matrix(data_backend, path: str) -> np.ndarray:
+    """Pre-tokenised codec frames (reference heartmula/model.py:358-400
+    ``_load_audio_tokens``): .npy/.npz with [frames, codebooks] (or its
+    transpose, resolved by the model against num_codebooks)."""
+    import io
+
+    payload = np.load(io.BytesIO(data_backend.read(path)), allow_pickle=False)
+    if hasattr(payload, "files"):
+        if "tokens" in payload:
+            payload = payload["tokens"]
+        elif payload.files:
+            payload = payload[payload.files[0]]
+        else:
+            raise ValueError(f"audio token archive {path} is empty")
+    tokens = np.asarray(payload)
+    if tokens.ndim != 2:
+        raise ValueError(
+            f"audio tokens must be 2D [frames, codebooks] (or transposed), got {tokens.shape} in {path}"
+        )
+    return tokens.astype(np.int64)
+
+
+def probe_token_file(data_backend, path: str, frame_rate: float = 25.0) -> Optional[Dict[str, Any]]:
+    """Probe a codec-token file for duration bucketing (frames / frame_rate)."""
+    try:
+        tokens = load_token_matrix(data_backend, path)
+        frames = int(max(tokens.shape))  # frame axis is the longer one
+        return {
+            "sample_rate": 0,
+            "frames": frames,
+            "channels": 0,
+            "duration": frames / max(frame_rate, 1e-6),
+            "token_file": True,
+        }
+    except Exception as exc:
+        logger.debug("token probe failed for %s: %s", path, exc)
+        return None
+
+
 def load_audio(
     data_backend,
     path: str,

@@ -86,6 +86,62 @@ def collate_batch(
         batch.update(model.collate_text_embeds(embeds))
         return batch
 
+    if (
+        cfg.dataset_type == "audio"
+        and getattr(model, "uses_audio_tokens", None) is not None
+        and model.uses_audio_tokens()
+    ):
+        # pre-tokenised codec training (HeartMuLa; reference
+        # heartmula/model.py:401-481 collate_audio_tokens): tags/lyrics ride
+        # parquet rows or sidecar files, codec frames come from .npy token
+        # matrices — no VAE or text-embed cache in this path
+        from .audio import load_token_matrix
+
+        examples = []
+        for sample in samples:
+            path = sample["image_path"]
+            row = (sample.get("metadata") or {}).get("row") or (
+                bundle.metadata_backend.image_metadata.get(path, {}) or {}
+            ).get("row") or {}
+            tags = row.get("tags") or row.get("prompt")
+            lyrics = row.get("lyrics")
+            stem = path.rsplit(".", 1)[0]
+            if tags is None:
+                tags_path = stem + ".txt"
+                if bundle.data_backend.exists(tags_path):
+                    tags = bundle.data_backend.read(tags_path).decode("utf-8")
+            if lyrics is None:
+                lyrics_path = stem + ".lyrics.txt"
+                if bundle.data_backend.exists(lyrics_path):
+                    lyrics = bundle.data_backend.read(lyrics_path).decode("utf-8")
+            if tags is None:
+                raise ValueError(
+                    f"{model.NAME} requires 'tags' (or 'prompt') for {path}: provide a "
+                    "parquet column or a sidecar .txt file"
+                )
+            if lyrics is None:
+                raise ValueError(
+                    f"{model.NAME} requires 'lyrics' for {path}: provide a parquet "
+                    "column or a sidecar .lyrics.txt file"
+                )
+            examples.append(
+                {
+                    "tags": str(tags),
+                    "lyrics": str(lyrics),
+                    "audio_tokens": load_token_matrix(bundle.data_backend, path),
+                }
+            )
+        batch = model.collate_token_batch(examples)
+        batch.update(
+            {
+                "captions": [e["tags"] for e in examples],
+                "dataset_id": bundle.id,
+                "bucket": samples[0]["bucket"],
+                "image_paths": [s["image_path"] for s in samples],
+            }
+        )
+        return batch
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         latents = list(pool.map(lambda s: bundle.vae_cache.get(s["image_path"]), samples))
 

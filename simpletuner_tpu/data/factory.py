@@ -164,6 +164,12 @@ def configure_multi_databackend(
     raw = args.get("data_backend_config")
     configs = load_dataloader_config(
         raw,
+        # codec-token families (HeartMuLa) tokenize tags/lyrics into the
+        # token grid at collate time — no text-embed cache needed
+        require_text_embeds=not (
+            getattr(model, "uses_audio_tokens", None) is not None
+            and model.uses_audio_tokens()
+        ),
         global_defaults={
             "resolution": args.get("resolution"),
             "resolution_type": args.get("resolution_type"),
@@ -321,6 +327,14 @@ def configure_multi_databackend(
                     bundle.vae_cache.process_buckets(
                         process_index=process_index, num_processes=num_processes
                     )
+                continue
+            if (
+                bundle.config.dataset_type == "audio"
+                and getattr(model, "uses_audio_tokens", None) is not None
+                and model.uses_audio_tokens()
+            ):
+                # pre-tokenised codec training (HeartMuLa): tokens are already
+                # on disk, tags/lyrics tokenize into the grid at collate time
                 continue
             # text embeds for every caption in the dataset
             if bundle.text_cache is not None and bundle.text_cache.encode_fn is not None:

@@ -174,19 +174,28 @@ class MetadataBackend:
     def _discover_audio(self, max_workers: int = 16) -> Dict[str, List[str]]:
         """Audio buckets keyed by quantized duration (reference
         metadata/backends/base.py:328 audio duration buckets)."""
-        from .audio import AUDIO_EXTENSIONS, duration_bucket, probe_audio
+        from .audio import AUDIO_EXTENSIONS, TOKEN_EXTENSIONS, duration_bucket, probe_audio, probe_token_file
 
         files = self.data_backend.list_files(
-            file_extensions=AUDIO_EXTENSIONS, instance_data_dir=self.instance_data_dir
+            file_extensions=AUDIO_EXTENSIONS + TOKEN_EXTENSIONS,
+            instance_data_dir=self.instance_data_dir,
         )
         known = set(self.image_metadata)
         new_files = [f for f in files if f not in known]
         audio_cfg = self.video_config  # dataset's `audio` dict rides the same slot
         max_duration = float(audio_cfg.get("max_duration", 0) or 0)
         bucket_seconds = float(audio_cfg.get("bucket_seconds", 1.0) or 1.0)
+        # pre-tokenised codec frames (HeartMuLa, reference heartmula/model.py:358):
+        # duration = frames / token_frame_rate for bucketing purposes
+        token_frame_rate = float(audio_cfg.get("token_frame_rate", 25.0) or 25.0)
+
+        def _probe(path):
+            if path.lower().endswith(TOKEN_EXTENSIONS):
+                return path, probe_token_file(self.data_backend, path, token_frame_rate)
+            return path, probe_audio(self.data_backend, path)
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            results = list(pool.map(lambda p: (p, probe_audio(self.data_backend, p)), new_files))
+            results = list(pool.map(_probe, new_files))
 
         for path, info in results:
             if info is None or info["duration"] <= 0:
@@ -201,6 +210,9 @@ class MetadataBackend:
                 "channels": info["channels"],
                 "bucket": key,
             }
+            if info.get("token_file"):
+                self.image_metadata[path]["token_file"] = True
+                self.image_metadata[path]["frames"] = info["frames"]
             self.aspect_ratio_bucket_indices.setdefault(key, []).append(path)
         current = set(files)
         for key in list(self.aspect_ratio_bucket_indices):

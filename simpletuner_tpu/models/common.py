@@ -489,6 +489,12 @@ class ModelFoundation:
     def check_user_config(self) -> None:
         """Family-specific config validation; raise ValueError on bad combos."""
 
+    def uses_audio_tokens(self) -> bool:
+        """True for autoregressive codec-token families (reference
+        heartmula/model.py:108): the data plane then loads pre-tokenised
+        .npy frame matrices instead of VAE latents."""
+        return False
+
     # ---- misc -----------------------------------------------------------------------------
     @property
     def lora_rank(self) -> int:

@@ -211,3 +211,109 @@ class HeartMuLa(ModelFoundation):
     def check_user_config(self) -> None:
         if getattr(self.config, "model_type", "lora") == "controlnet":
             raise ValueError("heartmula does not support controlnet training")
+
+    # ---- codec-token data plane (reference model.py:326-481) ----------------------------
+    def uses_audio_tokens(self) -> bool:
+        return True
+
+    def _normalize_tags(self, tags: str) -> str:
+        """<tag>…</tag> wrapping (reference model.py:328-334)."""
+        tags = tags.strip().lower()
+        if not tags.startswith("<tag>"):
+            tags = f"<tag>{tags}"
+        if not tags.endswith("</tag>"):
+            tags = f"{tags}</tag>"
+        return tags
+
+    def _text_token_ids(self, text: str) -> list:
+        """BPE ids via tokenizer.json when configured (reference
+        model.py:156-170 loads HeartMuLaGen assets); deterministic hash ids
+        for the tiny preset.  BOS/EOS framing follows model.py:336-346."""
+        bos = int(getattr(self.config, "heartmula_text_bos_id", 1) or 1)
+        eos = int(getattr(self.config, "heartmula_text_eos_id", 2) or 2)
+        tok_path = getattr(self.config, "heartmula_tokenizer_path", None)
+        if tok_path:
+            if not hasattr(self, "_hm_tokenizer"):
+                from tokenizers import Tokenizer
+
+                self._hm_tokenizer = Tokenizer.from_file(str(tok_path))
+            ids = list(self._hm_tokenizer.encode(text).ids)
+        elif getattr(self.config, "model_arch_preset", None) == "tiny":
+            vocab = int(self.arch.get("text_vocab", 64))
+            ids = [(hash(word) % max(vocab - 4, 1)) + 3 for word in text.split()]
+        else:
+            raise ValueError(
+                "heartmula requires --heartmula_tokenizer_path (the HeartMuLaGen "
+                "tokenizer.json) for non-tiny training; refusing a silent fallback"
+            )
+        if not ids:
+            return [bos, eos]
+        if ids[0] != bos:
+            ids = [bos] + ids
+        if ids[-1] != eos:
+            ids = ids + [eos]
+        return ids
+
+    def collate_token_batch(self, examples) -> Dict[str, Any]:
+        """Token-grid collation (reference model.py:401-481
+        ``collate_audio_tokens``): [tags, <sep>, lyrics] on the text column,
+        codec frames on the first K columns, empty_id elsewhere."""
+        import numpy as np
+
+        K = int(self.arch.get("num_codebooks", 8))
+        empty_id = int(getattr(self.config, "heartmula_empty_id", 0) or 0)
+
+        grids, masks, frame_masks = [], [], []
+        for example in examples:
+            tag_ids = self._text_token_ids(self._normalize_tags(example["tags"]))
+            lyric_ids = self._text_token_ids(str(example["lyrics"]).strip().lower())
+            audio = np.asarray(example["audio_tokens"], np.int64)
+            if audio.ndim != 2:
+                raise ValueError(f"audio tokens must be 2D, got {audio.shape}")
+            if audio.shape[0] == K and audio.shape[1] == K:
+                raise ValueError(
+                    f"ambiguous token matrix {audio.shape}: both dims equal "
+                    f"num_codebooks ({K})"
+                )
+            if audio.shape[0] == K:
+                audio = audio.T  # [codebooks, frames] -> [frames, codebooks]
+            if audio.shape[1] != K:
+                raise ValueError(
+                    f"token matrix {audio.shape} does not match num_codebooks {K}"
+                )
+            prompt_len = len(tag_ids) + 1 + len(lyric_ids)
+            seq_len = prompt_len + audio.shape[0]
+
+            grid = np.full((seq_len, K + 1), empty_id, np.int64)
+            grid[: len(tag_ids), -1] = tag_ids
+            grid[len(tag_ids) + 1 : prompt_len, -1] = lyric_ids
+            grid[prompt_len:, :K] = audio
+
+            mask = np.zeros((seq_len, K + 1), bool)
+            mask[:prompt_len, -1] = True
+            mask[prompt_len:, :K] = True
+
+            frame_mask = np.zeros(seq_len, bool)
+            frame_mask[prompt_len:] = True
+
+            grids.append(grid)
+            masks.append(mask)
+            frame_masks.append(frame_mask)
+
+        # pad to a 32-multiple so duration buckets share compile-cache entries
+        max_len = max(g.shape[0] for g in grids)
+        max_len = ((max_len + 31) // 32) * 32
+        batch = len(grids)
+        tokens = np.full((batch, max_len, K + 1), empty_id, np.int64)
+        tokens_mask = np.zeros((batch, max_len, K + 1), bool)
+        audio_frame_mask = np.zeros((batch, max_len), bool)
+        for i, (grid, mask, frame_mask) in enumerate(zip(grids, masks, frame_masks)):
+            length = grid.shape[0]
+            tokens[i, :length] = grid
+            tokens_mask[i, :length] = mask
+            audio_frame_mask[i, :length] = frame_mask
+        return {
+            "tokens": tokens.astype(np.int32),
+            "tokens_mask": tokens_mask.astype(np.float32),
+            "audio_frame_mask": audio_frame_mask.astype(np.float32),
+        }

@@ -96,13 +96,30 @@ class OmniGen(ModelFoundation):
 
         tok = getattr(self, "_tokenizer", None)
         if tok is None:
-            from transformers import AutoTokenizer
+            if getattr(self.config, "model_arch_preset", None) == "tiny":
+                # offline tiny runs: deterministic hash ids inside the tiny vocab
+                vocab = int(self.arch.vocab_size)
 
-            self._tokenizer = tok = AutoTokenizer.from_pretrained(
-                getattr(self.config, "pretrained_model_name_or_path", None)
-                or self.HUGGINGFACE_PATHS[self.flavour or "v1"],
-                subfolder="tokenizer",
-            )
+                def tok(prompts, padding=None, truncation=True, max_length=120):
+                    ids = np.zeros((len(prompts), max_length), np.int32)
+                    mask = np.zeros((len(prompts), max_length), np.int32)
+                    for row, prompt in enumerate(prompts):
+                        words = str(prompt).split()[: max_length - 1]
+                        for col, word in enumerate(words):
+                            ids[row, col] = (hash(word) % max(vocab - 4, 1)) + 3
+                            mask[row, col] = 1
+                        ids[row, len(words)] = 2  # eos
+                        mask[row, len(words)] = 1
+                    return {"input_ids": ids, "attention_mask": mask}
+            else:
+                from transformers import AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(
+                    getattr(self.config, "pretrained_model_name_or_path", None)
+                    or self.HUGGINGFACE_PATHS[self.flavour or "v1"],
+                    subfolder="tokenizer",
+                )
+            self._tokenizer = tok
         out = tok(list(prompts), padding="max_length", truncation=True, max_length=120)
         return [
             {

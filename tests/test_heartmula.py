@@ -100,3 +100,52 @@ def test_caption_dropout_uses_uncond_embedding():
     prepared_cond.pop("uncond_mask")
     out_cond = model.model_predict(variables, prepared_cond)
     assert bool(jnp.any(out_uncond["codebook0_logits"] != out_cond["codebook0_logits"]))
+
+def test_collate_token_batch_grid_layout():
+    """Grid semantics of reference model.py:401-481 collate_audio_tokens:
+    tags ids then a separator row then lyric ids on the text column, codec
+    frames on the first K columns, masks split text/audio."""
+    model = make_model()
+    K = model.arch["num_codebooks"]
+    audio = np.arange(5 * K).reshape(5, K) % 7 + 1
+    batch = model.collate_token_batch(
+        [{"tags": "rock, synth", "lyrics": "la la", "audio_tokens": audio}]
+    )
+    tokens, mask = batch["tokens"][0], batch["tokens_mask"][0]
+    frame_mask = batch["audio_frame_mask"][0]
+    tag_ids = model._text_token_ids(model._normalize_tags("rock, synth"))
+    lyric_ids = model._text_token_ids("la la")
+    prompt_len = len(tag_ids) + 1 + len(lyric_ids)
+    # text column carries tags then (separator row stays empty) lyrics
+    np.testing.assert_array_equal(tokens[: len(tag_ids), -1], tag_ids)
+    assert tokens[len(tag_ids), -1] == 0  # separator row = empty_id
+    np.testing.assert_array_equal(tokens[len(tag_ids) + 1 : prompt_len, -1], lyric_ids)
+    # audio rows carry codec frames on the first K columns
+    np.testing.assert_array_equal(tokens[prompt_len : prompt_len + 5, :K], audio)
+    # masks: text column masked over the prompt, codebooks over audio rows
+    assert mask[: prompt_len, -1].all() and not mask[:prompt_len, :K].any()
+    assert mask[prompt_len : prompt_len + 5, :K].all()
+    assert not frame_mask[:prompt_len].any() and frame_mask[prompt_len : prompt_len + 5].all()
+    # padded region is inert
+    assert tokens.shape[0] % 32 == 0
+    assert not mask[prompt_len + 5 :].any()
+    # transposed [codebooks, frames] input resolves identically
+    batch_t = model.collate_token_batch(
+        [{"tags": "rock, synth", "lyrics": "la la", "audio_tokens": audio.T}]
+    )
+    np.testing.assert_array_equal(batch_t["tokens"], batch["tokens"])
+
+
+def test_collate_token_batch_trains(model_and_vars):
+    """A collated token batch flows through loss_fn to a finite loss."""
+    model = make_model()
+    K = model.arch["num_codebooks"]
+    rng = np.random.default_rng(5)
+    examples = [
+        {"tags": "piano", "lyrics": "hello world", "audio_tokens": rng.integers(0, 30, (9, K))},
+        {"tags": "edm, bass", "lyrics": "drop it", "audio_tokens": rng.integers(0, 30, (12, K))},
+    ]
+    batch = {k: jnp.asarray(v) for k, v in model.collate_token_batch(examples).items()}
+    variables = model.init_params(jax.random.PRNGKey(2), batch)
+    loss, aux = model.loss_fn(variables, jax.random.PRNGKey(3), batch)
+    assert np.isfinite(float(loss))
