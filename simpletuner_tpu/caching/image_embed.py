@@ -73,7 +73,10 @@ class ImageEmbedCache:
     def process_files(self, files: List[str], process_index: int = 0, num_processes: int = 1) -> int:
         if self.encode_fn is None:
             raise RuntimeError(f"image embed cache {self.id}: no encoder attached")
-        todo = [f for f in files if not self.exists(f)][process_index::num_processes]
+        # split the deterministic list first, THEN filter cached entries:
+        # filtering first races with other ranks' in-flight writes and the
+        # interleaved shards disagree (same fix as VAECache.process_buckets)
+        todo = [f for f in files[process_index::num_processes] if not self.exists(f)]
         if not todo:
             return 0
         done = 0

@@ -91,10 +91,17 @@ class VAECache:
 
     # ---- discovery ---------------------------------------------------------------------------
     def discover_unprocessed_files(self) -> List[str]:
+        """Full candidate list in deterministic (bucket-sorted) order.
+
+        Already-cached entries are NOT filtered here: multi-process caching
+        splits this list by rank, and the split must be computed identically
+        on every process — an exists() filter at this level would race with
+        other ranks' in-flight writes (see process_buckets).
+        """
         all_files: List[str] = []
-        for files in self.metadata_backend.aspect_ratio_bucket_indices.values():
-            all_files.extend(files)
-        return [f for f in all_files if not self.exists(f)]
+        for key in sorted(self.metadata_backend.aspect_ratio_bucket_indices):
+            all_files.extend(self.metadata_backend.aspect_ratio_bucket_indices[key])
+        return all_files
 
     # ---- the caching pass --------------------------------------------------------------------
     def _prepare_one(self, path: str) -> Optional[Tuple[str, np.ndarray, Dict[str, Any]]]:
@@ -169,7 +176,12 @@ class VAECache:
                 self.metadata_backend.remove_image(path)
             if process_index == 0:
                 self.nsfw_filter.write_report(self.cache_dir, self.id)
-        todo = all_todo[process_index::num_processes]
+        # Split the full deterministic list FIRST, then drop already-cached
+        # entries within this rank's shard.  Filtering before the split would
+        # make each process's `all_todo` depend on how far the *other* ranks'
+        # concurrent writes have progressed — the interleaved shards then
+        # disagree and files fall through uncached.
+        todo = [f for f in all_todo[process_index::num_processes] if not self.exists(f)]
         if not todo:
             return 0
 

@@ -280,6 +280,9 @@ class MultiDatasetIterator:
         model,
         caption_dropout_probability: float = 0.0,
         seed: int = 42,
+        process_index: int = 0,
+        num_processes: int = 1,
+        grad_accum_steps: int = 1,
     ):
         if not bundles:
             raise ValueError("no datasets to iterate")
@@ -290,6 +293,13 @@ class MultiDatasetIterator:
         self._iters: Dict[str, Iterator] = {}
         self._exhausted: set = set()
         self.epoch = 0
+        # Multi-host: samplers run deterministically-identically on every
+        # process (same seed → same global batch metadata); each host collates
+        # only its own slice of the global batch and the trainer reassembles
+        # via jax.make_array_from_process_local_data (parallel/distributed.py).
+        self.process_index = int(process_index)
+        self.num_processes = max(int(num_processes), 1)
+        self.grad_accum_steps = max(int(grad_accum_steps), 1)
 
     def _weight(self, bundle: DatasetBundle) -> float:
         if bundle.config.dataset_weight is not None:
@@ -340,6 +350,16 @@ class MultiDatasetIterator:
             bundle = self.rng.choices(candidates, weights=weights, k=1)[0]
             samples = self._next_from(bundle)
             if samples is not None:
+                if self.num_processes > 1:
+                    from ..parallel.distributed import host_local_indices
+
+                    idx = host_local_indices(
+                        len(samples),
+                        self.grad_accum_steps,
+                        self.process_index,
+                        self.num_processes,
+                    )
+                    samples = [samples[i] for i in idx]
                 return collate_batch(
                     samples,
                     bundle,
@@ -358,15 +378,27 @@ class MultiDatasetIterator:
         )
 
     def save_state(self) -> Dict[str, Any]:
+        version, internal, gauss = self.rng.getstate()
         return {
             "epoch": self.epoch,
             "exhausted": sorted(self._exhausted),
             "samplers": {b.id: b.sampler.save_state() for b in self.bundles},
+            # bundle-selection RNG (JSON-safe form): without it a resume
+            # replays a different dataset-interleaving than the original run
+            "rng": [version, list(internal), gauss],
         }
 
     def load_state(self, state: Dict[str, Any]) -> None:
         self.epoch = state.get("epoch", 0)
         self._exhausted = set(state.get("exhausted", []))
+        # live generators hold pre-restore cursors; drop them so the next
+        # draw re-derives from the restored sampler state (deterministic,
+        # keyed on (seed, epoch, draws))
+        self._iters.clear()
+        rng_state = state.get("rng")
+        if rng_state:
+            version, internal, gauss = rng_state
+            self.rng.setstate((version, tuple(internal), gauss))
         samplers = state.get("samplers", {})
         for bundle in self.bundles:
             if bundle.id in samplers:

@@ -244,6 +244,8 @@ def configure_multi_databackend(
             repeats=config.repeats,
             **kwargs,
         )
+        if num_processes > 1:
+            metadata.rank_suffix = f".rank{process_index}"
         metadata.refresh(max_workers=int(args.get("max_workers", 16) or 16))
 
         sampler = MultiAspectSampler(
@@ -394,5 +396,8 @@ def configure_multi_databackend(
         model,
         caption_dropout_probability=float(args.get("caption_dropout_probability", 0.0) or 0.0),
         seed=int(args.get("seed", 42) or 42),
+        process_index=process_index,
+        num_processes=num_processes,
+        grad_accum_steps=int(args.get("gradient_accumulation_steps", 1) or 1),
     )
     return DataPlane(bundles, text_caches, iterator, startup_metrics=metrics)

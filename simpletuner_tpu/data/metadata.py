@@ -47,6 +47,10 @@ class MetadataBackend:
         self.repeats = repeats
         self.aspect_ratio_bucket_indices: Dict[str, List[str]] = {}
         self.image_metadata: Dict[str, Dict[str, Any]] = {}
+        # multi-host: per-process caching passes each learn crop metadata for
+        # only their own file shard; writes go to a rank-suffixed sidecar and
+        # merge_rank_metadata() unions them after the caching barrier
+        self.rank_suffix: Optional[str] = None
 
     # ---- probing ------------------------------------------------------------------------
     def _probe(self, path: str) -> Optional[Tuple[int, int]]:
@@ -236,7 +240,30 @@ class MetadataBackend:
             "updated_at": time.time(),
         }
         self.data_backend.write(self.cache_file, json.dumps(payload).encode())
-        self.data_backend.write(self.metadata_file, json.dumps(self.image_metadata).encode())
+        metadata_path = self.metadata_file + (self.rank_suffix or "")
+        self.data_backend.write(metadata_path, json.dumps(self.image_metadata).encode())
+
+    def merge_rank_metadata(self, num_processes: int, write_union: bool = False) -> None:
+        """Union the per-rank metadata sidecars into memory (call after the
+        cross-process caching barrier so every host sees crop/size metadata
+        for files cached by other ranks — SDXL time-ids etc. need it)."""
+        merged: Dict[str, Dict[str, Any]] = {}
+        if self.data_backend.exists(self.metadata_file):
+            try:
+                merged.update(json.loads(self.data_backend.read(self.metadata_file)))
+            except Exception:
+                pass
+        for rank in range(num_processes):
+            path = f"{self.metadata_file}.rank{rank}"
+            if self.data_backend.exists(path):
+                try:
+                    merged.update(json.loads(self.data_backend.read(path)))
+                except Exception:
+                    pass
+        merged.update(self.image_metadata)  # in-memory (own shard) wins
+        self.image_metadata = merged
+        if write_union:
+            self.data_backend.write(self.metadata_file, json.dumps(merged).encode())
 
     def load_cache(self) -> bool:
         try:

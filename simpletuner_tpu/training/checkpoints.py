@@ -161,18 +161,35 @@ class CheckpointManager:
         joins any in-flight one first.
         """
         self.wait()
+        import jax
+
+        is_primary = jax.process_index() == 0
+        multiprocess = jax.process_count() > 1
         final_path = self.path_for_step(step, rolling)
         tmp_path = final_path + ".tmp"
-        if os.path.exists(tmp_path):
-            shutil.rmtree(tmp_path)
-        if os.path.exists(final_path):
-            shutil.rmtree(final_path)
-        os.makedirs(tmp_path, exist_ok=True)
+        if is_primary:
+            if os.path.exists(tmp_path):
+                shutil.rmtree(tmp_path)
+            if os.path.exists(final_path):
+                shutil.rmtree(final_path)
+            os.makedirs(tmp_path, exist_ok=True)
+        if multiprocess:
+            # all processes participate in the Orbax write (each contributes
+            # its addressable shards); host-side file surgery is primary-only
+            from ..parallel.distributed import host_barrier
+
+            host_barrier(f"ckpt_mkdir_{step}_{rolling}")
 
         self._checkpointer.save(os.path.join(tmp_path, "state"), state)
 
         def finalize():
             self._checkpointer.wait_until_finished()
+            if multiprocess:
+                from ..parallel.distributed import host_barrier
+
+                host_barrier(f"ckpt_written_{step}_{rolling}")
+            if not is_primary:
+                return
             if extra_state:
                 with open(os.path.join(tmp_path, "trainer_state.json"), "w") as handle:
                     json.dump(extra_state, handle)
@@ -202,7 +219,10 @@ class CheckpointManager:
             if on_complete is not None:
                 on_complete(final_path)
 
-        if self.async_save:
+        if self.async_save and not multiprocess:
+            # multiprocess finalize holds a cross-process barrier; running it
+            # on a background thread while the main thread issues collectives
+            # can deadlock — force synchronous finalize across hosts
             import threading
 
             def guarded_finalize():

@@ -189,8 +189,10 @@ def test_factory_builds_and_caches(tiny_pipeline, image_dir):
     args, model, plane = tiny_pipeline
     assert "images" in plane.bundles
     bundle = plane.bundles["images"]
-    # vae cache fully populated
-    todo = bundle.vae_cache.discover_unprocessed_files()
+    # vae cache fully populated (discover returns the full candidate list;
+    # cached-ness is checked per path)
+    todo = [f for f in bundle.vae_cache.discover_unprocessed_files()
+            if not bundle.vae_cache.exists(f)]
     assert todo == []
     # text cache populated for all captions
     assert bundle.text_cache.exists("a photo number 0")
