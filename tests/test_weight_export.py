@@ -1,0 +1,211 @@
+"""Full-rank / full-pipeline export round trips (VERDICT r2 Missing #2).
+
+For each covered family: random-init tiny params → export to diffusers-layout
+torch keys (weight_export.py) → re-import through the family's own importer
+(weight_import.py) → bitwise-equal trees.  Every transform in both directions
+is a permutation of elements, so exact equality is the correct bar.
+
+Also checks the exported key set matches the diffusers layout (via the same
+synthetic-checkpoint generators the oracle import tests use), and that
+save_full_pipeline writes a loadable directory.
+
+Reference: helpers/training/save_hooks.py:271 model-type-aware save,
+_FSDP2PipelineExportSpec :44,344; SURVEY.md §5.4 export-format parity.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from simpletuner_tpu.configuration import TrainingConfig
+from simpletuner_tpu.models.registry import get_model_family
+from simpletuner_tpu.models import weight_export as wx
+from simpletuner_tpu.models import weight_import as wi
+
+pytestmark = pytest.mark.slow
+
+
+def _tiny_model(family, **overrides):
+    values = {
+        "model_family": family,
+        "model_type": "full",
+        "model_arch_preset": "tiny",
+        "optimizer": "adamw",
+        "learning_rate": 1e-4,
+        "max_train_steps": 1,
+        "report_to": "none",
+    }
+    values.update(overrides)
+    return get_model_family(TrainingConfig(values))
+
+
+def _random_params(model, seed=0):
+    batch = model.example_batch(batch_size=1, resolution=64)
+    variables = model.init_params(jax.random.PRNGKey(seed), batch)
+    return variables["params"], batch
+
+
+def _assert_trees_equal(a, b, path=""):
+    assert set(a) == set(b), f"{path}: keys {sorted(a)} != {sorted(b)}"
+    for key in a:
+        va, vb = a[key], b[key]
+        sub = f"{path}/{key}"
+        if isinstance(va, dict):
+            _assert_trees_equal(va, vb, sub)
+        else:
+            na = np.asarray(va, np.float32)
+            nb = np.asarray(vb, np.float32)
+            assert na.shape == nb.shape, f"{sub}: {na.shape} != {nb.shape}"
+            np.testing.assert_array_equal(na, nb, err_msg=sub)
+
+
+@pytest.mark.parametrize(
+    "family,exporter,importer",
+    [
+        ("flux", wx.export_flux_to_diffusers,
+         lambda w, a: wi.flux_params_from_diffusers(w, a.depth_double, a.depth_single)),
+        ("sd3", wx.export_sd3_to_diffusers, wi.sd3_params_from_diffusers),
+        ("wan", wx.export_wan_to_diffusers, wi.wan_params_from_diffusers),
+        ("qwen_image", wx.export_qwen_image_to_diffusers, wi.qwen_image_params_from_diffusers),
+        ("sdxl", wx.export_unet_to_diffusers, wi.unet_params_from_diffusers),
+        ("sd1x", wx.export_unet_to_diffusers, wi.unet_params_from_diffusers),
+    ],
+)
+def test_export_import_round_trip(family, exporter, importer):
+    model = _tiny_model(family)
+    params, _ = _random_params(model)
+    exported = exporter(params, model.arch)
+    assert exported, "exporter produced no tensors"
+    for key, value in exported.items():
+        assert isinstance(value, np.ndarray), f"{key} not ndarray"
+    reimported = importer(exported, model.arch)
+    _assert_trees_equal(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params),
+        reimported,
+    )
+
+
+def test_sd1x_exports_conv1x1_projections():
+    """SD1.x spatial-transformer proj_in/out must export as 4D 1x1 convs
+    (diffusers SD1.5 layout); SDXL as 2D Linear."""
+    sd1 = _tiny_model("sd1x")
+    p1, _ = _random_params(sd1)
+    w1 = wx.export_unet_to_diffusers(p1, sd1.arch)
+    proj_keys = [k for k in w1 if k.endswith("proj_in.weight")]
+    assert proj_keys and all(w1[k].ndim == 4 for k in proj_keys)
+
+    xl = _tiny_model("sdxl")
+    pxl, _ = _random_params(xl)
+    wxl = wx.export_unet_to_diffusers(pxl, xl.arch)
+    proj_keys = [k for k in wxl if k.endswith("proj_in.weight")]
+    assert proj_keys and all(wxl[k].ndim == 2 for k in proj_keys)
+    assert "add_embedding.linear_1.weight" in wxl
+
+
+def test_flux_controlnet_round_trip():
+    model = _tiny_model("flux", model_type="controlnet", controlnet_depth=2)
+    batch = model.example_batch(batch_size=1, resolution=64)
+    cn_params = model.init_controlnet_params(jax.random.PRNGKey(1), batch)
+    exported = wx.export_flux_controlnet_to_diffusers(cn_params, model.arch, depth=2)
+    assert "controlnet_x_embedder.weight" in exported
+    assert "controlnet_blocks.0.weight" in exported
+    assert not any(k.startswith("proj_out") for k in exported)
+    reimported = wx.import_flux_controlnet_from_diffusers(exported, model.arch, depth=2)
+    _assert_trees_equal(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), cn_params),
+        reimported,
+    )
+
+
+def test_save_full_pipeline_layout(tmp_path):
+    model = _tiny_model("flux")
+    params, _ = _random_params(model)
+    out = str(tmp_path / "pipeline")
+    component_dir = wx.save_full_pipeline(model, {"params": params}, out)
+    assert os.path.exists(os.path.join(out, "model_index.json"))
+    assert os.path.exists(os.path.join(component_dir, "config.json"))
+    st_path = os.path.join(component_dir, "diffusion_pytorch_model.safetensors")
+    assert os.path.exists(st_path)
+    index = json.load(open(os.path.join(out, "model_index.json")))
+    assert index["_class_name"] == "FluxPipeline"
+    assert index["transformer"] == ["diffusers", "FluxTransformer2DModel"]
+    # the written file is importable through the family loader
+    loaded = wi.load_flux_params(model, st_path)
+    _assert_trees_equal(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params), loaded
+    )
+
+
+def test_save_full_pipeline_unknown_family_raises():
+    model = _tiny_model("lumina2")
+    params, _ = _random_params(model)
+    with pytest.raises(NotImplementedError):
+        wx.save_full_pipeline(model, {"params": params}, "/tmp/never-written")
+
+
+def test_full_rank_training_writes_pipeline(tmp_path):
+    """A full-rank run's checkpoints include the diffusers-layout export
+    (reference save_hooks full save path; trainer._export_pipeline)."""
+    from test_trainer import make_config  # noqa: reuse the tiny-run builder
+    from PIL import Image
+
+    from simpletuner_tpu.training.trainer import Trainer
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)).save(
+            img_dir / f"img_{i}.png"
+        )
+        (img_dir / f"img_{i}.txt").write_text(f"a training photo {i}")
+    config = make_config(
+        str(img_dir), str(tmp_path),
+        model_type="full", lora_rank=0, max_train_steps=2, checkpointing_steps=None,
+        validation_prompt=None, allow_untrained_init=True,
+    )
+    trainer = Trainer(config=config)
+    trainer.run()
+    ckpts = trainer.checkpoint_manager.list_checkpoints()
+    assert ckpts
+    pipe_dir = os.path.join(ckpts[-1], "pipeline")
+    assert os.path.exists(os.path.join(pipe_dir, "model_index.json"))
+    st = os.path.join(pipe_dir, "transformer", "diffusion_pytorch_model.safetensors")
+    assert os.path.exists(st)
+    # exported artifact re-imports through the family loader
+    loaded = wi.load_flux_params(trainer.model, st)
+    trained = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), trainer._state.variables()["params"]
+    )
+    _assert_trees_equal(trained, loaded)
+
+
+def test_exported_keys_match_oracle_fixture_sd3():
+    """Exported key set equals the synthetic diffusers checkpoint the sd3
+    oracle import test generates (same generator logic, independent code)."""
+    from test_sd3_import import _params_to_diffusers  # noqa: the oracle generator
+
+    from simpletuner_tpu.models.sd3 import SD3, SD3Config
+
+    arch = SD3Config(
+        hidden_size=64, depth=2, num_heads=2, context_dim=96, pooled_dim=96,
+        pos_embed_max_size=8,  # the oracle generator requires a learned table
+    )
+    model = SD3(
+        TrainingConfig(
+            {"model_family": "sd3", "model_type": "full", "optimizer": "adamw",
+             "learning_rate": 1e-4, "max_train_steps": 1, "report_to": "none"}
+        ),
+        arch=arch,
+    )
+    params, _ = _random_params(model)
+    ours = wx.export_sd3_to_diffusers(params, model.arch)
+    oracle = _params_to_diffusers(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params), model.arch
+    )
+    assert set(ours) == set(oracle)
+    for key in ours:
+        np.testing.assert_array_equal(ours[key], np.asarray(oracle[key], np.float32), err_msg=key)
