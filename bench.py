@@ -99,6 +99,7 @@ def flagship() -> dict:
     batch_size = int(os.environ.get("BENCH_FLAGSHIP_BATCH", 1))
     resolution = int(os.environ.get("BENCH_FLAGSHIP_RES", 1024))
     steps = int(os.environ.get("BENCH_FLAGSHIP_STEPS", 8))
+    quant = os.environ.get("BENCH_FLAGSHIP_QUANT", "int8")  # int8 | int4
 
     arch = FluxConfig()  # full Flux.1: 19 double + 38 single, 3072 x 24 heads
     cfg = TrainingConfig(
@@ -111,7 +112,7 @@ def flagship() -> dict:
             "max_train_steps": 1000,
             "gradient_checkpointing": True,
             "gradient_checkpointing_policy": os.environ.get("BENCH_REMAT_POLICY", "attn"),
-            "base_model_precision": "int8-quanto",
+            "base_model_precision": f"{quant}-quanto",
         }
     )
     model = Flux(cfg, arch=arch)
@@ -139,6 +140,30 @@ def flagship() -> dict:
     log(f"flagship params: {n_params/1e9:.2f}B (int8 on device)")
 
     def build_frozen():
+        # materialize directly in the quantized on-device layout
+        # (training/quantization.py): int8 = int8 kernels in params + scales;
+        # int4 = packed-nibble kernels in qscales, kernel leaf absent
+        if quant == "int4":
+            def walk(tree):
+                params, scales = {}, {}
+                for name, s in tree.items():
+                    if isinstance(s, dict):
+                        p, sc = walk(s)
+                        params[name] = p
+                        if sc:
+                            scales[name] = sc
+                        continue
+                    if name == "kernel" and len(s.shape) == 2 and s.shape[0] % 2 == 0:
+                        scales["kernel_packed"] = jnp.full(
+                            (s.shape[0] // 2, s.shape[1]), 0x88, jnp.uint8  # zeros
+                        )
+                        scales["kernel_scale"] = jnp.full((s.shape[1],), 1e-3, jnp.float32)
+                    else:
+                        params[name] = jnp.zeros(s.shape, jnp.bfloat16)
+                return params, scales
+
+            params, scales = walk(shapes["params"])
+            return {"params": params, "qscales": scales}
         leaves = []
         scales: dict = {}
         for path, s in param_shapes:
@@ -216,7 +241,7 @@ def flagship() -> dict:
         "params_b": round(n_params / 1e9, 2),
         "batch": batch_size,
         "resolution": resolution,
-        "quant": "int8",
+        "quant": quant,
         "remat": True,
     }
 
@@ -359,6 +384,24 @@ def main() -> None:
             value = fl["mfu"]
         except Exception as exc:  # OOM or tunnel hiccup: report the proxy
             log(f"flagship bench failed ({type(exc).__name__}: {exc}); reporting proxy only")
+        # int4 flagship row (VERDICT r2 Next #3): packed-nibble base halves
+        # frozen HBM (~11.9G int8 -> ~6G), the headroom for ~20B-class bases
+        # on a 16G chip (reference FLUX.md 13G/9G int4/NF4 rows)
+        if os.environ.get("BENCH_INT4", "1") != "0":
+            try:
+                import subprocess
+
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "BENCH_MODE": "flagship_only",
+                         "BENCH_FLAGSHIP_QUANT": "int4"},
+                    capture_output=True, text=True, timeout=1500,
+                )
+                sys.stderr.write(proc.stderr[-4000:])
+                fl4 = json.loads(proc.stdout.strip().splitlines()[-1])
+                extra["flagship_int4"] = fl4
+            except Exception as exc:
+                log(f"int4 flagship bench failed ({type(exc).__name__}: {exc})")
 
     print(
         json.dumps(

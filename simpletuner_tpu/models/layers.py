@@ -79,6 +79,31 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
+        if not self.is_initializing() and self.has_variable("qscales", "kernel_packed"):
+            # int4 frozen base (training/quantization.py): the kernel rides the
+            # qscales collection as packed nibbles ((in/2, out) uint8) because
+            # a half-height leaf can't live in params under flax's shape
+            # check; unpack + scale HERE, inside the block's remat scope, so
+            # HBM holds 0.5 byte/param plus one transient bf16 kernel
+            packed = self.get_variable("qscales", "kernel_packed")
+            scale = self.get_variable("qscales", "kernel_scale")
+            from ..training.quantization import unpack_int4
+
+            kernel = unpack_int4(packed, scale, self.dtype)
+            y = jnp.dot(x.astype(self.dtype), kernel)
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+                )
+                y = y + bias.astype(self.dtype)
+            if self.lora_rank > 0:
+                if self.lora_algo == "lokr":
+                    y = y + self._lokr_delta(x, in_features)
+                elif self.lora_algo == "singlora":
+                    y = y + self._singlora_delta(x, in_features)
+                else:
+                    y = y + self._lora_delta(x, in_features)
+            return y
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
         )

@@ -684,6 +684,44 @@ class Trainer:
                 out[key] = put(value, sharding, 0)
         return out
 
+    # ---- preemption -------------------------------------------------------------------------
+    def _install_preemption_handler(self) -> None:
+        """TPU-native analogue of the reference GPU circuit breaker
+        (gpu_circuit_breaker.py:107-766; SURVEY.md §5.3 'pod-level preemption
+        handling'): Cloud TPU preemption/maintenance delivers SIGTERM — catch
+        it, checkpoint synchronously at the current step, emit a device_fault
+        webhook, and exit cleanly so the manifest path can resume."""
+        import signal
+
+        def on_sigterm(signum, frame):
+            self._preempted = True
+            self.should_abort = True
+
+        self._preempted = False
+        try:
+            self._prev_sigterm = signal.signal(signal.SIGTERM, on_sigterm)
+        except ValueError:  # not the main thread (e.g. server-embedded runs)
+            self._prev_sigterm = None
+
+    def _handle_preemption(self) -> None:
+        from ..webhooks.events import device_fault_event
+
+        logger.warning(
+            "SIGTERM at step %d: writing preemption checkpoint before exit",
+            self.global_step,
+        )
+        self.webhook_handler.send_raw(
+            device_fault_event(
+                f"preemption signal at step {self.global_step}; checkpointing",
+                details={"step": self.global_step, "kind": "preemption"},
+                job_id=self.job_id,
+            )
+        )
+        path = self.save_checkpoint()
+        self.checkpoint_manager.wait()
+        self.webhook_handler.flush()
+        logger.warning("preemption checkpoint complete: %s", path)
+
     def _run_step(self, batch: Dict[str, jax.Array], step_rng: jax.Array):
         """Execute one jitted train step.
 
@@ -712,6 +750,7 @@ class Trainer:
     # ---- the loop ---------------------------------------------------------------------------
     def train(self) -> None:
         self._stage("train")
+        self._install_preemption_handler()
         from .profiling import DiskGuard, ProfilerSession
 
         self.profiler = ProfilerSession(self.config, self.output_dir)
@@ -805,6 +844,13 @@ class Trainer:
 
                 self._consume_signals()
 
+            if getattr(self, "_preempted", False):
+                # preemption exit: checkpoint + fault webhook, skip validation
+                # and publishing (the slice is about to disappear)
+                self._handle_preemption()
+                self._stage("train", "completed", "preempted")
+                return
+
             # final checkpoint + validation (reference trainer.py:7274 final export)
             if self.global_step > start_step:
                 self.save_checkpoint()
@@ -838,6 +884,10 @@ class Trainer:
                 raise SystemExit(1) from exc
             raise
         finally:
+            if getattr(self, "_prev_sigterm", None) is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, self._prev_sigterm)
             if fetcher is not None:
                 fetcher.stop()
             self.checkpoint_manager.wait()

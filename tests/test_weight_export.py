@@ -209,3 +209,45 @@ def test_exported_keys_match_oracle_fixture_sd3():
     assert set(ours) == set(oracle)
     for key in ours:
         np.testing.assert_array_equal(ours[key], np.asarray(oracle[key], np.float32), err_msg=key)
+
+
+def test_wan_s2v_importer_delegates_to_wan(tmp_path):
+    """wan_s2v loads Wan-layout checkpoints through the delegating importer
+    (audio conditioning is parameter-free context concat)."""
+    from safetensors.numpy import save_file
+
+    from simpletuner_tpu.models.weight_import import load_transformer_params
+
+    model = _tiny_model("wan_s2v")
+    params, _ = _random_params(model)
+    exported = wx.export_wan_to_diffusers(params, model.arch)
+    path = str(tmp_path / "wan_s2v.safetensors")
+    save_file({k: np.ascontiguousarray(v) for k, v in exported.items()}, path)
+    variables = load_transformer_params(model, path)
+    _assert_trees_equal(
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params),
+        jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), variables["params"]),
+    )
+
+
+def test_boogu_image_importer_delegates_to_lumina2(tmp_path):
+    """boogu_image (Lumina2 Next-DiT body) loads through the lumina2 importer."""
+    from test_lumina2_import import ARCH, _fixture
+    from safetensors.numpy import save_file
+
+    from simpletuner_tpu.models.extended.model import BooguImage
+    from simpletuner_tpu.models.weight_import import load_transformer_params
+
+    model = BooguImage(
+        TrainingConfig(
+            {"model_family": "boogu_image", "model_type": "lora", "lora_rank": 4,
+             "optimizer": "adamw", "learning_rate": 1e-4, "max_train_steps": 1,
+             "report_to": "none"}
+        ),
+        arch=ARCH,
+    )
+    w = _fixture(np.random.default_rng(0))
+    path = str(tmp_path / "boogu.safetensors")
+    save_file({k: np.ascontiguousarray(v) for k, v in w.items()}, path)
+    variables = load_transformer_params(model, path)
+    assert "params" in variables

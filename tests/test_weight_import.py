@@ -224,3 +224,29 @@ def test_full_loader_from_file(setup, tmp_path):
     assert "lora" in loaded  # fresh adapters initialized
     out = np.asarray(model.model_predict(loaded, prepared))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+def test_importer_registry_covers_every_family():
+    """_IMPORTERS ⊇ ModelRegistry.families() with an empty exclusion list
+    (VERDICT r2 Next #4): every named family must be loadable from a
+    pretrained checkpoint path — no silent NotImplementedError at
+    init_load_base_model."""
+    from simpletuner_tpu.models.registry import ModelRegistry
+    from simpletuner_tpu.models.weight_import import _IMPORTERS
+
+    documented_exclusions: set = set()  # must stay empty
+    missing = [
+        f for f in ModelRegistry.families()
+        if f not in _IMPORTERS and f not in documented_exclusions
+    ]
+    assert missing == [], f"families without a weight importer: {missing}"
+
+
+def test_variables_importers_flagged():
+    """heartmula/omnigen importers return full variables dicts and must carry
+    the returns_variables marker load_transformer_params dispatches on."""
+    from simpletuner_tpu.models.weight_import import _IMPORTERS
+
+    for family in ("heartmula", "omnigen"):
+        assert getattr(_IMPORTERS[family], "returns_variables", False), family
+    for family in ("boogu_image", "wan_s2v"):
+        assert not getattr(_IMPORTERS[family], "returns_variables", False), family
