@@ -19,12 +19,15 @@ Routes:
   POST /api/training/signal/<job_id>   {action: validation|checkpoint|abort}
   GET  /api/events                     (SSE)
   POST /api/events/callback            (webhook receiver)
+  GET  /  /ui  /static/*               (WebUI: dashboard + job form + dataset
+                                        plan viewer, server/static/)
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import os
 import queue
 import re
 import threading
@@ -69,37 +72,6 @@ class SSEManager:
         with self._lock:
             if q in self._clients:
                 self._clients.remove(q)
-
-
-_UI_PAGE = """<!doctype html>
-<html><head><title>simpletuner-tpu</title>
-<style>
- body{font-family:system-ui,sans-serif;margin:2rem;background:#111;color:#eee}
- table{border-collapse:collapse;width:100%;margin:1rem 0}
- td,th{border:1px solid #333;padding:.4rem .6rem;text-align:left;font-size:.9rem}
- .running{color:#7c4} .failed{color:#e66} .completed{color:#6ae}
- #events{background:#000;padding:.8rem;height:14rem;overflow:auto;font-family:monospace;font-size:.8rem}
-</style></head>
-<body>
-<h1>simpletuner-tpu</h1>
-<h2>Jobs</h2><table id=jobs><tr><th>id</th><th>state</th><th>rc</th><th>output</th></tr></table>
-<h2>Events</h2><div id=events></div>
-<script>
-async function refresh(){
-  const jobs = await (await fetch('/api/training/jobs')).json();
-  const t = document.getElementById('jobs');
-  t.innerHTML = '<tr><th>id</th><th>state</th><th>rc</th><th>output</th></tr>' +
-    jobs.map(j=>`<tr><td>${j.job_id}</td><td class=${j.state}>${j.state}</td>`+
-      `<td>${j.return_code??''}</td><td>${j.output_dir??''}</td></tr>`).join('');
-}
-refresh(); setInterval(refresh, 3000);
-const es = new EventSource('/api/events');
-es.onmessage = e => {
-  const d = document.getElementById('events');
-  d.textContent += e.data + '\\n'; d.scrollTop = d.scrollHeight;
-};
-</script></body></html>
-"""
 
 
 def create_server(
@@ -151,6 +123,26 @@ def create_server(
             self.end_headers()
             self.wfile.write(data)
 
+        def _static(self, name: str) -> None:
+            """Serve the bundled WebUI (reference: simpletuner/static/ +
+            templates/ trainer dashboard, rebuilt as static vanilla JS)."""
+            base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+            full = os.path.normpath(os.path.join(base, name))
+            if not full.startswith(base) or not os.path.isfile(full):
+                return self._json({"error": "not found"}, 404)
+            ctype = {
+                ".html": "text/html; charset=utf-8",
+                ".js": "application/javascript; charset=utf-8",
+                ".css": "text/css; charset=utf-8",
+            }.get(os.path.splitext(full)[1], "application/octet-stream")
+            with open(full, "rb") as fh:
+                data = fh.read()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def _auth(self):
             """Bearer auth (reference users/auth routes): active once any user
             exists.  Returns the user dict, or None with a 401 already sent."""
@@ -167,6 +159,12 @@ def create_server(
             path = self.path.split("?")[0]
             if path == "/health":
                 return self._json({"status": "ok", "time": time.time()})
+            # static WebUI assets are public (the JSON APIs they call stay
+            # behind bearer auth, like the reference's login-gated dashboard)
+            if path in ("/", "/ui"):
+                return self._static("index.html")
+            if path.startswith("/static/"):
+                return self._static(path[len("/static/"):])
             user = self._auth()
             if user is None:
                 return
@@ -177,8 +175,6 @@ def create_server(
             if path == "/api/quota":
                 usage = users.usage(user["username"])
                 return self._json(usage or {"username": user["username"], "quotas": None})
-            if path in ("/", "/ui"):
-                return self._html(_UI_PAGE)
             if path == "/metrics":
                 # Prometheus text exposition (reference
                 # server/services/cloud/prometheus_metrics.py)

@@ -1,0 +1,284 @@
+// Trainer dashboard logic (vanilla JS over the JSON/SSE API).
+// Reference behaviors rebuilt: job table + live SSE stream + loss chart
+// (trainer dashboard), config form generated from the field registry
+// (onboarding wizard / cmd_args parity via /api/fields), dataset plan viewer
+// (dataset blueprints), config store browser.
+
+const $ = (sel) => document.querySelector(sel);
+const api = async (method, path, body) => {
+  const opts = { method, headers: {} };
+  if (body !== undefined) {
+    opts.headers["Content-Type"] = "application/json";
+    opts.body = JSON.stringify(body);
+  }
+  const res = await fetch(path, opts);
+  let data = null;
+  try { data = await res.json(); } catch (e) { /* empty body */ }
+  return { status: res.status, data };
+};
+
+// ---- tabs -----------------------------------------------------------------
+document.querySelectorAll("#tabs button").forEach((btn) => {
+  btn.onclick = () => {
+    document.querySelectorAll("#tabs button").forEach((b) => b.classList.remove("active"));
+    document.querySelectorAll(".tab").forEach((t) => t.classList.remove("active"));
+    btn.classList.add("active");
+    $("#tab-" + btn.dataset.tab).classList.add("active");
+  };
+});
+
+// ---- dashboard: jobs ------------------------------------------------------
+let logJob = null;
+async function refreshJobs() {
+  const { data: jobs } = await api("GET", "/api/training/jobs");
+  if (!Array.isArray(jobs)) return;
+  const tbody = $("#jobs tbody");
+  tbody.innerHTML = "";
+  for (const j of jobs) {
+    const tr = document.createElement("tr");
+    tr.innerHTML =
+      `<td>${j.job_id}</td><td class="state-${j.state}">${j.state}</td>` +
+      `<td>${j.return_code ?? ""}</td><td>${j.output_dir ?? ""}</td>`;
+    const td = document.createElement("td");
+    const logsBtn = document.createElement("button");
+    logsBtn.className = "small ghost";
+    logsBtn.textContent = "logs";
+    logsBtn.onclick = () => { logJob = j.job_id; refreshLogs(); };
+    td.appendChild(logsBtn);
+    if (j.state === "running" || j.state === "pending") {
+      for (const action of ["checkpoint", "validation", "abort"]) {
+        const b = document.createElement("button");
+        b.className = "small ghost";
+        b.textContent = action;
+        b.onclick = () => api("POST", `/api/training/signal/${j.job_id}`, { action });
+        td.appendChild(b);
+      }
+      const c = document.createElement("button");
+      c.className = "small";
+      c.textContent = "cancel";
+      c.onclick = () => api("POST", `/api/training/cancel/${j.job_id}`);
+      td.appendChild(c);
+    }
+    tr.appendChild(td);
+    tbody.appendChild(tr);
+  }
+}
+async function refreshLogs() {
+  if (!logJob) return;
+  $("#log-job").textContent = logJob;
+  const { data } = await api("GET", `/api/training/logs/${logJob}?tail=200`);
+  if (data && data.logs) {
+    const el = $("#logs");
+    el.textContent = data.logs.join("\n");
+    el.scrollTop = el.scrollHeight;
+  }
+}
+setInterval(refreshJobs, 3000);
+setInterval(refreshLogs, 3000);
+refreshJobs();
+
+// ---- dashboard: SSE events + loss chart -----------------------------------
+const lossSeries = [];
+function drawLoss() {
+  const canvas = $("#loss-chart");
+  const ctx = canvas.getContext("2d");
+  ctx.clearRect(0, 0, canvas.width, canvas.height);
+  if (lossSeries.length < 2) return;
+  const xs = lossSeries.map((p) => p.step);
+  const ys = lossSeries.map((p) => p.loss);
+  const xmin = Math.min(...xs), xmax = Math.max(...xs);
+  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  const px = (x) => 6 + ((x - xmin) / Math.max(xmax - xmin, 1)) * (canvas.width - 12);
+  const py = (y) => canvas.height - 8 - ((y - ymin) / Math.max(ymax - ymin, 1e-9)) * (canvas.height - 16);
+  ctx.strokeStyle = "#6ab0f3";
+  ctx.lineWidth = 1.5;
+  ctx.beginPath();
+  lossSeries.forEach((p, i) => (i ? ctx.lineTo(px(p.step), py(p.loss)) : ctx.moveTo(px(p.step), py(p.loss))));
+  ctx.stroke();
+  ctx.fillStyle = "#8a919d";
+  ctx.font = "10px ui-monospace";
+  ctx.fillText(`${ymax.toFixed(4)}`, 8, 12);
+  ctx.fillText(`${ymin.toFixed(4)}`, 8, canvas.height - 2);
+  ctx.fillText(`step ${xmax}`, canvas.width - 70, canvas.height - 2);
+}
+function connectSSE() {
+  const es = new EventSource("/api/events");
+  es.onopen = () => ($("#sse-state").textContent = "live");
+  es.onerror = () => ($("#sse-state").textContent = "reconnecting…");
+  es.onmessage = (e) => {
+    const el = $("#events");
+    el.textContent += e.data + "\n";
+    el.scrollTop = el.scrollHeight;
+    try {
+      const ev = JSON.parse(e.data);
+      const body = ev.event || ev;  // job-forwarded events nest the payload
+      if (body && body.event_type === "training_status" && body.loss !== undefined) {
+        lossSeries.push({ step: body.global_step ?? lossSeries.length, loss: body.loss });
+        if (lossSeries.length > 500) lossSeries.shift();
+        $("#loss-job").textContent = ev.job_id || "";
+        drawLoss();
+      }
+    } catch (err) { /* non-JSON keepalive */ }
+  };
+}
+connectSSE();
+
+// ---- new job: form from the field registry --------------------------------
+const CORE = ["model_family", "model_type", "optimizer", "learning_rate",
+              "max_train_steps", "train_batch_size", "resolution", "lora_rank",
+              "output_dir", "seed"];
+let fieldDefs = [];
+async function buildForm() {
+  const [{ data: fields }, { data: models }, { data: optimizers }] = await Promise.all([
+    api("GET", "/api/fields"), api("GET", "/api/models"), api("GET", "/api/optimizers"),
+  ]);
+  fieldDefs = fields || [];
+  const mkInput = (f) => {
+    let input;
+    if (f.name === "model_family" && models) {
+      input = document.createElement("select");
+      input.innerHTML = "<option value=''></option>" +
+        Object.keys(models).map((m) => `<option>${m}</option>`).join("");
+    } else if (f.name === "optimizer" && optimizers) {
+      input = document.createElement("select");
+      input.innerHTML = "<option value=''></option>" +
+        optimizers.map((o) => `<option>${o}</option>`).join("");
+    } else if (f.choices && f.choices.length) {
+      input = document.createElement("select");
+      input.innerHTML = "<option value=''></option>" +
+        f.choices.map((c) => `<option>${c}</option>`).join("");
+    } else if (f.type === "bool") {
+      input = document.createElement("select");
+      input.innerHTML = "<option value=''></option><option>true</option><option>false</option>";
+    } else {
+      input = document.createElement("input");
+      if (f.default !== null && f.default !== undefined) input.placeholder = String(f.default);
+    }
+    input.name = f.name;
+    input.title = f.help || "";
+    return input;
+  };
+  const wrap = (f) => {
+    const div = document.createElement("div");
+    const label = document.createElement("label");
+    label.textContent = f.name;
+    label.title = f.help || "";
+    div.appendChild(label);
+    div.appendChild(mkInput(f));
+    return div;
+  };
+  const core = $("#core-fields");
+  for (const name of CORE) {
+    const f = fieldDefs.find((x) => x.name === name);
+    if (f) core.appendChild(wrap(f));
+  }
+  const bySection = {};
+  for (const f of fieldDefs) {
+    if (CORE.includes(f.name)) continue;
+    (bySection[f.section || "other"] ||= []).push(f);
+  }
+  const host = $("#field-sections");
+  for (const [section, fs] of Object.entries(bySection).sort()) {
+    const det = document.createElement("details");
+    const sum = document.createElement("summary");
+    sum.textContent = `${section} (${fs.length})`;
+    det.appendChild(sum);
+    const grid = document.createElement("div");
+    grid.className = "fields";
+    fs.forEach((f) => grid.appendChild(wrap(f)));
+    det.appendChild(grid);
+    host.appendChild(det);
+  }
+}
+buildForm();
+
+function collectConfig() {
+  const config = {};
+  const typeOf = (name) => (fieldDefs.find((f) => f.name === name) || {}).type;
+  for (const input of $("#job-form").querySelectorAll("input[name],select[name]")) {
+    const raw = input.value.trim();
+    if (!raw) continue;
+    const t = typeOf(input.name);
+    if (t === "int") config[input.name] = parseInt(raw, 10);
+    else if (t === "float") config[input.name] = parseFloat(raw);
+    else if (t === "bool") config[input.name] = raw === "true";
+    else config[input.name] = raw;
+  }
+  const mdb = $("#mdb").value.trim();
+  if (mdb) config.data_backend_config = JSON.parse(mdb);
+  return config;
+}
+
+$("#job-form").onsubmit = async (e) => {
+  e.preventDefault();
+  let config;
+  try { config = collectConfig(); } catch (err) {
+    $("#submit-result").textContent = "bad dataloader JSON: " + err;
+    return;
+  }
+  const { status, data } = await api("POST", "/api/training/start", { config });
+  $("#submit-result").textContent =
+    status === 201 ? `submitted: ${data.job_id}` : `error ${status}: ${data && data.error}`;
+  if (status === 201) refreshJobs();
+};
+$("#validate-btn").onclick = async () => {
+  let config;
+  try { config = collectConfig(); } catch (err) {
+    $("#submit-result").textContent = "bad dataloader JSON: " + err;
+    return;
+  }
+  const { data } = await api("POST", "/api/config/validate", { config });
+  $("#submit-result").textContent = data.valid ? "config valid" : `invalid: ${data.error}`;
+};
+
+// ---- dataset plan viewer ----------------------------------------------------
+$("#plan-btn").onclick = async () => {
+  $("#plan-error").textContent = "";
+  let parsed;
+  try { parsed = JSON.parse($("#plan-input").value); } catch (err) {
+    $("#plan-error").textContent = "invalid JSON: " + err;
+    return;
+  }
+  const { status, data } = await api("POST", "/api/datasets/plan", { config: parsed });
+  if (status !== 200) {
+    $("#plan-error").textContent = (data && data.error) || `error ${status}`;
+    return;
+  }
+  const tbody = $("#plan-table tbody");
+  tbody.innerHTML = data.datasets.map((d) =>
+    `<tr><td>${d.id}</td><td>${d.dataset_type}</td><td>${d.type}</td>` +
+    `<td>${d.resolution ?? ""}</td><td>${d.crop ?? ""}</td><td>${d.caption_strategy ?? ""}</td></tr>`
+  ).join("");
+};
+
+// ---- config store -----------------------------------------------------------
+async function refreshConfigs() {
+  const { data } = await api("GET", "/api/configs");
+  if (!Array.isArray(data)) return;
+  const tbody = $("#configs-table tbody");
+  tbody.innerHTML = "";
+  for (const entry of data) {
+    const name = entry.name || entry;
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${name}</td><td>${entry.versions ?? ""}</td>`;
+    const td = document.createElement("td");
+    const view = document.createElement("button");
+    view.className = "small ghost";
+    view.textContent = "view";
+    view.onclick = async () => {
+      const { data: cfg } = await api("GET", `/api/configs/${name}`);
+      $("#config-view").textContent = JSON.stringify(cfg, null, 2);
+    };
+    td.appendChild(view);
+    tr.appendChild(td);
+    tbody.appendChild(tr);
+  }
+}
+$("#config-save").onclick = async () => {
+  const name = $("#config-name").value.trim();
+  if (!name) return;
+  const config = collectConfig();
+  await api("POST", `/api/configs/${name}`, { config });
+  refreshConfigs();
+};
+refreshConfigs();

@@ -108,13 +108,26 @@ def test_events_callback_roundtrip(server):
 
 def test_ui_page(server):
     _, port = server
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
-    conn.request("GET", "/")
-    response = conn.getresponse()
-    body = response.read().decode()
-    conn.close()
-    assert response.status == 200
-    assert "simpletuner-tpu" in body and "EventSource" in body
+
+    def get_text(path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", path)
+        response = conn.getresponse()
+        body = response.read().decode()
+        conn.close()
+        return response.status, body
+
+    status, body = get_text("/")
+    assert status == 200
+    assert "simpletuner" in body and "app.js" in body
+    status, js = get_text("/static/app.js")
+    assert status == 200
+    assert "EventSource" in js and "/api/fields" in js and "/api/datasets/plan" in js
+    status, css = get_text("/static/style.css")
+    assert status == 200 and "--accent" in css
+    # traversal out of the static dir is rejected
+    status, _ = get_text("/static/../app.py")
+    assert status == 404
 
 
 def test_prometheus_metrics(server):

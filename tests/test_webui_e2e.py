@@ -1,0 +1,138 @@
+"""WebUI end-to-end (VERDICT r2 Next #5): the dashboard's own HTTP calls —
+submit a tiny training job through POST /api/training/start (what the job
+form does) and watch it run to completion on the SSE stream (what the
+dashboard's EventSource consumes).  Reference: simpletuner/static/js trainer
+dashboard over routes/training + sse_manager."""
+
+import http.client
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from simpletuner_tpu.server.app import create_server
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("server_state"))
+    srv = create_server("127.0.0.1", 0, state_dir=state)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, port
+    srv.shutdown()
+
+
+def _request(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    payload = json.dumps(body) if body is not None else None
+    headers = {"Content-Type": "application/json"} if payload else {}
+    conn.request(method, path, body=payload, headers=headers)
+    response = conn.getresponse()
+    data = json.loads(response.read() or b"null")
+    conn.close()
+    return response.status, data
+
+
+def _tiny_job_config(tmp_path):
+    img_dir = os.path.join(tmp_path, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)).save(
+            os.path.join(img_dir, f"img_{i}.png")
+        )
+        with open(os.path.join(img_dir, f"img_{i}.txt"), "w") as fh:
+            fh.write(f"photo {i}")
+    cache = os.path.join(tmp_path, "cache")
+    return {
+        "model_family": "flux", "model_type": "lora", "model_arch_preset": "tiny",
+        "lora_rank": 4, "train_batch_size": 1, "resolution": 64,
+        "resolution_type": "pixel_area", "max_train_steps": 2,
+        "cache_dir": cache, "output_dir": os.path.join(tmp_path, "out"),
+        "optimizer": "adamw", "learning_rate": 1e-3, "seed": 7,
+        "report_to": "none",
+        "data_backend_config": [
+            {"id": "images", "type": "local", "instance_data_dir": img_dir,
+             "crop": True, "crop_style": "center", "crop_aspect": "square",
+             "resolution": 64, "resolution_type": "pixel_area",
+             "caption_strategy": "textfile",
+             "cache_dir_vae": os.path.join(cache, "vae"),
+             "text_embeds": "embeds", "repeats": 7},
+            {"id": "embeds", "dataset_type": "text_embeds", "type": "local",
+             "default": True, "cache_dir": os.path.join(cache, "text")},
+        ],
+    }
+
+
+def test_form_schema_covers_submitted_fields(server):
+    """The job form builds itself from /api/fields — every field the e2e
+    config submits must exist in the schema (else the form can't express it)."""
+    _, port = server
+    status, fields = _request(port, "GET", "/api/fields")
+    assert status == 200
+    names = {f["name"] for f in fields}
+    for key in ("model_family", "model_type", "optimizer", "learning_rate",
+                "max_train_steps", "train_batch_size", "resolution", "lora_rank",
+                "output_dir", "seed", "data_backend_config"):
+        assert key in names, f"form field {key} missing from /api/fields"
+
+
+def test_submit_job_and_watch_sse_to_completion(server, tmp_path):
+    srv, port = server
+    config = _tiny_job_config(str(tmp_path))
+
+    # subscribe to SSE first so no event is missed
+    sse_conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    sse_conn.request("GET", "/api/events")
+    sse_response = sse_conn.getresponse()
+    assert sse_response.status == 200
+
+    status, job = _request(port, "POST", "/api/training/start", {"config": config})
+    assert status == 201, job
+    job_id = job["job_id"]
+
+    # read the SSE stream until the job reaches a terminal state
+    terminal = None
+    events = []
+    deadline = time.time() + 600
+    buffer = b""
+    while time.time() < deadline and terminal is None:
+        chunk = sse_response.read1(4096)
+        if not chunk:
+            break
+        buffer += chunk
+        while b"\n\n" in buffer:
+            frame, buffer = buffer.split(b"\n\n", 1)
+            for line in frame.decode().splitlines():
+                if not line.startswith("data: "):
+                    continue
+                event = json.loads(line[len("data: "):])
+                events.append(event)
+                if event.get("job_id") == job_id and event.get("state") in (
+                    "completed", "failed", "cancelled"
+                ):
+                    terminal = event["state"]
+    sse_conn.close()
+
+    assert terminal == "completed", (
+        f"job ended {terminal}; events={[e.get('state') or e.get('event_type') for e in events]}"
+    )
+    status, detail = _request(port, "GET", f"/api/training/status/{job_id}")
+    assert status == 200 and detail["state"] == "completed" and detail["return_code"] == 0
+
+    # the dashboard's logs pane has content
+    status, logs = _request(port, "GET", f"/api/training/logs/{job_id}?tail=50")
+    assert status == 200 and logs["logs"]
+
+    # training artifacts exist where the job said they would
+    out_dir = detail["output_dir"] or config["output_dir"]
+    ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
+    assert ckpts, f"no checkpoints in {out_dir}"
