@@ -79,7 +79,48 @@ class PixartSigma(ModelFoundation):
         }
 
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
-        return self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
+        inputs = self.get_model_inputs(prepared)
+        if "controlnet" in variables and "control_latents" in prepared:
+            inputs["controlnet_block_residuals"] = self._controlnet_residuals(variables, prepared)
+        main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
+        return self.module.apply(main_vars, **inputs, rngs=rngs)
+
+    # ---- controlnet (reference helpers/models/pixart ControlNet; PixArt-δ) -------------
+    def controlnet_module(self):
+        if not hasattr(self, "_controlnet_module"):
+            from .controlnet import PixartControlNet
+
+            self._controlnet_module = PixartControlNet(
+                config=self.arch,
+                depth=int(getattr(self.config, "controlnet_depth", 2) or 2),
+                remat=bool(getattr(self.config, "gradient_checkpointing", False)),
+            )
+        return self._controlnet_module
+
+    def init_controlnet_params(self, rng: jax.Array, batch: Dict[str, jax.Array]):
+        prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
+        inputs = self.get_model_inputs(prepared)
+        module = self.controlnet_module()
+        init_fn = jax.jit(
+            lambda r: module.init(
+                {"params": r},
+                latents=inputs["latents"],
+                control=batch.get("control_latents", batch["latents"]),
+                timesteps=inputs["timesteps"],
+                context=inputs["context"],
+            )
+        )
+        return init_fn(rng)["params"]
+
+    def _controlnet_residuals(self, variables, prepared: Dict[str, jax.Array]):
+        inputs = self.get_model_inputs(prepared)
+        return self.controlnet_module().apply(
+            {"params": variables["controlnet"]},
+            latents=inputs["latents"],
+            control=prepared["control_latents"],
+            timesteps=inputs["timesteps"],
+            context=inputs["context"],
+        )
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return {"text_embeds": batch["text_embeds"]}

@@ -17,7 +17,7 @@ shape (no interpolation state), everything else is dense matmuls on the MXU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -160,6 +160,7 @@ class PixartTransformer(nn.Module):
         latents: jax.Array,  # (B, H, W, C)
         timesteps: jax.Array,  # (B,) integer DDPM timesteps
         context: jax.Array,  # (B, L, text_dim)
+        controlnet_block_residuals: Optional[Tuple[jax.Array, ...]] = None,
     ) -> jax.Array:
         cfg = self.config
         dim = cfg.hidden_size
@@ -203,6 +204,13 @@ class PixartTransformer(nn.Module):
         block_cls = nn.remat(PixartBlock) if self.remat else PixartBlock
         for layer in range(cfg.depth):
             x = block_cls(cfg, name=f"block_{layer}", **common, **lora)(x, txt, t6)
+            if controlnet_block_residuals is not None and layer < len(
+                controlnet_block_residuals
+            ):
+                # PixArt-δ semantics: the control branch copies the first N
+                # blocks and its block-i output feeds the host's block i+1
+                # (reference helpers/models/pixart ControlNet)
+                x = x + controlnet_block_residuals[layer].astype(x.dtype)
             self.sow("intermediates", f"block_{layer}_hidden", x)
 
         # final scale-shift from the *embedded* timestep (pre-linear)

@@ -165,6 +165,7 @@ class SD3Transformer(nn.Module):
         timesteps: jax.Array,  # (B,) sigma in [0, 1]
         context: jax.Array,  # (B, T, context_dim)
         pooled: jax.Array,  # (B, pooled_dim)
+        controlnet_block_residuals: Optional[Tuple[jax.Array, ...]] = None,
     ) -> jax.Array:
         cfg = self.config
         dim = cfg.hidden_size
@@ -213,6 +214,11 @@ class SD3Transformer(nn.Module):
                 **common,
                 **lora,
             )(x, txt, vec)
+            if controlnet_block_residuals is not None:
+                # interval-spread residuals (diffusers SD3ControlNetModel:
+                # hidden += control_block_samples[i // interval_control])
+                n_res = len(controlnet_block_residuals)
+                x = x + controlnet_block_residuals[layer * n_res // cfg.depth].astype(x.dtype)
 
         shift, scale = AdaLayerNormZero(2, name="final_mod", **common)(vec, dim)
         x = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)

@@ -249,6 +249,197 @@ def import_flux_controlnet_from_diffusers(weights: Dict[str, np.ndarray], arch, 
     return params
 
 
+def export_sd3_controlnet_to_diffusers(params: Dict[str, Any], arch, depth: int) -> Dict[str, np.ndarray]:
+    """SD3 ControlNet branch → diffusers SD3ControlNetModel-style keys:
+    host embedders + pos_embed_input (zero control projection, conv layout) +
+    transformer_blocks.N (all context_pre_only=False) + controlnet_blocks.N."""
+    p = params
+    w: Dict[str, np.ndarray] = {}
+    patch, dim = arch.patch_size, arch.hidden_size
+
+    def put_patch_conv(dst: str, node: Dict[str, Any]) -> None:
+        kernel = _np(node["kernel"])  # ((p·p·C), dim)
+        channels = kernel.shape[0] // (patch * patch)
+        w[f"{dst}.weight"] = kernel.reshape(patch, patch, channels, dim).transpose(3, 2, 0, 1).copy()
+        if "bias" in node:
+            w[f"{dst}.bias"] = _np(node["bias"])
+
+    put_patch_conv("pos_embed.proj", p["patch_in"])
+    put_patch_conv("pos_embed_input.proj", p["control_in"])
+    if "pos_embed" in p:
+        w["pos_embed.pos_embed"] = _np(p["pos_embed"]).reshape(1, -1, dim).copy()
+    _put_linear(w, "context_embedder", p["context_in"])
+    _put_linear(w, "time_text_embed.timestep_embedder.linear_1", p["time_in"]["in_layer"])
+    _put_linear(w, "time_text_embed.timestep_embedder.linear_2", p["time_in"]["out_layer"])
+    _put_linear(w, "time_text_embed.text_embedder.linear_1", p["pooled_in"]["in_layer"])
+    _put_linear(w, "time_text_embed.text_embedder.linear_2", p["pooled_in"]["out_layer"])
+    for i in range(depth):
+        b = p[f"block_{i}"]
+        dst = f"transformer_blocks.{i}"
+        _put_linear(w, f"{dst}.norm1.linear", b["img_mod"]["lin"])
+        _put_linear(w, f"{dst}.norm1_context.linear", b["txt_mod"]["lin"])
+        _put_linear(w, f"{dst}.attn.to_q", b["img_attn_q"])
+        _put_linear(w, f"{dst}.attn.to_k", b["img_attn_k"])
+        _put_linear(w, f"{dst}.attn.to_v", b["img_attn_v"])
+        _put_linear(w, f"{dst}.attn.add_q_proj", b["txt_attn_q"])
+        _put_linear(w, f"{dst}.attn.add_k_proj", b["txt_attn_k"])
+        _put_linear(w, f"{dst}.attn.add_v_proj", b["txt_attn_v"])
+        _put_linear(w, f"{dst}.attn.to_out.0", b["img_attn_proj"])
+        _put_linear(w, f"{dst}.attn.to_add_out", b["txt_attn_proj"])
+        _put_linear(w, f"{dst}.ff.net.0.proj", b["img_mlp_in"])
+        _put_linear(w, f"{dst}.ff.net.2", b["img_mlp_out"])
+        _put_linear(w, f"{dst}.ff_context.net.0.proj", b["txt_mlp_in"])
+        _put_linear(w, f"{dst}.ff_context.net.2", b["txt_mlp_out"])
+        if "img_attn_norm_q" in b:
+            _put_scale(w, f"{dst}.attn.norm_q.weight", b["img_attn_norm_q"])
+            _put_scale(w, f"{dst}.attn.norm_k.weight", b["img_attn_norm_k"])
+            _put_scale(w, f"{dst}.attn.norm_added_q.weight", b["txt_attn_norm_q"])
+            _put_scale(w, f"{dst}.attn.norm_added_k.weight", b["txt_attn_norm_k"])
+        _put_linear(w, f"controlnet_blocks.{i}", p[f"residual_proj_{i}"])
+    return w
+
+
+def import_sd3_controlnet_from_diffusers(weights: Dict[str, np.ndarray], arch, depth: int) -> Dict[str, Any]:
+    """Inverse of export_sd3_controlnet_to_diffusers."""
+    from .weight_import import _linear, _scale, _to_f32
+
+    w = weights
+    patch, dim = arch.patch_size, arch.hidden_size
+
+    def patch_conv(src: str) -> Dict[str, Any]:
+        conv = _to_f32(w[f"{src}.weight"])
+        node = {"kernel": np.ascontiguousarray(conv.transpose(2, 3, 1, 0).reshape(-1, dim))}
+        if f"{src}.bias" in w:
+            node["bias"] = _to_f32(w[f"{src}.bias"])
+        return node
+
+    params: Dict[str, Any] = {
+        "patch_in": patch_conv("pos_embed.proj"),
+        "control_in": patch_conv("pos_embed_input.proj"),
+        "context_in": _linear(w, "context_embedder"),
+        "time_in": {
+            "in_layer": _linear(w, "time_text_embed.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        "pooled_in": {
+            "in_layer": _linear(w, "time_text_embed.text_embedder.linear_1"),
+            "out_layer": _linear(w, "time_text_embed.text_embedder.linear_2"),
+        },
+    }
+    if "pos_embed.pos_embed" in w:
+        side = arch.pos_embed_max_size
+        params["pos_embed"] = _to_f32(w["pos_embed.pos_embed"]).reshape(side, side, dim)
+    for i in range(depth):
+        src = f"transformer_blocks.{i}"
+        block: Dict[str, Any] = {
+            "img_mod": {"lin": _linear(w, f"{src}.norm1.linear")},
+            "txt_mod": {"lin": _linear(w, f"{src}.norm1_context.linear")},
+            "img_attn_q": _linear(w, f"{src}.attn.to_q"),
+            "img_attn_k": _linear(w, f"{src}.attn.to_k"),
+            "img_attn_v": _linear(w, f"{src}.attn.to_v"),
+            "txt_attn_q": _linear(w, f"{src}.attn.add_q_proj"),
+            "txt_attn_k": _linear(w, f"{src}.attn.add_k_proj"),
+            "txt_attn_v": _linear(w, f"{src}.attn.add_v_proj"),
+            "img_attn_proj": _linear(w, f"{src}.attn.to_out.0"),
+            "txt_attn_proj": _linear(w, f"{src}.attn.to_add_out"),
+            "img_mlp_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "img_mlp_out": _linear(w, f"{src}.ff.net.2"),
+            "txt_mlp_in": _linear(w, f"{src}.ff_context.net.0.proj"),
+            "txt_mlp_out": _linear(w, f"{src}.ff_context.net.2"),
+        }
+        if f"{src}.attn.norm_q.weight" in w:
+            block["img_attn_norm_q"] = _scale(w, f"{src}.attn.norm_q.weight")
+            block["img_attn_norm_k"] = _scale(w, f"{src}.attn.norm_k.weight")
+            block["txt_attn_norm_q"] = _scale(w, f"{src}.attn.norm_added_q.weight")
+            block["txt_attn_norm_k"] = _scale(w, f"{src}.attn.norm_added_k.weight")
+        params[f"block_{i}"] = block
+        params[f"residual_proj_{i}"] = _linear(w, f"controlnet_blocks.{i}")
+    return params
+
+
+def export_pixart_controlnet_to_diffusers(params: Dict[str, Any], arch, depth: int) -> Dict[str, np.ndarray]:
+    """PixArt-δ ControlNet branch → host-style keys + pos_embed_input +
+    controlnet_blocks.N (reference helpers/models/pixart ControlNet layout)."""
+    p = params
+    w: Dict[str, np.ndarray] = {}
+    patch, dim = arch.patch_size, arch.hidden_size
+
+    def put_patch_conv(dst: str, node: Dict[str, Any]) -> None:
+        kernel = _np(node["kernel"])
+        channels = kernel.shape[0] // (patch * patch)
+        w[f"{dst}.weight"] = kernel.reshape(patch, patch, channels, dim).transpose(3, 2, 0, 1).copy()
+        if "bias" in node:
+            w[f"{dst}.bias"] = _np(node["bias"])
+
+    put_patch_conv("pos_embed.proj", p["patch_in"])
+    put_patch_conv("pos_embed_input.proj", p["control_in"])
+    _put_linear(w, "caption_projection.linear_1", p["caption_in_1"])
+    _put_linear(w, "caption_projection.linear_2", p["caption_in_2"])
+    _put_linear(w, "adaln_single.emb.timestep_embedder.linear_1", p["time_in"]["in_layer"])
+    _put_linear(w, "adaln_single.emb.timestep_embedder.linear_2", p["time_in"]["out_layer"])
+    _put_linear(w, "adaln_single.linear", p["time_proj"])
+    for i in range(depth):
+        b = p[f"block_{i}"]
+        dst = f"transformer_blocks.{i}"
+        w[f"{dst}.scale_shift_table"] = _np(b["scale_shift_table"]).reshape(6, dim).copy()
+        _put_linear(w, f"{dst}.attn1.to_q", b["attn1_q"])
+        _put_linear(w, f"{dst}.attn1.to_k", b["attn1_k"])
+        _put_linear(w, f"{dst}.attn1.to_v", b["attn1_v"])
+        _put_linear(w, f"{dst}.attn1.to_out.0", b["attn1_proj"])
+        _put_linear(w, f"{dst}.attn2.to_q", b["attn2_q"])
+        _put_linear(w, f"{dst}.attn2.to_k", b["attn2_k"])
+        _put_linear(w, f"{dst}.attn2.to_v", b["attn2_v"])
+        _put_linear(w, f"{dst}.attn2.to_out.0", b["attn2_proj"])
+        _put_linear(w, f"{dst}.ff.net.0.proj", b["ff_in"])
+        _put_linear(w, f"{dst}.ff.net.2", b["ff_out"])
+        _put_linear(w, f"controlnet_blocks.{i}", p[f"residual_proj_{i}"])
+    return w
+
+
+def import_pixart_controlnet_from_diffusers(weights: Dict[str, np.ndarray], arch, depth: int) -> Dict[str, Any]:
+    """Inverse of export_pixart_controlnet_to_diffusers."""
+    from .weight_import import _linear, _to_f32
+
+    w = weights
+    dim = arch.hidden_size
+
+    def patch_conv(src: str) -> Dict[str, Any]:
+        conv = _to_f32(w[f"{src}.weight"])
+        node = {"kernel": np.ascontiguousarray(conv.transpose(2, 3, 1, 0).reshape(-1, dim))}
+        if f"{src}.bias" in w:
+            node["bias"] = _to_f32(w[f"{src}.bias"])
+        return node
+
+    params: Dict[str, Any] = {
+        "patch_in": patch_conv("pos_embed.proj"),
+        "control_in": patch_conv("pos_embed_input.proj"),
+        "caption_in_1": _linear(w, "caption_projection.linear_1"),
+        "caption_in_2": _linear(w, "caption_projection.linear_2"),
+        "time_in": {
+            "in_layer": _linear(w, "adaln_single.emb.timestep_embedder.linear_1"),
+            "out_layer": _linear(w, "adaln_single.emb.timestep_embedder.linear_2"),
+        },
+        "time_proj": _linear(w, "adaln_single.linear"),
+    }
+    for i in range(depth):
+        src = f"transformer_blocks.{i}"
+        params[f"block_{i}"] = {
+            "scale_shift_table": _to_f32(w[f"{src}.scale_shift_table"]).reshape(6, dim),
+            "attn1_q": _linear(w, f"{src}.attn1.to_q"),
+            "attn1_k": _linear(w, f"{src}.attn1.to_k"),
+            "attn1_v": _linear(w, f"{src}.attn1.to_v"),
+            "attn1_proj": _linear(w, f"{src}.attn1.to_out.0"),
+            "attn2_q": _linear(w, f"{src}.attn2.to_q"),
+            "attn2_k": _linear(w, f"{src}.attn2.to_k"),
+            "attn2_v": _linear(w, f"{src}.attn2.to_v"),
+            "attn2_proj": _linear(w, f"{src}.attn2.to_out.0"),
+            "ff_in": _linear(w, f"{src}.ff.net.0.proj"),
+            "ff_out": _linear(w, f"{src}.ff.net.2"),
+        }
+        params[f"residual_proj_{i}"] = _linear(w, f"controlnet_blocks.{i}")
+    return params
+
+
 # ---------------------------------------------------------------------------------
 # SD3 (inverse of sd3_params_from_diffusers)
 # ---------------------------------------------------------------------------------
@@ -587,13 +778,19 @@ def save_full_pipeline(
         json.dump(index, fh, indent=2)
     logger.info("exported %s pipeline (%s) to %s", model.NAME, cls, component_dir)
 
-    if "controlnet" in variables and model.NAME == "flux":
+    controlnet_exporters = {
+        "flux": (export_flux_controlnet_to_diffusers, "FluxControlNetModel"),
+        "sd3": (export_sd3_controlnet_to_diffusers, "SD3ControlNetModel"),
+        "pixart_sigma": (export_pixart_controlnet_to_diffusers, "PixArtControlNetModel"),
+    }
+    if "controlnet" in variables and model.NAME in controlnet_exporters:
+        exporter_fn, cn_cls = controlnet_exporters[model.NAME]
         depth = int(model.config.get("controlnet_depth", 2) or 2)
-        cn = export_flux_controlnet_to_diffusers(variables["controlnet"], model.arch, depth)
+        cn = exporter_fn(variables["controlnet"], model.arch, depth)
         save_torch_safetensors(
             cn, os.path.join(out_dir, "controlnet", "diffusion_pytorch_model.safetensors"),
             metadata=metadata,
         )
         with open(os.path.join(out_dir, "controlnet", "config.json"), "w") as fh:
-            json.dump({"_class_name": "FluxControlNetModel", "num_layers": depth}, fh, indent=2)
+            json.dump({"_class_name": cn_cls, "num_layers": depth}, fh, indent=2)
     return component_dir
