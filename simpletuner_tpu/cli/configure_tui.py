@@ -76,9 +76,35 @@ MEMORY_PRESETS: Dict[str, Dict[str, Any]] = {
 # LyCORIS algorithm presets (reference configure.py LycorisBuilderSession
 # defaults + simpletuner/lycoris_defaults.py)
 LYCORIS_ALGORITHMS: Dict[str, Dict[str, Any]] = {
-    "lora": {"algo": "lora", "multiplier": 1.0, "linear_dim": 64, "linear_alpha": 32},
-    "lokr": {"algo": "lokr", "multiplier": 1.0, "linear_dim": 10000, "linear_alpha": 1, "factor": 16},
-    "loha": {"algo": "loha", "multiplier": 1.0, "linear_dim": 32, "linear_alpha": 16},
+    "lora": {
+        "algo": "lora", "multiplier": 1.0, "linear_dim": 64, "linear_alpha": 32,
+        "apply_preset": {
+            "target_module": ["Attention", "FeedForward"],
+            "module_algo_map": {"Attention": {"factor": 16}, "FeedForward": {"factor": 8}},
+        },
+    },
+    "lokr": {
+        "algo": "lokr", "multiplier": 1.0, "linear_dim": 10000, "linear_alpha": 1, "factor": 16,
+        "apply_preset": {
+            "target_module": ["Attention", "FeedForward"],
+            "module_algo_map": {"Attention": {"factor": 16}, "FeedForward": {"factor": 8}},
+        },
+    },
+    "loha": {
+        "algo": "loha", "multiplier": 1.0, "linear_dim": 32, "linear_alpha": 16,
+        "apply_preset": {
+            "target_module": ["Attention", "FeedForward"],
+            "module_algo_map": {"Attention": {"factor": 16}, "FeedForward": {"factor": 8}},
+        },
+    },
+    "ia3": {
+        "algo": "ia3", "multiplier": 1.0, "linear_dim": None, "linear_alpha": None,
+        "apply_preset": {"target_module": ["Attention", "FeedForward"]},
+    },
+    "tlora": {
+        "algo": "tlora", "multiplier": 1.0, "linear_dim": 64, "linear_alpha": 32,
+        "apply_preset": {"target_module": ["Attention", "FeedForward"]},
+    },
     "full": {"algo": "full"},
 }
 

@@ -526,8 +526,15 @@ class ModelFoundation:
                 return "lokr"
             if algo in ("tlora", "t-lora"):
                 return "tlora"
+            if algo in ("loha",):
+                return "loha"
+            if algo in ("ia3", "(ia)3", "ia^3"):
+                return "ia3"
+            if algo in ("lora",):
+                return "lora"
             raise NotImplementedError(
-                f"lycoris algo {algo!r} not ported yet; available: lokr, tlora"
+                f"lycoris algo {algo!r} not ported yet; available: lora, lokr, "
+                "loha, ia3, tlora"
             )
         # reference --peft_lora_mode=singlora / --lora_type=singlora (peft-singlora)
         if lora_type == "singlora" or (

@@ -96,14 +96,7 @@ class LoRADense(nn.Module):
                     "bias", nn.initializers.zeros, (self.features,), self.param_dtype
                 )
                 y = y + bias.astype(self.dtype)
-            if self.lora_rank > 0:
-                if self.lora_algo == "lokr":
-                    y = y + self._lokr_delta(x, in_features)
-                elif self.lora_algo == "singlora":
-                    y = y + self._singlora_delta(x, in_features)
-                else:
-                    y = y + self._lora_delta(x, in_features)
-            return y
+            return self._apply_adapter(x, y, in_features)
         kernel = self.param(
             "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
         )
@@ -122,14 +115,21 @@ class LoRADense(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
-        if self.lora_rank > 0:
-            if self.lora_algo == "lokr":
-                y = y + self._lokr_delta(x, in_features)
-            elif self.lora_algo == "singlora":
-                y = y + self._singlora_delta(x, in_features)
-            else:  # "lora" and "tlora" share the two-matrix form
-                y = y + self._lora_delta(x, in_features)
-        return y
+        return self._apply_adapter(x, y, in_features)
+
+    def _apply_adapter(self, x: jax.Array, y: jax.Array, in_features: int) -> jax.Array:
+        if self.lora_rank <= 0:
+            return y
+        if self.lora_algo == "lokr":
+            return y + self._lokr_delta(x, in_features)
+        if self.lora_algo == "singlora":
+            return y + self._singlora_delta(x, in_features)
+        if self.lora_algo == "loha":
+            return y + self._loha_delta(x, in_features)
+        if self.lora_algo == "ia3":
+            return self._ia3_scale(y)
+        # "lora" and "tlora" share the two-matrix form
+        return y + self._lora_delta(x, in_features)
 
     def _lora_delta(self, x: jax.Array, in_features: int) -> jax.Array:
         rank = self.lora_rank
@@ -180,6 +180,44 @@ class LoRADense(nn.Module):
         return scale * jnp.dot(
             jnp.dot(x.astype(self.dtype), mat[:in_features]), mat[: self.features].T
         )
+
+    def _loha_delta(self, x: jax.Array, in_features: int) -> jax.Array:
+        """LyCORIS LoHa (Hadamard product low-rank): ΔW = (A1·B1) ⊙ (A2·B2)
+        scaled by α/r; B2 = 0 at init so the adapter starts as an identity
+        (reference: lycoris-lora LohaModule via lycoris_config.algo=loha,
+        simpletuner/lycoris_defaults.py)."""
+        rank = self.lora_rank
+        alpha = self.lora_alpha if self.lora_alpha is not None else float(rank)
+        init_rng = self.make_rng("params") if self.is_initializing() else None
+
+        def normal_init(shape):
+            return lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, shape, self.param_dtype)
+
+        w1_a = self.variable("lora", "loha_w1_a", normal_init((in_features, rank)), init_rng)
+        w1_b = self.variable(
+            "lora", "loha_w1_b",
+            lambda rng: nn.initializers.normal(stddev=0.02)(rng, (rank, self.features), self.param_dtype),
+            self.make_rng("params") if self.is_initializing() else None,
+        )
+        w2_a = self.variable("lora", "loha_w2_a", normal_init((in_features, rank)), init_rng)
+        w2_b = self.variable(
+            "lora", "loha_w2_b",
+            lambda rng: jnp.zeros((rank, self.features), self.param_dtype), None,
+        )
+        scale = alpha / rank
+        delta = (
+            jnp.dot(w1_a.value, w1_b.value) * jnp.dot(w2_a.value, w2_b.value)
+        ).astype(self.dtype)
+        return scale * jnp.dot(x.astype(self.dtype), delta)
+
+    def _ia3_scale(self, y: jax.Array) -> jax.Array:
+        """(IA)³: learned per-output-channel rescaling ℓ (ones at init ⇒
+        identity); y ↦ y ⊙ ℓ (reference: lycoris algo=ia3)."""
+        ell = self.variable(
+            "lora", "ia3_scale",
+            lambda rng: jnp.ones((self.features,), self.param_dtype), None,
+        )
+        return y * ell.value.astype(self.dtype)
 
     def _lokr_delta(self, x: jax.Array, in_features: int) -> jax.Array:
         a, c = lokr_factorize(in_features, self.lokr_factor)

@@ -37,6 +37,15 @@ def flatten_lora(lora_params: Dict[str, Any]) -> Dict[str, Dict[str, np.ndarray]
                     "lokr_w2": np.asarray(node["lokr_w2"], np.float32),
                 }
                 return
+            if "loha_w1_a" in node:
+                out["/".join(path)] = {
+                    key: np.asarray(node[key], np.float32)
+                    for key in ("loha_w1_a", "loha_w1_b", "loha_w2_a", "loha_w2_b")
+                }
+                return
+            if "ia3_scale" in node:
+                out["/".join(path)] = {"ia3_scale": np.asarray(node["ia3_scale"], np.float32)}
+                return
             for key, value in node.items():
                 walk(value, path + [key])
 
@@ -642,6 +651,22 @@ def lora_state_dict(
             tensors[f"lycoris_{module}.lokr_w2"] = np.ascontiguousarray(leaves["lokr_w2"].T)
             tensors[f"lycoris_{module}.alpha"] = np.asarray(alpha, np.float32)
             continue
+        if "loha_w1_a" in leaves:
+            # LyCORIS LoHa layout: hada_w1_a (out,r) / hada_w1_b (r,in) in
+            # torch orientation — ΔW_torch = ΔW_flaxᵀ means (A·B)ᵀ = Bᵀ·Aᵀ,
+            # so torch w_a := our Bᵀ and torch w_b := our Aᵀ
+            module = (target if isinstance(target, str) else target[0][0]).replace(".", "_")
+            tensors[f"lycoris_{module}.hada_w1_a"] = np.ascontiguousarray(leaves["loha_w1_b"].T)
+            tensors[f"lycoris_{module}.hada_w1_b"] = np.ascontiguousarray(leaves["loha_w1_a"].T)
+            tensors[f"lycoris_{module}.hada_w2_a"] = np.ascontiguousarray(leaves["loha_w2_b"].T)
+            tensors[f"lycoris_{module}.hada_w2_b"] = np.ascontiguousarray(leaves["loha_w2_a"].T)
+            tensors[f"lycoris_{module}.alpha"] = np.asarray(alpha, np.float32)
+            continue
+        if "ia3_scale" in leaves:
+            # LyCORIS (IA)³ layout: per-module weight vector (output channels)
+            module = (target if isinstance(target, str) else target[0][0]).replace(".", "_")
+            tensors[f"lycoris_{module}.w"] = np.ascontiguousarray(leaves["ia3_scale"])
+            continue
         a = leaves["lora_A"]  # (in, r)
         b = leaves["lora_B"]  # (r, out)
         if isinstance(target, list):  # fused projection: shared A, sliced B
@@ -712,6 +737,38 @@ def load_lora_safetensors(model, path: str, template: Dict[str, Any]) -> Dict[st
     missing: List[str] = []
     for path_key, leaves in flat_template.items():
         target = key_map.get(path_key, path_key.replace("/", "."))
+        module = "lycoris_" + (
+            target if isinstance(target, str) else target[0][0]
+        ).replace(".", "_")
+        if "lokr_w1" in leaves:
+            if f"{module}.lokr_w1" in normalized:
+                out[path_key] = {
+                    "lokr_w1": normalized[f"{module}.lokr_w1"].T.astype(np.float32),
+                    "lokr_w2": normalized[f"{module}.lokr_w2"].T.astype(np.float32),
+                }
+            else:
+                missing.append(path_key)
+                out[path_key] = leaves
+            continue
+        if "loha_w1_a" in leaves:
+            if f"{module}.hada_w1_a" in normalized:
+                out[path_key] = {
+                    "loha_w1_a": normalized[f"{module}.hada_w1_b"].T.astype(np.float32),
+                    "loha_w1_b": normalized[f"{module}.hada_w1_a"].T.astype(np.float32),
+                    "loha_w2_a": normalized[f"{module}.hada_w2_b"].T.astype(np.float32),
+                    "loha_w2_b": normalized[f"{module}.hada_w2_a"].T.astype(np.float32),
+                }
+            else:
+                missing.append(path_key)
+                out[path_key] = leaves
+            continue
+        if "ia3_scale" in leaves:
+            if f"{module}.w" in normalized:
+                out[path_key] = {"ia3_scale": normalized[f"{module}.w"].astype(np.float32)}
+            else:
+                missing.append(path_key)
+                out[path_key] = leaves
+            continue
         if isinstance(target, list):
             # fused projection: rebuild shared-A + sliced-B; if the file's parts
             # have differing A matrices, concatenate ranks (block-diagonal B)
