@@ -46,6 +46,7 @@ _FAMILIES: Dict[str, tuple] = {
     "wan_s2v": ("simpletuner_tpu.models.extended.model", "WanS2V", {"modality": "video", "prediction": "flow_matching"}),
     "heartmula": ("simpletuner_tpu.models.heartmula.model", "HeartMuLa", {"modality": "audio", "prediction": "autoregressive"}),
     "omnigen": ("simpletuner_tpu.models.omnigen.model", "OmniGen", {"modality": "image", "prediction": "flow_matching"}),
+    "z_image_omni": ("simpletuner_tpu.models.z_image_omni.model", "ZImageOmni", {"modality": "image", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {
@@ -53,7 +54,6 @@ _ALIASES = {
     "sd21": "sd2x",
     "pixart": "pixart_sigma",
     "ltx2": "ltxvideo2",
-    "z_image_omni": "z_image",
     "zlab_i1": "z_image",
     "kandinsky5-image": "kandinsky5_image",  # examples use the dashed spelling
 }

@@ -2140,6 +2140,68 @@ def load_stable_cascade_params(model, path: str) -> Dict[str, Any]:
     return params
 
 
+# ---------------------------------------------------------------------------------
+# Z-Image Omni (reference helpers/models/z_image_omni/transformer.py
+# ZImageOmniTransformer2DModel: single-stream DiT, three refiner stacks,
+# per-patch x embedders keyed "patch-fpatch" in ModuleDicts :608-618)
+# ---------------------------------------------------------------------------------
+
+
+def _z_omni_block(w: Dict[str, np.ndarray], src: str, modulated: bool) -> Dict[str, Any]:
+    block: Dict[str, Any] = {
+        "attn_q": _linear(w, f"{src}.attention.to_q"),
+        "attn_k": _linear(w, f"{src}.attention.to_k"),
+        "attn_v": _linear(w, f"{src}.attention.to_v"),
+        "attn_proj": _linear(w, f"{src}.attention.to_out.0"),
+        "norm_q": _scale(w, f"{src}.attention.norm_q.weight"),
+        "norm_k": _scale(w, f"{src}.attention.norm_k.weight"),
+        "feed_forward": {
+            "w1": _linear(w, f"{src}.feed_forward.w1"),
+            "w2": _linear(w, f"{src}.feed_forward.w2"),
+            "w3": _linear(w, f"{src}.feed_forward.w3"),
+        },
+        "attention_norm1": _scale(w, f"{src}.attention_norm1.weight"),
+        "attention_norm2": _scale(w, f"{src}.attention_norm2.weight"),
+        "ffn_norm1": _scale(w, f"{src}.ffn_norm1.weight"),
+        "ffn_norm2": _scale(w, f"{src}.ffn_norm2.weight"),
+    }
+    if modulated:
+        block["adaLN_modulation"] = _linear(w, f"{src}.adaLN_modulation.0")
+    return block
+
+
+def z_image_omni_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    patch_key = f"{arch.patch_size}-1"  # single (patch, f_patch) config, f=1 for images
+    params: Dict[str, Any] = {
+        "t_in": _linear(w, "t_embedder.mlp.0"),
+        "t_out": _linear(w, "t_embedder.mlp.2"),
+        "x_embedder": _linear(w, f"all_x_embedder.{patch_key}"),
+        "cap_norm": _scale(w, "cap_embedder.0.weight"),
+        "cap_embedder": _linear(w, "cap_embedder.1"),
+        "cap_pad_token": _to_f32(w["cap_pad_token"]),
+        "final_adaLN": _linear(w, f"all_final_layer.{patch_key}.adaLN_modulation.1"),
+        "final_linear": _linear(w, f"all_final_layer.{patch_key}.linear"),
+    }
+    if "siglip_embedder.1.weight" in w:
+        params["siglip_norm"] = _scale(w, "siglip_embedder.0.weight")
+        params["siglip_embedder"] = _linear(w, "siglip_embedder.1")
+    for i in range(arch.refiner_depth):
+        params[f"noise_refiner_{i}"] = _z_omni_block(w, f"noise_refiner.{i}", modulated=True)
+        params[f"context_refiner_{i}"] = _z_omni_block(w, f"context_refiner.{i}", modulated=False)
+        if f"siglip_refiner.{i}.attention.to_q.weight" in w:
+            params[f"siglip_refiner_{i}"] = _z_omni_block(w, f"siglip_refiner.{i}", modulated=False)
+    for i in range(arch.depth):
+        params[f"layer_{i}"] = _z_omni_block(w, f"layers.{i}", modulated=True)
+    return params
+
+
+def load_z_image_omni_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = z_image_omni_params_from_diffusers(weights, model.arch)
+    logger.info("imported z_image_omni weights from %s", path)
+    return params
+
 
 _IMPORTERS = {
     "flux": load_flux_params,
@@ -2163,6 +2225,7 @@ _IMPORTERS = {
     # mage_layers.py; text rope disabled in the module config, not the keys)
     "mageflow": load_qwen_image_params,
     "z_image": load_qwen_image_params,
+    "z_image_omni": load_z_image_omni_params,
     "hunyuanvideo": load_hunyuanvideo_params,
     "lumina2": load_lumina2_params,
     "hidream": load_hidream_params,

@@ -482,6 +482,35 @@ def lumina2_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def z_image_omni_key_map(arch) -> Dict[str, Any]:
+    """Z-Image Omni layout (reference helpers/models/z_image_omni/transformer.py
+    ZImageOmniTransformer2DModel): diffusers Attention naming inside
+    ``attention``, SwiGLU ``feed_forward.w1/w2/w3``, per-patch ModuleDict
+    embedders keyed "patch-fpatch" (:608-618)."""
+    patch_key = f"{arch.patch_size}-1"
+    mapping: Dict[str, Any] = {
+        "x_embedder": f"all_x_embedder.{patch_key}",
+        "cap_embedder": "cap_embedder.1",
+        "siglip_embedder": "siglip_embedder.1",
+        "final_linear": f"all_final_layer.{patch_key}.linear",
+    }
+    table = {
+        "attn_q": "attention.to_q", "attn_k": "attention.to_k",
+        "attn_v": "attention.to_v", "attn_proj": "attention.to_out.0",
+        "feed_forward/w1": "feed_forward.w1",
+        "feed_forward/w2": "feed_forward.w2",
+        "feed_forward/w3": "feed_forward.w3",
+    }
+    groups = [(f"layer_{i}", f"layers.{i}") for i in range(arch.depth)]
+    groups += [(f"noise_refiner_{i}", f"noise_refiner.{i}") for i in range(arch.refiner_depth)]
+    groups += [(f"context_refiner_{i}", f"context_refiner.{i}") for i in range(arch.refiner_depth)]
+    groups += [(f"siglip_refiner_{i}", f"siglip_refiner.{i}") for i in range(arch.refiner_depth)]
+    for ours_prefix, theirs_prefix in groups:
+        for ours, theirs in table.items():
+            mapping[f"{ours_prefix}/{ours}"] = f"{theirs_prefix}.{theirs}"
+    return mapping
+
+
 def sana_key_map(arch) -> Dict[str, Any]:
     mapping: Dict[str, Any] = {}
     table = {
@@ -582,6 +611,7 @@ _KEY_MAPS = {
     "krea2": lambda m: krea2_key_map(m.arch),
     "mageflow": lambda m: qwen_image_key_map(m.arch),
     "z_image": lambda m: qwen_image_key_map(m.arch),
+    "z_image_omni": lambda m: z_image_omni_key_map(m.arch),
     "longcat_image": lambda m: flux_key_map(m.arch),
     "boogu_image": lambda m: lumina2_key_map(m.arch),
     "chroma": lambda m: flux_key_map(m.arch),
