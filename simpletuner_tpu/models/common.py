@@ -155,6 +155,12 @@ class ModelFoundation:
         (e.g. FlowMap delta embedders cloned from the time embedder)."""
         return variables
 
+    def transform_latents(self, latents: jax.Array) -> jax.Array:
+        """Jit-safe per-family latent transform applied before noising —
+        e.g. zlab_i1 normalizes raw FLUX.2 VAE latents per-channel (reference
+        zlab_i1/model.py:163-180).  Identity by default."""
+        return latents
+
     # ---- schedules ----------------------------------------------------------------------
     @property
     def is_flow(self) -> bool:
@@ -217,10 +223,11 @@ class ModelFoundation:
         conditioning tensors (text embeds etc.).  Returns the prepared batch with
         ``noisy_latents``, ``noise``, ``timesteps``/``sigmas`` and ``target`` added.
         """
-        latents = batch["latents"]
+        latents = self.transform_latents(batch["latents"])
         rng_noise, rng_t = jax.random.split(rng)
         noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
         prepared = dict(batch)
+        prepared["latents"] = latents
         # deterministic-injection hooks (loss-curve parity harness / replay):
         # a batch may carry its own noise and flow sigmas
         override_noise = prepared.pop("override_noise", None)

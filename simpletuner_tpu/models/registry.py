@@ -47,6 +47,7 @@ _FAMILIES: Dict[str, tuple] = {
     "heartmula": ("simpletuner_tpu.models.heartmula.model", "HeartMuLa", {"modality": "audio", "prediction": "autoregressive"}),
     "omnigen": ("simpletuner_tpu.models.omnigen.model", "OmniGen", {"modality": "image", "prediction": "flow_matching"}),
     "z_image_omni": ("simpletuner_tpu.models.z_image_omni.model", "ZImageOmni", {"modality": "image", "prediction": "flow_matching"}),
+    "zlab_i1": ("simpletuner_tpu.models.zlab_i1.model", "ZlabI1", {"modality": "image", "prediction": "flow_matching"}),
 }
 
 _ALIASES = {
@@ -54,7 +55,6 @@ _ALIASES = {
     "sd21": "sd2x",
     "pixart": "pixart_sigma",
     "ltx2": "ltxvideo2",
-    "zlab_i1": "z_image",
     "kandinsky5-image": "kandinsky5_image",  # examples use the dashed spelling
 }
 

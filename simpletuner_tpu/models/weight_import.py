@@ -2203,6 +2203,86 @@ def load_z_image_omni_params(model, path: str) -> Dict[str, Any]:
     return params
 
 
+# ---------------------------------------------------------------------------------
+# Zlab i1 (reference helpers/models/zlab_i1/transformer.py
+# ZlabI1Transformer2DModel: timestep-free U-ViT MMDiT with skip linears;
+# the frozen t_embedder and the rope tables are unused buffers and skipped)
+# ---------------------------------------------------------------------------------
+
+
+def _zlab_swiglu(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {"w12": _linear(w, f"{src}.w12"), "w3": _linear(w, f"{src}.w3")}
+
+
+def _zlab_block(w: Dict[str, np.ndarray], src: str, use_skip: bool) -> Dict[str, Any]:
+    block: Dict[str, Any] = {
+        "norm1": _scale(w, f"{src}.norm1.scale"),
+        "norm2": _scale(w, f"{src}.norm2.scale"),
+        "norm3": _scale(w, f"{src}.norm3.scale"),
+        "norm4": _scale(w, f"{src}.norm4.scale"),
+        "qkv_image": _linear(w, f"{src}.attn.qkv_image"),
+        "qkv_text": _linear(w, f"{src}.attn.qkv_text"),
+        "q_norm": _scale(w, f"{src}.attn.q_norm.scale"),
+        "k_norm": _scale(w, f"{src}.attn.k_norm.scale"),
+        "proj_image": _linear(w, f"{src}.attn.proj_image"),
+        "proj_text": _linear(w, f"{src}.attn.proj_text"),
+        "mlp_image": _zlab_swiglu(w, f"{src}.mlp_image"),
+        "mlp_text": _zlab_swiglu(w, f"{src}.mlp_text"),
+    }
+    if use_skip:
+        block["skip_image"] = _linear(w, f"{src}.skip_linear_image")
+        block["skip_text"] = _linear(w, f"{src}.skip_linear_text")
+    return block
+
+
+def _zlab_connector_attn(w: Dict[str, np.ndarray], src: str) -> Dict[str, Any]:
+    return {
+        "qkv": _linear(w, f"{src}.qkv"),
+        "q_norm": _scale(w, f"{src}.q_norm.scale"),
+        "k_norm": _scale(w, f"{src}.k_norm.scale"),
+        "proj": _linear(w, f"{src}.proj"),
+    }
+
+
+def zlab_i1_params_from_checkpoint(weights: Dict[str, np.ndarray], arch) -> Dict[str, Any]:
+    w = weights
+    d = arch.hidden_size
+    conv = _to_f32(w["x_embedder.proj.weight"])  # (D, C, p, p)
+    params: Dict[str, Any] = {
+        "x_embedder": {
+            "kernel": np.ascontiguousarray(conv.reshape(d, -1).T),  # (c,ph,pw)-major in
+            "bias": _to_f32(w["x_embedder.proj.bias"]),
+        },
+        "pos_embed": _to_f32(w["pos_embed"]),
+        "text_adapter": {
+            "null_caption": _to_f32(w["text_encoder_adapter.learnable_null_caption"]),
+            "connector_in": _linear(w, "text_encoder_adapter.connector_in"),
+            "connector_norm1": _scale(w, "text_encoder_adapter.connector_norm1.scale"),
+            "connector_norm2": _scale(w, "text_encoder_adapter.connector_norm2.scale"),
+            "connector_norm3": _scale(w, "text_encoder_adapter.connector_norm3.scale"),
+            "connector_norm4": _scale(w, "text_encoder_adapter.connector_norm4.scale"),
+            "connector_attn": _zlab_connector_attn(w, "text_encoder_adapter.connector_attn"),
+            "connector_attn2": _zlab_connector_attn(w, "text_encoder_adapter.connector_attn2"),
+            "connector_mlp": _zlab_swiglu(w, "text_encoder_adapter.connector_mlp"),
+            "connector_mlp2": _zlab_swiglu(w, "text_encoder_adapter.connector_mlp2"),
+        },
+        "mid": _zlab_block(w, "mid_block", use_skip=False),
+        "final_norm": _scale(w, "final_layer.norm_final.scale"),
+        "final_linear": _linear(w, "final_layer.linear"),
+    }
+    for i in range(arch.num_in_blocks):
+        params[f"in_{i}"] = _zlab_block(w, f"in_blocks.{i}", use_skip=False)
+        params[f"out_{i}"] = _zlab_block(w, f"out_blocks.{i}", use_skip=True)
+    return params
+
+
+def load_zlab_i1_params(model, path: str) -> Dict[str, Any]:
+    weights = _strip_prefix(read_safetensors(path))
+    params = zlab_i1_params_from_checkpoint(weights, model.arch)
+    logger.info("imported zlab_i1 weights from %s", path)
+    return params
+
+
 _IMPORTERS = {
     "flux": load_flux_params,
     "sd1x": load_unet_params,
@@ -2226,6 +2306,7 @@ _IMPORTERS = {
     "mageflow": load_qwen_image_params,
     "z_image": load_qwen_image_params,
     "z_image_omni": load_z_image_omni_params,
+    "zlab_i1": load_zlab_i1_params,
     "hunyuanvideo": load_hunyuanvideo_params,
     "lumina2": load_lumina2_params,
     "hidream": load_hidream_params,

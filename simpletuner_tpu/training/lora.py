@@ -511,6 +511,32 @@ def z_image_omni_key_map(arch) -> Dict[str, Any]:
     return mapping
 
 
+def zlab_i1_key_map(arch) -> Dict[str, Any]:
+    """Zlab i1 U-ViT layout (reference helpers/models/zlab_i1/transformer.py):
+    in_blocks/mid_block/out_blocks with fused per-modality qkv, SwiGLU w12/w3,
+    skip linears on out blocks; DEFAULT_LORA_TARGET model.py:47-55."""
+    mapping: Dict[str, Any] = {
+        "final_linear": "final_layer.linear",
+        "text_adapter/connector_in": "text_encoder_adapter.connector_in",
+    }
+    table = {
+        "qkv_image": "attn.qkv_image", "qkv_text": "attn.qkv_text",
+        "proj_image": "attn.proj_image", "proj_text": "attn.proj_text",
+        "mlp_image/w12": "mlp_image.w12", "mlp_image/w3": "mlp_image.w3",
+        "mlp_text/w12": "mlp_text.w12", "mlp_text/w3": "mlp_text.w3",
+    }
+    groups = [("mid", "mid_block")]
+    groups += [(f"in_{i}", f"in_blocks.{i}") for i in range(arch.num_in_blocks)]
+    groups += [(f"out_{i}", f"out_blocks.{i}") for i in range(arch.num_in_blocks)]
+    for ours_prefix, theirs_prefix in groups:
+        for ours, theirs in table.items():
+            mapping[f"{ours_prefix}/{ours}"] = f"{theirs_prefix}.{theirs}"
+        if ours_prefix.startswith("out_"):
+            mapping[f"{ours_prefix}/skip_image"] = f"{theirs_prefix}.skip_linear_image"
+            mapping[f"{ours_prefix}/skip_text"] = f"{theirs_prefix}.skip_linear_text"
+    return mapping
+
+
 def sana_key_map(arch) -> Dict[str, Any]:
     mapping: Dict[str, Any] = {}
     table = {
@@ -612,6 +638,7 @@ _KEY_MAPS = {
     "mageflow": lambda m: qwen_image_key_map(m.arch),
     "z_image": lambda m: qwen_image_key_map(m.arch),
     "z_image_omni": lambda m: z_image_omni_key_map(m.arch),
+    "zlab_i1": lambda m: zlab_i1_key_map(m.arch),
     "longcat_image": lambda m: flux_key_map(m.arch),
     "boogu_image": lambda m: lumina2_key_map(m.arch),
     "chroma": lambda m: flux_key_map(m.arch),

@@ -10,6 +10,7 @@ dataloading, checkpoints, trackers, webhooks, validation scheduling.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -51,6 +52,23 @@ LIFECYCLE_STAGES = (
     "init_trackers",
     "train",
 )
+
+
+def check_resume_family(resume_path: str, family: str) -> None:
+    """Refuse cross-family resume before touching tensors: an output_dir reused
+    across families would otherwise restore (or half-restore) a foreign state
+    and export under the wrong key layout."""
+    state_json = os.path.join(resume_path, "trainer_state.json")
+    if not os.path.exists(state_json):
+        return
+    with open(state_json) as handle:
+        saved_family = json.load(handle).get("model_family")
+    if saved_family and saved_family != family:
+        raise ValueError(
+            f"checkpoint {resume_path} was written by model_family="
+            f"{saved_family!r} but this run trains {family!r}; "
+            "use a fresh output_dir or pass resume_from_checkpoint=none"
+        )
 
 
 class Trainer:
@@ -495,6 +513,7 @@ class Trainer:
             self.config.get("resume_from_checkpoint")
         )
         if resume:
+            check_resume_family(resume, self.model.NAME)
             restored, extra = self.checkpoint_manager.restore(resume, self._state)
             self._state = restored
             self._extra_resume_state = extra
@@ -540,6 +559,7 @@ class Trainer:
         extra = {
             "global_step": self.global_step,
             "epoch": self.epoch,
+            "model_family": self.model.NAME,
             "data_plane": self.data_plane.save_state() if self.data_plane else None,
         }
         step_at_save = self.global_step

@@ -145,7 +145,7 @@ def test_extended_families(family):
 def test_extended_aliases():
     assert ModelRegistry.get("cosmos").__name__ == "Cosmos2Image"
     assert ModelRegistry.get("z_image_omni").__name__ == "ZImageOmni"
-    assert ModelRegistry.get("zlab_i1").__name__ == "ZImage"
+    assert ModelRegistry.get("zlab_i1").__name__ == "ZlabI1"
 
 def test_wan_s2v_audio_context():
     import jax.numpy as jnp

@@ -119,6 +119,19 @@ def test_resume_from_checkpoint(trained, image_dir):
     assert resumed.global_step == 6
     assert int(np.asarray(resumed._state.step)) == 6
 
+def test_cross_family_resume_refused(trained):
+    """A checkpoint stamped with another family must be refused before any
+    tensor restore (wrong-key-layout exports otherwise)."""
+    from simpletuner_tpu.training.trainer import check_resume_family
+
+    trainer, _ = trained
+    ckpt = trainer.checkpoint_manager.list_checkpoints()[-1]
+    state = json.load(open(os.path.join(ckpt, "trainer_state.json")))
+    assert state["model_family"] == "flux"
+    check_resume_family(ckpt, "flux")  # same family passes
+    with pytest.raises(ValueError, match="model_family"):
+        check_resume_family(ckpt, "zlab_i1")
+
 def test_grad_accumulation_runs(image_dir, tmp_path_factory):
     """Canonical reference config: train_batch_size=1 + accumulation. The
     effective batch must be per_device × shards × accum (accelerate semantics),
