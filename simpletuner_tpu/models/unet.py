@@ -318,7 +318,7 @@ class UNet2DCondition(nn.Module):
         sample: jax.Array,  # (B, H, W, C) noisy latents
         timesteps: jax.Array,  # (B,) integer or float timesteps
         encoder_hidden_states: jax.Array,  # (B, T, cross_dim)
-        added_cond: Optional[jax.Array] = None,  # SDXL: concat(fourier(time_ids), pooled)
+        added_cond: Optional[jax.Array] = None,  # SDXL: concat(pooled, fourier(time_ids))
         controlnet_skip_residuals: Optional[Tuple[jax.Array, ...]] = None,
         controlnet_mid_residual: Optional[jax.Array] = None,
         grounding_boxes: Optional[jax.Array] = None,  # (B, N, 4) GLIGEN
@@ -448,11 +448,13 @@ class UNet2DCondition(nn.Module):
 def make_sdxl_added_cond(
     time_ids: jax.Array, pooled: jax.Array, fourier_dim: int = 256
 ) -> jax.Array:
-    """SDXL micro-conditioning vector: fourier(time_ids) flattened ++ pooled text.
+    """SDXL micro-conditioning vector: pooled text ++ fourier(time_ids) flattened —
+    diffusers ``get_aug_embed`` order (text_embeds FIRST, then time_embeds), which
+    the pretrained ``add_embedding.linear_1`` column layout depends on.
 
     ``time_ids`` (B, 6): original H/W, crop top/left, target H/W
     (reference collate.py SDXL time-ids computation)."""
     batch = time_ids.shape[0]
     emb = timestep_embedding(time_ids.reshape(-1), fourier_dim, time_factor=1.0)
     emb = emb.reshape(batch, -1)
-    return jnp.concatenate([emb, pooled.astype(emb.dtype)], axis=-1)
+    return jnp.concatenate([pooled.astype(emb.dtype), emb], axis=-1)

@@ -98,9 +98,16 @@ def _t(a):
     return torch.from_numpy(np.asarray(a, np.float32))
 
 
+def _torchify(w):
+    """numpy weight dict -> torch tensor dict (the oracle consumes tensors so a
+    trainable ParameterDict view can drive the same forward; see
+    test_acestep_loss_curve_parity.py)."""
+    return {k: _t(v) for k, v in w.items()}
+
+
 def _lin(w, name, x):
-    bias = _t(w[f"{name}.bias"]) if f"{name}.bias" in w else None
-    return F.linear(x, _t(w[f"{name}.weight"]), bias)
+    bias = w[f"{name}.bias"] if f"{name}.bias" in w else None
+    return F.linear(x, w[f"{name}.weight"], bias)
 
 
 def _qwen_rope(seq_len, dim, theta):
@@ -145,10 +152,10 @@ def _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask):
     genre = _lin(w, "genre_embedder", _t(text))
     # lyric conformer
     lh = ARCH.lyric_hidden
-    emb = _t(w["lyric_embs.weight"])[torch.from_numpy(lyric_tokens)]
+    emb = w["lyric_embs.weight"][torch.from_numpy(lyric_tokens)]
     x = _lin(w, "lyric_encoder.embed.out.0", emb)
-    x = F.layer_norm(x, (lh,), _t(w["lyric_encoder.embed.out.1.weight"]),
-                     _t(w["lyric_encoder.embed.out.1.bias"]), eps=1e-5)
+    x = F.layer_norm(x, (lh,), w["lyric_encoder.embed.out.1.weight"],
+                     w["lyric_encoder.embed.out.1.bias"], eps=1e-5)
     x = x * math.sqrt(lh)
     T = x.shape[1]
     position = np.arange(T, dtype=np.float64)[:, None]
@@ -163,13 +170,13 @@ def _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask):
     for i in range(ARCH.lyric_depth):
         src = f"lyric_encoder.encoders.{i}"
         res = x
-        h = F.layer_norm(x, (lh,), _t(w[f"{src}.norm_mha.weight"]), _t(w[f"{src}.norm_mha.bias"]), eps=1e-5)
+        h = F.layer_norm(x, (lh,), w[f"{src}.norm_mha.weight"], w[f"{src}.norm_mha.bias"], eps=1e-5)
         q = _lin(w, f"{src}.self_attn.linear_q", h).view(b, -1, n_h, dk)
         k = _lin(w, f"{src}.self_attn.linear_k", h).view(b, -1, n_h, dk).transpose(1, 2)
         v = _lin(w, f"{src}.self_attn.linear_v", h).view(b, -1, n_h, dk).transpose(1, 2)
         p = _lin(w, f"{src}.self_attn.linear_pos", pos_emb).view(1, -1, n_h, dk).transpose(1, 2)
-        u = _t(w[f"{src}.self_attn.pos_bias_u"])
-        vb = _t(w[f"{src}.self_attn.pos_bias_v"])
+        u = w[f"{src}.self_attn.pos_bias_u"]
+        vb = w[f"{src}.self_attn.pos_bias_v"]
         q_u = (q + u).transpose(1, 2)
         q_v = (q + vb).transpose(1, 2)
         ac = torch.matmul(q_u, k.transpose(-2, -1))
@@ -185,9 +192,9 @@ def _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask):
         out = torch.matmul(attn, v).transpose(1, 2).reshape(b, -1, lh)
         x = res + _lin(w, f"{src}.self_attn.linear_out", out)
         res = x
-        h = F.layer_norm(x, (lh,), _t(w[f"{src}.norm_ff.weight"]), _t(w[f"{src}.norm_ff.bias"]), eps=1e-5)
+        h = F.layer_norm(x, (lh,), w[f"{src}.norm_ff.weight"], w[f"{src}.norm_ff.bias"], eps=1e-5)
         x = res + _lin(w, f"{src}.feed_forward.w_2", F.silu(_lin(w, f"{src}.feed_forward.w_1", h)))
-    x = F.layer_norm(x, (lh,), _t(w["lyric_encoder.after_norm.weight"]), _t(w["lyric_encoder.after_norm.bias"]), eps=1e-5)
+    x = F.layer_norm(x, (lh,), w["lyric_encoder.after_norm.weight"], w["lyric_encoder.after_norm.bias"], eps=1e-5)
     lyric = _lin(w, "lyric_proj", x)
 
     context = torch.cat([spk, genre, lyric], dim=1)
@@ -204,12 +211,12 @@ def _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask):
     temb = _lin(w, "t_block.1", F.silu(embedded_t))
 
     lat = torch.from_numpy(latents).permute(0, 3, 1, 2)  # NHWC → NCHW
-    h = F.conv2d(lat, _t(w["proj_in.early_conv_layers.0.weight"]),
-                 _t(w["proj_in.early_conv_layers.0.bias"]),
+    h = F.conv2d(lat, w["proj_in.early_conv_layers.0.weight"],
+                 w["proj_in.early_conv_layers.0.bias"],
                  stride=(ARCH.latent_height, 1))
-    h = F.group_norm(h, min(32, h.shape[1]), _t(w["proj_in.early_conv_layers.1.weight"]),
-                     _t(w["proj_in.early_conv_layers.1.bias"]), eps=1e-6)
-    h = F.conv2d(h, _t(w["proj_in.early_conv_layers.2.weight"]), _t(w["proj_in.early_conv_layers.2.bias"]))
+    h = F.group_norm(h, min(32, h.shape[1]), w["proj_in.early_conv_layers.1.weight"],
+                     w["proj_in.early_conv_layers.1.bias"], eps=1e-6)
+    h = F.conv2d(h, w["proj_in.early_conv_layers.2.weight"], w["proj_in.early_conv_layers.2.bias"])
     x = h.flatten(2).transpose(1, 2)  # (B, T, D)
     seq = x.shape[1]
 
@@ -222,7 +229,7 @@ def _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask):
     hidden = int(D * ARCH.mlp_ratio)
     for i in range(ARCH.num_layers):
         src = f"transformer_blocks.{i}"
-        table = _t(w[f"{src}.scale_shift_table"])
+        table = w[f"{src}.scale_shift_table"]
         mods = (table[None] + temb.reshape(b, 6, -1)).chunk(6, dim=1)
         sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = mods
 
@@ -254,21 +261,21 @@ def _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask):
         x = x + _lin(w, f"{src}.cross_attn.to_out.0", cross)
 
         x_f = (rms6(x) * (1 + sc_mlp) + sh_mlp).transpose(1, 2)  # (B, D, S)
-        h = F.conv1d(x_f, _t(w[f"{src}.ff.inverted_conv.conv.weight"]), _t(w[f"{src}.ff.inverted_conv.conv.bias"]))
+        h = F.conv1d(x_f, w[f"{src}.ff.inverted_conv.conv.weight"], w[f"{src}.ff.inverted_conv.conv.bias"])
         h = F.silu(h)
-        h = F.conv1d(h, _t(w[f"{src}.ff.depth_conv.conv.weight"]), _t(w[f"{src}.ff.depth_conv.conv.bias"]),
+        h = F.conv1d(h, w[f"{src}.ff.depth_conv.conv.weight"], w[f"{src}.ff.depth_conv.conv.bias"],
                      padding=1, groups=2 * hidden)
         value, gate = h.chunk(2, dim=1)
         h = value * F.silu(gate)
-        h = F.conv1d(h, _t(w[f"{src}.ff.point_conv.conv.weight"]))
+        h = F.conv1d(h, w[f"{src}.ff.point_conv.conv.weight"])
         x = x + g_mlp * h.transpose(1, 2)
 
-    table = _t(w["final_layer.scale_shift_table"])
+    table = w["final_layer.scale_shift_table"]
     shift, scale = (table[None] + embedded_t[:, None]).chunk(2, dim=1)
     x = rms6(x) * (1 + scale) + shift
     out = _lin(w, "final_layer.linear", x)  # (B, T, 16*C)
     out = out.view(b, seq, ARCH.latent_height, ARCH.in_channels).permute(0, 2, 1, 3)
-    return out.numpy()
+    return out
 
 
 def test_acestep_import_matches_oracle():
@@ -293,7 +300,7 @@ def test_acestep_import_matches_oracle():
         lyric_tokens=jnp.asarray(lyric_tokens, dtype=jnp.int32),
         lyric_mask=jnp.asarray(lyric_mask),
     )
-    ref = _oracle(w, latents, sigmas, text, speaker, lyric_tokens, lyric_mask)
+    ref = _oracle(_torchify(w), latents, sigmas, text, speaker, lyric_tokens, lyric_mask).detach().numpy()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=7e-4, atol=7e-4)
 
 
