@@ -52,6 +52,11 @@ class TrainingConfig:
     def _cross_validate(self) -> None:
         errors: List[str] = []
         v = self._values
+        # reference config shape: --controlnet is a bool alongside
+        # model_type full/lora (reference field_registry sections/model.py:105);
+        # internally the trainer keys ControlNet mode off model_type
+        if v.get("controlnet") and v.get("model_type") != "controlnet":
+            v["model_type"] = "controlnet"
         if not v.get("max_train_steps") and not v.get("num_train_epochs"):
             # the reference requires one of them; default to epochs=1 like a bare run
             v["num_train_epochs"] = v.get("num_train_epochs") or 0

@@ -159,8 +159,11 @@ _f(
     "model_type",
     FieldType.STR,
     "lora",
-    choices=["full", "lora"],
-    help="Train the full model or a LoRA adapter",
+    # reference exposes ControlNet as the --controlnet bool (field registry
+    # sections/model.py:105) with model_type full/lora; "controlnet" is also
+    # accepted directly as the internal canonical form
+    choices=["full", "lora", "controlnet"],
+    help="Train the full model, a LoRA adapter, or a ControlNet branch",
     section="model",
 )
 _f("pretrained_model_name_or_path", FieldType.STR, None, help="Base model repo id or local path", section="model")

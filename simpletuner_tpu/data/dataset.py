@@ -45,6 +45,17 @@ class DatasetBundle:
         self.image_embed_cache = image_embed_cache
 
 
+_LOGGED_ONCE: set = set()
+
+
+def _log_once(message: str) -> None:
+    if message not in _LOGGED_ONCE:
+        _LOGGED_ONCE.add(message)
+        import logging
+
+        logging.getLogger(__name__).warning(message)
+
+
 def collate_batch(
     samples: List[Dict[str, Any]],
     bundle: DatasetBundle,
@@ -52,6 +63,7 @@ def collate_batch(
     caption_dropout_probability: float = 0.0,
     rng: Optional[random.Random] = None,
     max_workers: int = 8,
+    conditioning_sampling: str = "random",
 ) -> Dict[str, Any]:
     """Fetch cached latents + text embeds for one sampler batch and stack."""
     rng = rng or random
@@ -172,49 +184,110 @@ def collate_batch(
     batch.update(model.collate_text_embeds(embeds))
 
     # conditioning pairing (ControlNet/edit): fetch the same-named sample's
-    # latents from each linked conditioning dataset (reference collate.py
-    # conditioning pixel/latent pairing; sampler.py connect_conditioning_samples)
+    # latents from every linked conditioning dataset (reference collate.py:733-994
+    # multi-backend conditioning collection; sampler.py connect_conditioning_samples).
+    # Mask-type backends become latent-resolution loss masks; reference/untyped
+    # backends become control latents.  Unmatched pairs are a hard error
+    # (reference collate.py:755-771 "Each conditioning backend must supply one
+    # sample per training example") — silently training unconditioned hides a
+    # broken dataset.
     if bundle.conditioning_bundles:
-        cond_bundle = bundle.conditioning_bundles[0]
-        src_root = bundle.config.instance_data_dir or ""
-        dst_root = cond_bundle.config.instance_data_dir or ""
+        _MASK_TYPES = ("mask", "segmentation")
 
-        def cond_path(path: str) -> str:
-            if src_root and path.startswith(src_root):
-                return dst_root + path[len(src_root):]
-            import os as _os
+        def make_cond_path(cond_bundle):
+            src_root = bundle.config.instance_data_dir or ""
+            dst_root = cond_bundle.config.instance_data_dir or ""
 
-            return _os.path.join(dst_root, _os.path.basename(path))
+            def cond_path(path: str) -> str:
+                if src_root and path.startswith(src_root):
+                    return dst_root + path[len(src_root):]
+                import os as _os
 
-        cond_type = (cond_bundle.config.conditioning_type or "").lower()
-        if cond_type == "mask":
+                return _os.path.join(dst_root, _os.path.basename(path))
+
+            return cond_path
+
+        mask_bundles = [
+            b for b in bundle.conditioning_bundles
+            if (b.config.conditioning_type or "").lower() in _MASK_TYPES
+        ]
+        ref_bundles = [
+            b for b in bundle.conditioning_bundles
+            if (b.config.conditioning_type or "").lower() not in _MASK_TYPES
+        ]
+
+        if mask_bundles:
             # pixel masks -> latent-resolution loss masks (reference masked loss;
-            # conditioning_type=mask datasets)
+            # conditioning_type=mask/segmentation datasets).  Multiple mask
+            # backends: first by order, like the reference's precedence pick
+            # (collate.py:884-894).
+            if len(mask_bundles) > 1:
+                _log_once(
+                    f"dataset {bundle.id}: multiple loss-mask conditioning datasets "
+                    f"linked ({[b.id for b in mask_bundles]}); using {mask_bundles[0].id}"
+                )
+            cond_bundle = mask_bundles[0]
+            cond_path = make_cond_path(cond_bundle)
             latent_h, latent_w = batch["latents"].shape[1:3]
             masks = []
-            try:
-                for sample in samples:
-                    import io as _io
+            for sample in samples:
+                import io as _io
 
-                    from PIL import Image as _Image
+                from PIL import Image as _Image
 
-                    raw = cond_bundle.data_backend.read(cond_path(sample["image_path"]))
-                    mask = _Image.open(_io.BytesIO(raw)).convert("L").resize(
-                        (latent_w, latent_h), _Image.BILINEAR
-                    )
-                    masks.append((np.asarray(mask, np.float32) / 255.0 > 0.5).astype(np.float32))
-                batch["loss_mask"] = np.stack(masks)[..., None]
-            except (OSError, KeyError):
-                pass
-        else:
-            try:
+                path = cond_path(sample["image_path"])
+                try:
+                    raw = cond_bundle.data_backend.read(path)
+                except (OSError, KeyError, FileNotFoundError) as exc:
+                    raise ValueError(
+                        f"conditioning dataset {cond_bundle.id!r} has no mask for "
+                        f"training sample {sample['image_path']!r} (looked for "
+                        f"{path!r}): every training sample needs a paired mask"
+                    ) from exc
+                mask = _Image.open(_io.BytesIO(raw)).convert("L").resize(
+                    (latent_w, latent_h), _Image.BILINEAR
+                )
+                masks.append((np.asarray(mask, np.float32) / 255.0 > 0.5).astype(np.float32))
+            batch["loss_mask"] = np.stack(masks)[..., None]
+
+        if ref_bundles:
+            if conditioning_sampling == "random" and len(ref_bundles) > 1:
+                # one conditioning sample per training example, drawn from a
+                # random backend (reference collate.py:744-752 random mode)
+                ref_bundles = [rng.choice(ref_bundles)]
+            per_backend = []
+            for cond_bundle in ref_bundles:
+                cond_path = make_cond_path(cond_bundle)
+
+                def fetch(s, _cb=cond_bundle, _cp=cond_path):
+                    path = _cp(s["image_path"])
+                    try:
+                        return _cb.vae_cache.get(path)
+                    except (KeyError, OSError, FileNotFoundError) as exc:
+                        raise ValueError(
+                            f"conditioning dataset {_cb.id!r} has no sample for "
+                            f"training sample {s['image_path']!r} (looked for "
+                            f"{path!r}): every conditioning backend must supply "
+                            "one sample per training example"
+                        ) from exc
+
                 with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                    control = list(
-                        pool.map(lambda s: cond_bundle.vae_cache.get(cond_path(s["image_path"])), samples)
-                    )
-                batch["control_latents"] = np.stack(control).astype(np.float32)
-            except KeyError:
-                pass  # unmatched conditioning sample: train unconditioned this batch
+                    control = list(pool.map(fetch, samples))
+                per_backend.append(np.stack(control).astype(np.float32))
+            if len(per_backend) == 1:
+                batch["control_latents"] = per_backend[0]
+            elif getattr(model, "supports_multi_reference", lambda: False)():
+                # multi-reference edit conditioning (flux kontext et al.):
+                # (B, N_refs, H, W, C); the model packs each ref with its own
+                # t-index (reference flux/model.py:517 build_kontext_inputs)
+                batch["control_latents"] = np.stack(per_backend, axis=1)
+            else:
+                _log_once(
+                    f"dataset {bundle.id}: {len(per_backend)} reference conditioning "
+                    f"datasets linked but {model.NAME} consumes one; using "
+                    f"{ref_bundles[0].id} (reference collate.py:884-894 precedence)"
+                )
+                batch["control_latents"] = per_backend[0]
 
     # S2V audio pairing: same-stem .wav next to each video becomes audio
     # features (reference wan_s2v audio pairing; sampler.py
@@ -283,11 +356,18 @@ class MultiDatasetIterator:
         process_index: int = 0,
         num_processes: int = 1,
         grad_accum_steps: int = 1,
+        conditioning_sampling: str = "combined",
     ):
         if not bundles:
             raise ValueError("no datasets to iterate")
+        if conditioning_sampling not in ("combined", "random"):
+            raise ValueError(
+                f"unknown conditioning_multidataset_sampling mode {conditioning_sampling!r}: "
+                "must be 'combined' or 'random' (reference sampler.py:874)"
+            )
         self.bundles = list(bundles)
         self.model = model
+        self.conditioning_sampling = conditioning_sampling
         self.caption_dropout_probability = caption_dropout_probability
         self.rng = random.Random(seed)
         self._iters: Dict[str, Iterator] = {}
@@ -366,6 +446,7 @@ class MultiDatasetIterator:
                     self.model,
                     self.caption_dropout_probability,
                     self.rng,
+                    conditioning_sampling=self.conditioning_sampling,
                 )
         sizes = {
             b.id: f"{sum(len(v) for v in b.metadata_backend.aspect_ratio_bucket_indices.values())}"

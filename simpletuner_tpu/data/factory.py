@@ -311,11 +311,18 @@ def configure_multi_databackend(
             image_embed_cache=image_embed_cache,
         )
 
-    # conditioning links
+    # conditioning links (fail loud on dangling ids: the reference validates
+    # conditioning deps at factory time, factory.py:1083 topo-sort)
     for config in configs:
         if config.conditioning_data and config.id in bundles:
             targets = config.conditioning_data if isinstance(config.conditioning_data, list) else [config.conditioning_data]
-            bundles[config.id].conditioning_bundles = [bundles[t] for t in targets if t in bundles]
+            missing = [t for t in targets if t not in bundles]
+            if missing:
+                raise ValueError(
+                    f"dataset {config.id!r} references conditioning_data {missing} "
+                    f"but no dataset with those ids exists (have: {sorted(bundles)})"
+                )
+            bundles[config.id].conditioning_bundles = [bundles[t] for t in targets]
 
     # ---- caching passes -----------------------------------------------------------------------
     if run_caching:
@@ -399,5 +406,9 @@ def configure_multi_databackend(
         process_index=process_index,
         num_processes=num_processes,
         grad_accum_steps=int(args.get("gradient_accumulation_steps", 1) or 1),
+        conditioning_sampling=str(
+            # reference field-registry default (sections/data.py:117): random
+            args.get("conditioning_multidataset_sampling") or "random"
+        ),
     )
     return DataPlane(bundles, text_caches, iterator, startup_metrics=metrics)

@@ -502,6 +502,13 @@ class ModelFoundation:
         .npy frame matrices instead of VAE latents."""
         return False
 
+    def supports_multi_reference(self) -> bool:
+        """True when the family can consume several reference conditioning
+        images per training sample (reference flux/model.py:517
+        build_kontext_inputs over a list).  The collate then emits
+        control_latents as (B, N_refs, H, W, C) in combined sampling mode."""
+        return False
+
     # ---- misc -----------------------------------------------------------------------------
     @property
     def lora_rank(self) -> int:

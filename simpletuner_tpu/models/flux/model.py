@@ -231,20 +231,30 @@ class Flux(ModelFoundation):
     def is_kontext(self) -> bool:
         return self.flavour == "kontext"
 
+    def supports_multi_reference(self) -> bool:
+        return self.is_kontext
+
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         noisy = prepared["noisy_latents"]
         img = pack_latents(noisy)
         img_ids = prepared["img_ids"]
         if self.is_kontext and "control_latents" in prepared:
             # Kontext edit conditioning (reference flux/model.py:517
-            # prepare_batch_conditions): the clean reference image rides as
-            # extra tokens at t-index 1; loss/prediction covers only the
-            # noisy half (model_predict slices them back off)
-            ref = pack_latents(prepared["control_latents"].astype(noisy.dtype))
+            # prepare_batch_conditions + build_kontext_inputs): each clean
+            # reference image rides as extra tokens at t-index 1..N;
+            # loss/prediction covers only the noisy half (model_predict
+            # slices them back off).  control_latents is (B, H, W, C) for one
+            # reference or (B, N, H, W, C) for multi-reference edit batches
+            # (conditioning_multidataset_sampling=combined).
+            control = prepared["control_latents"].astype(noisy.dtype)
+            refs = [control] if control.ndim == 4 else [
+                control[:, i] for i in range(control.shape[1])
+            ]
             batch, height, width = noisy.shape[0], noisy.shape[1], noisy.shape[2]
-            ref_ids = make_img_ids(batch, height, width).at[..., 0].set(1)
-            img = jnp.concatenate([img, ref], axis=1)
-            img_ids = jnp.concatenate([img_ids, ref_ids], axis=1)
+            for i, ref_latents in enumerate(refs):
+                ref_ids = make_img_ids(batch, height, width).at[..., 0].set(i + 1)
+                img = jnp.concatenate([img, pack_latents(ref_latents)], axis=1)
+                img_ids = jnp.concatenate([img_ids, ref_ids], axis=1)
         inputs = {
             "img": img,
             "img_ids": img_ids,
