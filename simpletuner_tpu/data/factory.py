@@ -397,7 +397,26 @@ def configure_multi_databackend(
     except Exception:
         pass
     _logger.info("data plane ready: %s", metrics)
-    train_bundles = [b for b in bundles.values() if b.config.dataset_type in ("image", "video", "audio", "caption")]
+    # --eval_dataset_id marks regular datasets as held-out eval splits: they
+    # are excluded from the train iterator (reference trainer.py:6432-6437)
+    # and consumed by EvalLoss instead
+    eval_ids = args.get("eval_dataset_id")
+    eval_ids = (
+        set() if not eval_ids
+        else {eval_ids} if isinstance(eval_ids, str)
+        else set(eval_ids)
+    )
+    unknown_eval = eval_ids - set(bundles)
+    if unknown_eval:
+        raise ValueError(
+            f"--eval_dataset_id references unknown dataset(s): {sorted(unknown_eval)} "
+            f"(have: {sorted(bundles)}) — reference validation.py:496"
+        )
+    train_bundles = [
+        b for b in bundles.values()
+        if b.config.dataset_type in ("image", "video", "audio", "caption")
+        and b.id not in eval_ids
+    ]
     iterator = MultiDatasetIterator(
         train_bundles,
         model,

@@ -22,9 +22,29 @@ logger = logging.getLogger(__name__)
 class EvalLoss:
     """Loss over the eval split with a fixed rng (deterministic across runs)."""
 
-    def __init__(self, model, bundles: List, seed: int = 1234, max_batches: int = 8):
+    def __init__(
+        self,
+        model,
+        bundles: List,
+        seed: int = 1234,
+        max_batches: int = 8,
+        eval_dataset_ids=None,
+    ):
         self.model = model
-        self.bundles = [b for b in bundles if b.config.dataset_type == "eval"]
+        ids = (
+            set()
+            if not eval_dataset_ids
+            else {eval_dataset_ids}
+            if isinstance(eval_dataset_ids, str)
+            else set(eval_dataset_ids)
+        )
+        # eval split = dataset_type=eval OR a training dataset carved out via
+        # --eval_dataset_id (reference trainer.py:6432-6437 skips those ids in
+        # the train loop and evals on them instead)
+        self.bundles = [
+            b for b in bundles
+            if b.config.dataset_type == "eval" or (ids and getattr(b, "id", None) in ids)
+        ]
         self.seed = seed
         self.max_batches = max_batches
         self._loss_jit = None

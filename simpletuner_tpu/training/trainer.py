@@ -333,6 +333,7 @@ class Trainer:
             self.model,
             list(self.data_plane.bundles.values()) if self.data_plane else [],
             seed=self.seed,
+            eval_dataset_ids=self.config.get("eval_dataset_id"),
         )
         self._stage("init_validations", "completed")
 
