@@ -80,6 +80,8 @@ class DatasetConfig:
     conditioning: Optional[List[Dict[str, Any]]] = None  # auto-generated conditioning specs
     conditioning_type: Optional[str] = None
     source_dataset_id: Optional[str] = None
+    # distillation_cache datasets (reference data_backend/config/distillation_cache.py)
+    distillation_type: str = "generic"
     default: bool = False  # default text_embeds dataset
     write_batch_size: Optional[int] = None
     text_encoder_batch_size: Optional[int] = None

@@ -456,6 +456,20 @@ _f(
     section="distillation",
 )
 _f("distillation_config", FieldType.JSON, None, section="distillation")
+_f(
+    "distillation_cache_num_pairs",
+    FieldType.INT,
+    32,
+    help="Teacher ODE pairs to materialise when a distillation_cache dataset is empty",
+    section="distillation",
+)
+_f(
+    "distillation_cache_ode_steps",
+    FieldType.INT,
+    8,
+    help="Euler steps for the teacher probability-flow solve when generating ODE pairs",
+    section="distillation",
+)
 
 # --- misc ---------------------------------------------------------------------------------------
 _f("allow_tf32", FieldType.BOOL, True, section="misc")

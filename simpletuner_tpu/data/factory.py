@@ -84,13 +84,15 @@ def bucket_config_for(config: DatasetConfig, args) -> BucketConfig:
 class DataPlane:
     """The assembled data plane: bundles + iterator + caches."""
 
-    def __init__(self, bundles, text_caches, iterator, startup_metrics=None):
+    def __init__(self, bundles, text_caches, iterator, startup_metrics=None, distillation_caches=None):
         self.bundles: Dict[str, DatasetBundle] = bundles
         self.text_caches = text_caches
         self.iterator: MultiDatasetIterator = iterator
         # per-stage startup durations + RSS (reference factory.py:1415-1451
         # FactoryRegistry performance metrics)
         self.startup_metrics: Dict[str, float] = startup_metrics or {}
+        # teacher ODE-pair stores (reference DatasetType.DISTILLATION_CACHE)
+        self.distillation_caches: Dict[str, Any] = distillation_caches or {}
 
     def save_state(self):
         return self.iterator.save_state()
@@ -217,6 +219,23 @@ def configure_multi_databackend(
             disabled=bool(config.text_cache_disable or args.get("text_cache_disable", False)),
         )
     default_text_id = get_default_text_embed_id(configs)
+
+    # ---- distillation caches (teacher ODE pairs) --------------------------------------------
+    distillation_caches: Dict[str, Any] = {}
+    for config in configs:
+        if config.dataset_type != "distillation_cache":
+            continue
+        from ..caching.distillation import DistillationCache
+
+        cache_dir = config.cache_dir or os.path.join(
+            args.get("cache_dir", "cache"), "distillation", config.id
+        )
+        distillation_caches[config.id] = DistillationCache(
+            id=config.id,
+            data_backend=storage[config.id],
+            cache_dir=cache_dir,
+            distillation_type=config.distillation_type,
+        )
     _stage("configure_backends_s")
 
     # ---- primary datasets -------------------------------------------------------------------
@@ -430,4 +449,7 @@ def configure_multi_databackend(
             args.get("conditioning_multidataset_sampling") or "random"
         ),
     )
-    return DataPlane(bundles, text_caches, iterator, startup_metrics=metrics)
+    return DataPlane(
+        bundles, text_caches, iterator,
+        startup_metrics=metrics, distillation_caches=distillation_caches,
+    )

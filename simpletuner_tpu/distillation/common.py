@@ -46,6 +46,12 @@ class DistillationBase:
         raise NotImplementedError
 
     # ---- host-side hooks ---------------------------------------------------------------
+    def uses_ode_cache(self) -> bool:
+        """True when the method can consume cached teacher ODE pairs
+        (reference DistillerBase.requires_distillation_cache,
+        distillation/common.py:82)."""
+        return False
+
     def on_save_checkpoint(self, step: int, path: str) -> Optional[Dict[str, Any]]:
         return None
 

@@ -29,6 +29,12 @@ class PerFlowDistillation(DistillationBase):
         self.num_windows = int(self.method_config.get("num_windows", 4))
         self.teacher_steps = int(self.method_config.get("teacher_steps_per_window", 4))
 
+    def uses_ode_cache(self) -> bool:
+        """Consume precomputed teacher ODE pairs when a distillation_cache
+        dataset is configured (reference perflow/distiller.py:96
+        requires_distillation_cache)."""
+        return True
+
     def distill_loss(
         self,
         model,
@@ -39,6 +45,16 @@ class PerFlowDistillation(DistillationBase):
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         if not model.is_flow:
             raise NotImplementedError("PerFlow targets flow-matching families")
+        if "ode_pair" in prepared:
+            # cached teacher ODE pair (reference perflow/distiller.py:307
+            # _compute_target fallback ``noise - latents``): the batch's
+            # ``latents`` are the teacher's deterministic ODE endpoint of
+            # ``noise``, so the straight-line (ReFlow) velocity is analytic —
+            # no teacher forward at train time
+            x0 = prepared["latents"].astype(jnp.float32)
+            target_velocity = prepared["noise"] - x0
+            loss = jnp.mean((model_pred - jax.lax.stop_gradient(target_velocity)) ** 2)
+            return loss, {"perflow_reflow_loss": loss}
         sigmas = prepared["sigmas"]
         noisy = prepared["noisy_latents"]
         shape = (sigmas.shape[0],) + (1,) * (noisy.ndim - 1)

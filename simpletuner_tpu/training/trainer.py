@@ -465,6 +465,67 @@ class Trainer:
             self.critic_params = jax.tree_util.tree_map(
                 jnp.array, self.variables["lora"]
             )
+        self._setup_distillation_cache()
+
+    def _setup_distillation_cache(self) -> None:
+        """Teacher ODE-pair cache (reference helpers/caching/distillation.py):
+        generate deterministic (noise, teacher-endpoint) pairs once, then the
+        train loop consumes them instead of re-running the teacher solve
+        in-graph every step."""
+        self._ode_cache = None
+        if self.distiller is None or self.data_plane is None:
+            return
+        caches = getattr(self.data_plane, "distillation_caches", {})
+        if not caches:
+            return
+        if not getattr(self.distiller, "uses_ode_cache", lambda: False)():
+            logger.warning(
+                "distillation_cache dataset configured but %s does not consume "
+                "ODE pairs; ignoring", getattr(self.distiller, "name", "distiller"),
+            )
+            return
+        cache = next(iter(caches.values()))
+        if not cache.has_cached_pairs():
+            from ..caching.distillation import generate_ode_pairs
+
+            num_pairs = int(self.config.get("distillation_cache_num_pairs", 32) or 32)
+            steps = int(self.config.get("distillation_cache_ode_steps", 8) or 8)
+            # draw conditioning batches without perturbing the training
+            # sequence (same peek-don't-consume trick as _example_batch)
+            snapshot = self.data_plane.iterator.save_state()
+            batches, drawn = [], 0
+            while drawn < num_pairs:
+                batch = self.data_plane.iterator.next_batch()
+                batches.append(batch)
+                drawn += int(np.asarray(batch["latents"]).shape[0])
+            self.data_plane.iterator.load_state(snapshot)
+            logger.info(
+                "distillation cache %s empty: generating %d teacher ODE pairs "
+                "(%d Euler steps)", cache.id, num_pairs, steps,
+            )
+            generate_ode_pairs(
+                self.model, self.variables, cache, batches,
+                num_steps=steps, seed=self.seed, max_pairs=num_pairs,
+            )
+        self._ode_cache = cache
+
+    def _inject_ode_pairs(self, raw: Dict[str, Any]) -> Dict[str, Any]:
+        """Swap the batch's (latents, noise) for cached teacher ODE pairs
+        (reference perflow/distiller.py:229 prepare_batch)."""
+        batch_size = int(np.asarray(raw["latents"]).shape[0])
+        pairs = self._ode_cache.next_batch(batch_size)
+        if pairs is None:
+            raise RuntimeError(
+                f"distillation cache {self._ode_cache.id} yielded no artifacts"
+            )
+        out = dict(raw)
+        out["latents"] = pairs["latents"]
+        out["override_noise"] = pairs["noise"]
+        for key, value in pairs.items():
+            if key.endswith("_embeds"):
+                out[key] = value
+        out["ode_pair"] = np.asarray(1.0, np.float32)
+        return out
 
     def resume_and_prepare(self) -> None:
         """init_optimizer + init_lr_scheduler + shard/jit + init_resume_checkpoint
@@ -801,6 +862,8 @@ class Trainer:
                     self.epoch = self.data_plane.iterator.epoch
                 if getattr(self, "_slider_embeds", None) is not None:
                     raw = self._apply_slider_polarity(raw)
+                if getattr(self, "_ode_cache", None) is not None:
+                    raw = self._inject_ode_pairs(raw)
                 batch = self._device_batch(raw)
                 step_rng = jax.random.fold_in(train_rng, self.global_step)
                 self._state, metrics = self._run_step(batch, step_rng)
