@@ -1,8 +1,11 @@
 """Unified CLI (reference: simpletuner/cli/__init__.py:105-715 subparser tree).
 
-Subcommands implemented: ``train``, ``validate-config``, ``inference``,
-``examples``, ``models``, ``optimizers``, ``version``.  Platform subcommands
-(server/jobs/quota/workers) arrive with the web layer.
+Training commands: ``train``, ``validate-config``, ``inference``,
+``examples``, ``models``, ``optimizers``, ``configure``, ``docs``,
+``version``.  Platform commands (server/jobs + the tree in
+``cli/platform.py``): ``server``, ``jobs``, ``users``, ``orgs``, ``quota``,
+``approvals``, ``notifications``, ``pricing``, ``webhooks``, ``metrics``,
+``audit``, ``database``, ``backup``, ``worker``.
 """
 
 from __future__ import annotations
@@ -223,6 +226,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("docs", help="generate OPTIONS.md from the field registry")
     p.add_argument("--output", default="OPTIONS.md")
     p.set_defaults(fn=_cmd_docs)
+
+    from .platform import register as register_platform
+
+    register_platform(sub)
 
     p = sub.add_parser("version", help="print version")
     p.set_defaults(fn=_cmd_version)

@@ -53,6 +53,7 @@ class UserStore:
         role: str = "user",
         max_concurrent_jobs: int = 2,
         max_total_steps: Optional[int] = None,
+        needs_approval: bool = False,
     ) -> Dict[str, Any]:
         if role not in ("admin", "user"):
             raise ValueError("role must be admin|user")
@@ -63,15 +64,51 @@ class UserStore:
             self._users[username] = {
                 "token": token,
                 "role": role,
+                "needs_approval": bool(needs_approval),
                 "quotas": {
                     "max_concurrent_jobs": max_concurrent_jobs,
                     "max_total_steps": max_total_steps,
                 },
-                "usage": {"jobs_submitted": 0, "steps_requested": 0},
+                "usage": {"jobs_submitted": 0, "steps_requested": 0, "spend_usd": 0.0},
                 "created": time.time(),
             }
             self._flush()
             return {"username": username, "token": token, "role": role}
+
+    def ensure_user(self, username: str, role: str = "user") -> Dict[str, Any]:
+        """Get-or-create for external-auth provisioning (OIDC/directory
+        logins auto-provision local accounts, reference external_auth
+        routes).  An existing user keeps their token; the role is upgraded
+        to admin if the external identity grants it, never downgraded."""
+        with self._lock:
+            user = self._users.get(username)
+            if user is not None:
+                if role == "admin" and user["role"] != "admin":
+                    user["role"] = "admin"
+                    self._flush()
+                return {"username": username, "token": user["token"], "role": user["role"]}
+        return self.create_user(username, role=role)
+
+    def set_needs_approval(self, username: str, needs_approval: bool) -> None:
+        with self._lock:
+            user = self._users.get(username)
+            if user is None:
+                raise KeyError(f"unknown user {username!r}")
+            user["needs_approval"] = bool(needs_approval)
+            self._flush()
+
+    def needs_approval(self, username: str) -> bool:
+        with self._lock:
+            user = self._users.get(username)
+            return bool(user and user.get("needs_approval"))
+
+    def record_spend(self, username: str, usd: float) -> None:
+        with self._lock:
+            user = self._users.get(username)
+            if user is None:
+                return
+            user["usage"]["spend_usd"] = user["usage"].get("spend_usd", 0.0) + float(usd)
+            self._flush()
 
     def delete_user(self, username: str) -> bool:
         with self._lock:

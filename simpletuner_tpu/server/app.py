@@ -8,17 +8,23 @@ webhook callback endpoint the trainer posts its events to.
 
 Routes:
   GET  /health
-  GET  /api/models
-  GET  /api/optimizers
+  GET  /api/models  /api/models/<f>/presets  /api/optimizers  /api/fields
   POST /api/config/validate            {config}
-  POST /api/training/start             {config, job_id?}
-  GET  /api/training/jobs
-  GET  /api/training/status/<job_id>
-  GET  /api/training/logs/<job_id>?tail=N
-  POST /api/training/cancel/<job_id>
-  POST /api/training/signal/<job_id>   {action: validation|checkpoint|abort}
-  GET  /api/events                     (SSE)
-  POST /api/events/callback            (webhook receiver)
+  POST /api/training/start             {config, priority?, job_id?}
+                                       → 201 job | 202 awaiting_approval
+  GET  /api/training/jobs  /api/training/status/<id>  /api/training/logs/<id>
+  POST /api/training/cancel/<id>  /api/training/signal/<id>
+  GET  /api/queue                      (fair-share dispatch order + usage)
+  GET  /api/events (SSE)   POST /api/events/callback
+  GET/POST /api/users      DELETE /api/users/<name>      GET /api/quota
+  GET/POST /api/orgs       GET/DELETE /api/orgs/<name>
+  POST /api/orgs/<name>/members|policy DELETE /api/orgs/<name>/members/<user>
+  GET  /api/approvals      POST /api/approvals/<id>/approve|reject
+  GET/POST /api/pricing    POST /api/costs/estimate
+  GET  /api/notifications  POST /api/notifications/read|address|smtp
+  POST /api/auth/oidc {id_token}   /api/auth/login {username,password}
+  POST /api/auth/config            (OIDC/directory provider setup, admin)
+  GET  /metrics (Prometheus)  /api/audit  (hash-chain verified)
   GET  /  /ui  /static/*               (WebUI: dashboard + job form + dataset
                                         plan viewer, server/static/)
 """
@@ -90,9 +96,58 @@ def create_server(
     sse = SSEManager()
     keeper.add_listener(sse.publish)
     from .accounts import QuotaExceeded, UserStore
+    from .approvals import ApprovalStore
+    from .external_auth import ExternalAuth, ExternalAuthError
+    from .jobqueue import FairShareQueue, QueueEntry
+    from .notifications import NotificationCenter
+    from .orgs import OrgStore
+    from .pricing import PricingTable
 
     users = UserStore(state_dir)
-    job_owners: Dict[str, str] = {}
+    orgs = OrgStore(state_dir)
+    approvals = ApprovalStore(state_dir)
+    notifications = NotificationCenter(state_dir)
+    pricing = PricingTable(state_dir)
+    external_auth = ExternalAuth(state_dir)
+    run_queue = FairShareQueue(
+        dispatch=lambda entry: keeper.start_job(entry.job_id),
+        slots_free=keeper.slots_free,
+        state_dir=state_dir,
+    )
+    # restart recovery: queue entries that persisted without a live keeper job
+    # (server died between submit and dispatch) are re-registered
+    for pending in run_queue.pending():
+        if keeper.get_job(pending["job_id"]) is None:
+            keeper.submit_job(pending["config"], pending["job_id"],
+                              owner=pending["owner"], priority=pending["priority"],
+                              autostart=False)
+
+    def _on_job_finished(event: Dict[str, Any]) -> None:
+        """Accounting bridge: fair-share usage, cost accrual, notifications
+        (reference: cloud queue usage tracking + cost service + notifier)."""
+        if event.get("event_type") != "job_finished":
+            return
+        job = keeper.get_job(event.get("job_id", ""))
+        if job is None or job.owner is None:
+            return
+        duration = max(0.0, (job.finished_at or 0) - (job.started_at or job.finished_at or 0))
+        run_queue.record_usage(job.owner, duration)
+        cost = pricing.actual_cost(job.config, duration)
+        job.cost_usd = cost
+        if cost:
+            users.record_spend(job.owner, cost)
+            orgs.record_spend(job.owner, cost)
+        notifications.on_job_event(event, job.owner)
+        run_queue.kick()
+
+    keeper.add_listener(_on_job_finished)
+
+    def _submit_through_queue(config: Dict[str, Any], owner: str, priority: int,
+                              job_id: Optional[str] = None):
+        job = keeper.submit_job(config, job_id, owner=owner, priority=priority,
+                                autostart=False)
+        run_queue.enqueue(QueueEntry(job.job_id, config, owner, priority))
+        return job
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "simpletuner-tpu"
@@ -273,6 +328,33 @@ def create_server(
                 # documentation/experimental/server/AUDIT.md)
                 ok, bad = audit.verify()
                 return self._json({"verified": ok, "first_bad_seq": bad, "records": audit.records()})
+            if path == "/api/orgs":
+                return self._json(orgs.list_orgs())
+            match = re.match(r"^/api/orgs/([\w-]+)$", path)
+            if match:
+                try:
+                    return self._json(orgs.describe(match.group(1)))
+                except KeyError:
+                    return self._json({"error": "unknown org"}, 404)
+            if path == "/api/approvals":
+                state = None
+                if "state=" in self.path:
+                    state = self.path.split("state=")[1].split("&")[0]
+                owner = None if user["role"] == "admin" else user["username"]
+                return self._json(approvals.list(state=state, owner=owner))
+            if path == "/api/queue":
+                # pending dispatch order + decayed fair-share usage
+                # (reference cloud queue status route)
+                return self._json({
+                    "pending": run_queue.pending(),
+                    "fair_share_usage_seconds": run_queue.usage_snapshot(),
+                    "slots_free": keeper.slots_free(),
+                })
+            if path == "/api/pricing":
+                return self._json(pricing.rates())
+            if path == "/api/notifications":
+                unread = "unread=1" in self.path or "unread=true" in self.path
+                return self._json(notifications.list(user["username"], unread_only=unread))
             return self._json({"error": "not found"}, 404)
 
         def _sse(self):
@@ -302,6 +384,30 @@ def create_server(
                 body = self._read_body()
             except (ValueError, json.JSONDecodeError):
                 return self._json({"error": "invalid json"}, 400)
+
+            # external-auth logins are reachable without a bearer token
+            if path == "/api/auth/oidc":
+                try:
+                    identity = external_auth.oidc_login(str(body.get("id_token") or ""))
+                except ExternalAuthError as exc:
+                    audit.append("auth.oidc_denied", detail={"error": str(exc)})
+                    return self._json({"error": str(exc)}, 401)
+                account = users.ensure_user(identity["username"], identity["role"])
+                audit.append("auth.oidc_login", detail={"username": identity["username"]})
+                return self._json({**account, "email": identity.get("email")})
+            if path == "/api/auth/login":
+                try:
+                    identity = external_auth.directory_login(
+                        str(body.get("username") or ""), str(body.get("password") or "")
+                    )
+                except ExternalAuthError as exc:
+                    audit.append("auth.login_denied",
+                                 detail={"username": body.get("username")})
+                    return self._json({"error": str(exc)}, 401)
+                account = users.ensure_user(identity["username"], identity["role"])
+                audit.append("auth.login", detail={"username": identity["username"]})
+                return self._json({**account, "email": identity.get("email")})
+
             user = self._auth()
             if user is None:
                 return
@@ -336,27 +442,52 @@ def create_server(
                 config = body.get("config") or body
                 if not config.get("model_family"):
                     return self._json({"error": "config.model_family required"}, 422)
+                username = user["username"]
+                priority = int(body.get("priority", 4))
                 if users.auth_required:
                     active = sum(
                         1 for j in keeper.jobs.values()
-                        if j.state in ("pending", "running")
-                        and job_owners.get(j.job_id) == user["username"]
+                        if j.state in ("pending", "running") and j.owner == username
                     )
+                    org_name = orgs.org_of(username)
+                    org_active = sum(
+                        1 for j in keeper.jobs.values()
+                        if j.state in ("pending", "running")
+                        and j.owner is not None
+                        and orgs.org_of(j.owner) == org_name
+                    ) if org_name else 0
                     try:
-                        users.check_quota(user["username"], config, active)
+                        users.check_quota(username, config, active)
+                        orgs.check_quota(username, config, org_active)
                     except QuotaExceeded as exc:
-                        audit.append("job.quota_denied", detail={"user": user["username"]})
+                        audit.append("job.quota_denied", detail={"user": username})
                         return self._json({"error": str(exc)}, 429)
-                    users.record_submission(user["username"], config)
-                job = keeper.submit_job(config, body.get("job_id"))
-                job_owners[job.job_id] = user["username"]
+                    # approval gate: org policy or per-user flag; admins bypass
+                    if user["role"] != "admin" and (
+                        orgs.requires_approval(username) or users.needs_approval(username)
+                    ):
+                        record = approvals.submit(config, username, priority, org_name)
+                        audit.append("job.approval_required",
+                                     detail={"approval_id": record["approval_id"],
+                                             "user": username})
+                        sse.publish({"event_type": "job_approval_required",
+                                     "approval_id": record["approval_id"],
+                                     "owner": username})
+                        return self._json(
+                            {"state": "awaiting_approval",
+                             "approval_id": record["approval_id"]}, 202)
+                    users.record_submission(username, config)
+                    orgs.record_submission(username, config)
+                job = _submit_through_queue(config, username, priority, body.get("job_id"))
                 audit.append("job.submit", detail={"job_id": job.job_id,
-                                                   "user": user["username"],
+                                                   "user": username,
+                                                   "priority": priority,
                                                    "model_family": config.get("model_family")})
                 return self._json(job.to_dict(), 201)
 
             match = re.match(r"^/api/training/cancel/([\w-]+)$", path)
             if match:
+                run_queue.remove(match.group(1))
                 ok = keeper.cancel_job(match.group(1))
                 if ok:
                     audit.append("job.cancel", detail={"job_id": match.group(1)})
@@ -410,12 +541,185 @@ def create_server(
                     }
                 )
 
+            if path == "/api/orgs":
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                try:
+                    org = orgs.create_org(
+                        str(body.get("name") or ""),
+                        owner=body.get("owner") or user["username"],
+                        max_concurrent_jobs=body.get("max_concurrent_jobs"),
+                        max_total_steps=body.get("max_total_steps"),
+                        monthly_budget_usd=body.get("monthly_budget_usd"),
+                        require_approval=bool(body.get("require_approval", False)),
+                    )
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("org.create", detail={"name": org["name"]})
+                return self._json(org, 201)
+
+            match = re.match(r"^/api/orgs/([\w-]+)/members$", path)
+            if match:
+                name = match.group(1)
+                if not self._org_admin(user, name):
+                    return self._json({"error": "org admin only"}, 403)
+                try:
+                    orgs.add_member(name, str(body.get("username") or ""),
+                                    body.get("role") or "member")
+                except KeyError:
+                    return self._json({"error": "unknown org"}, 404)
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("org.member_add",
+                             detail={"org": name, "username": body.get("username")})
+                return self._json(orgs.describe(name), 201)
+
+            match = re.match(r"^/api/orgs/([\w-]+)/policy$", path)
+            if match:
+                name = match.group(1)
+                if not self._org_admin(user, name):
+                    return self._json({"error": "org admin only"}, 403)
+                try:
+                    orgs.set_policy(name,
+                                    require_approval=body.get("require_approval"),
+                                    quotas=body.get("quotas"))
+                except KeyError:
+                    return self._json({"error": "unknown org"}, 404)
+                audit.append("org.policy", detail={"org": name})
+                return self._json(orgs.describe(name))
+
+            match = re.match(r"^/api/approvals/([\w-]+)/(approve|reject)$", path)
+            if match:
+                approval_id, action = match.groups()
+                record = approvals.get(approval_id)
+                if record is None:
+                    return self._json({"error": "unknown approval"}, 404)
+                allowed = user["role"] == "admin" or (
+                    record.get("org") and self._org_admin(user, record["org"])
+                )
+                if not allowed:
+                    return self._json({"error": "admin or org admin only"}, 403)
+                try:
+                    record = approvals.decide(approval_id, action == "approve",
+                                              user["username"], body.get("reason"))
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 409)
+                audit.append(f"job.{action}", detail={"approval_id": approval_id,
+                                                      "by": user["username"]})
+                if action == "approve":
+                    users.record_submission(record["owner"], record["config"])
+                    orgs.record_submission(record["owner"], record["config"])
+                    job = _submit_through_queue(record["config"], record["owner"],
+                                                record["priority"])
+                    notifications.on_job_event(
+                        {"event_type": "job_approved", "job_id": job.job_id},
+                        record["owner"])
+                    return self._json({**record, "job_id": job.job_id})
+                notifications.on_job_event(
+                    {"event_type": "job_rejected", "approval_id": approval_id,
+                     "reason": body.get("reason")}, record["owner"])
+                return self._json(record)
+
+            if path == "/api/pricing":
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                try:
+                    pricing.set_rate(str(body.get("accelerator_type") or ""),
+                                     body.get("usd_per_chip_hour"))
+                except (TypeError, ValueError) as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("pricing.set", detail=dict(body))
+                return self._json(pricing.rates())
+
+            if path == "/api/costs/estimate":
+                try:
+                    return self._json(pricing.estimate(body.get("config") or body))
+                except KeyError as exc:
+                    return self._json({"error": str(exc)}, 422)
+
+            if path == "/api/notifications/read":
+                count = notifications.mark_read(user["username"], body.get("id"))
+                return self._json({"marked": count})
+
+            if path == "/api/notifications/address":
+                try:
+                    notifications.set_address(user["username"], str(body.get("email") or ""))
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                return self._json({"ok": True})
+
+            if path == "/api/notifications/smtp":
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                notifications.configure_smtp(dict(body))
+                audit.append("notifications.smtp", detail={"host": body.get("host")})
+                return self._json({"ok": True})
+
+            if path == "/api/auth/config":
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                try:
+                    external_auth.configure(dict(body))
+                except ExternalAuthError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("auth.configure",
+                             detail={"providers": sorted(body.keys())})
+                return self._json({"ok": True})
+
             return self._json({"error": "not found"}, 404)
+
+        # ---- DELETE -----------------------------------------------------------------------
+        def do_DELETE(self):
+            path = self.path.split("?")[0]
+            user = self._auth()
+            if user is None:
+                return
+            match = re.match(r"^/api/users/([\w.-]+)$", path)
+            if match:
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                ok = users.delete_user(match.group(1))
+                if ok:
+                    audit.append("user.delete", detail={"username": match.group(1)})
+                return self._json({"deleted": ok}, 200 if ok else 404)
+            match = re.match(r"^/api/orgs/([\w-]+)/members/([\w.-]+)$", path)
+            if match:
+                name, member = match.groups()
+                if not self._org_admin(user, name):
+                    return self._json({"error": "org admin only"}, 403)
+                try:
+                    ok = orgs.remove_member(name, member)
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 409)
+                if ok:
+                    audit.append("org.member_remove", detail={"org": name, "username": member})
+                return self._json({"removed": ok}, 200 if ok else 404)
+            match = re.match(r"^/api/orgs/([\w-]+)$", path)
+            if match:
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                ok = orgs.delete_org(match.group(1))
+                if ok:
+                    audit.append("org.delete", detail={"name": match.group(1)})
+                return self._json({"deleted": ok}, 200 if ok else 404)
+            return self._json({"error": "not found"}, 404)
+
+        def _org_admin(self, user: Dict[str, Any], org_name: str) -> bool:
+            """Site admins or org owner/admin may manage an org."""
+            if not users.auth_required or user["role"] == "admin":
+                return True
+            return orgs.member_role(org_name, user["username"]) in ("owner", "admin")
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.keeper = keeper  # type: ignore[attr-defined]
     server.sse = sse  # type: ignore[attr-defined]
     server.audit = audit  # type: ignore[attr-defined]
+    server.orgs = orgs  # type: ignore[attr-defined]
+    server.approvals = approvals  # type: ignore[attr-defined]
+    server.notifications = notifications  # type: ignore[attr-defined]
+    server.pricing = pricing  # type: ignore[attr-defined]
+    server.run_queue = run_queue  # type: ignore[attr-defined]
+    server.external_auth = external_auth  # type: ignore[attr-defined]
     return server
 
 

@@ -25,15 +25,19 @@ JOB_STATES = ("pending", "running", "completed", "failed", "cancelled")
 
 
 class TrainingJob:
-    def __init__(self, job_id: str, config: Dict[str, Any], workdir: str):
+    def __init__(self, job_id: str, config: Dict[str, Any], workdir: str,
+                 owner: Optional[str] = None, priority: int = 4):
         self.job_id = job_id
         self.config = config
         self.workdir = workdir
+        self.owner = owner
+        self.priority = priority
         self.state = "pending"
         self.created_at = time.time()
         self.started_at: Optional[float] = None
         self.finished_at: Optional[float] = None
         self.return_code: Optional[int] = None
+        self.cost_usd: Optional[float] = None
         self.logs: deque = deque(maxlen=2000)
         self.process: Optional[subprocess.Popen] = None
         self.config_path = os.path.join(workdir, "config.json")
@@ -43,10 +47,13 @@ class TrainingJob:
         return {
             "job_id": self.job_id,
             "state": self.state,
+            "owner": self.owner,
+            "priority": self.priority,
             "created_at": self.created_at,
             "started_at": self.started_at,
             "finished_at": self.finished_at,
             "return_code": self.return_code,
+            "cost_usd": self.cost_usd,
             "output_dir": self.config.get("output_dir"),
         }
 
@@ -86,18 +93,37 @@ class ProcessKeeper:
     def running_count(self) -> int:
         return sum(1 for j in self.jobs.values() if j.state == "running")
 
-    def submit_job(self, config: Dict[str, Any], job_id: Optional[str] = None) -> TrainingJob:
+    def slots_free(self) -> int:
+        return max(0, self.max_concurrent - self.running_count())
+
+    def submit_job(self, config: Dict[str, Any], job_id: Optional[str] = None,
+                   owner: Optional[str] = None, priority: int = 4,
+                   autostart: bool = True) -> TrainingJob:
+        """With ``autostart`` the keeper self-schedules (standalone use);
+        the server submits with ``autostart=False`` and dispatches through
+        the fair-share queue (jobqueue.FairShareQueue → start_job)."""
         job_id = job_id or uuid.uuid4().hex[:12]
         workdir = tempfile.mkdtemp(prefix=f"st_job_{job_id}_")
-        job = TrainingJob(job_id, dict(config), workdir)
+        job = TrainingJob(job_id, dict(config), workdir, owner=owner, priority=priority)
         with self._lock:
             self.jobs[job_id] = job
+        if not autostart:
+            self._emit({"event_type": "job_queued", "job_id": job_id})
+            return job
         if self.running_count() >= self.max_concurrent:
             self._emit({"event_type": "job_queued", "job_id": job_id})
             threading.Thread(target=self._wait_and_start, args=(job,), daemon=True).start()
         else:
             self._start(job)
         return job
+
+    def start_job(self, job_id: str) -> bool:
+        """Dispatch a pending job (queue scheduler entry point)."""
+        job = self.jobs.get(job_id)
+        if job is None or job.state != "pending":
+            return False
+        self._start(job)
+        return True
 
     def _wait_and_start(self, job: TrainingJob) -> None:
         while self.running_count() >= self.max_concurrent:
