@@ -23,6 +23,8 @@ class FieldType(enum.Enum):
     BOOL = "bool"
     JSON = "json"  # dict / list parsed from a JSON string or passed through
     STR_LIST = "str_list"  # comma-separated string or list
+    STR_OR_LIST = "str_or_list"  # one string, or a list of strings kept intact
+    # (no comma splitting — prompts legitimately contain commas)
     PATH_OR_JSON = "path_or_json"  # filesystem path, or an inline parsed list/dict
 
 
@@ -63,6 +65,10 @@ class ConfigField:
             if isinstance(value, (list, tuple)):
                 return [str(v) for v in value]
             return [part.strip() for part in str(value).split(",") if part.strip()]
+        if self.type == FieldType.STR_OR_LIST:
+            if isinstance(value, (list, tuple)):
+                return [str(v) for v in value]
+            return str(value)
         if self.type == FieldType.JSON:
             if isinstance(value, (dict, list)):
                 return value
@@ -372,7 +378,8 @@ _f("resume_from_checkpoint", FieldType.STR, None, section="checkpoint")
 # --- validation -------------------------------------------------------------------------
 _f("validation_step_interval", FieldType.INT, None, aliases=("validation_steps",), section="validation")
 _f("validation_epoch_interval", FieldType.INT, None, section="validation")
-_f("validation_prompt", FieldType.STR, None, section="validation")
+_f("validation_prompt", FieldType.STR_OR_LIST, None,
+   help="Validation prompt, or a list of prompts (rendered per interval)", section="validation")
 _f("validation_negative_prompt", FieldType.STR, "blurry, cropped, ugly", section="validation")
 _f("validation_resolution", FieldType.STR, "256x256", section="validation")
 _f("validation_seed", FieldType.INT, None, section="validation")
@@ -533,6 +540,9 @@ _f("slider_negative_prompt", FieldType.STR, None, help="Slider LoRA: negative-po
 _f("assistant_lora_path", FieldType.STR, None, help="Frozen guidance adapter merged into the base at load", section="model")
 _f("assistant_lora_scale", FieldType.FLOAT, 1.0, section="model")
 _f("validation_preview", FieldType.BOOL, False, help="Save intermediate-step preview strips during validation", section="validation")
+_f("validation_parallel", FieldType.BOOL, False,
+   help="Render all validation prompts in one batched pass sharded over the mesh "
+        "(data/fsdp axes; attention rides the context axis when enabled)", section="validation")
 _f("validation_preview_tae_path", FieldType.STR, None,
    help="taesd decoder safetensors for cheap preview decoding (full VAE used when unset)", section="validation")
 _f("validation_negative_prompt_2", FieldType.STR, None, section="validation")

@@ -315,6 +315,7 @@ class Trainer:
             output_dir=self.output_dir,
             webhook_handler=self.webhook_handler,
             init_latents_fn=init_latents_fn,
+            mesh=self.mesh,
         )
         self.validation.precompute_embeds()
         # slider LoRA prompt pair (reference trainer.py:6584 slider training):

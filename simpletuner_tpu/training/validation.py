@@ -65,7 +65,13 @@ class Validation:
         trackers: Optional[List] = None,
         webhook_handler=None,
         init_latents_fn: Optional[Callable[[], Optional[np.ndarray]]] = None,
+        mesh=None,
     ):
+        # mesh enables parallel validation (reference validation.py:2038-2061
+        # context-parallel validation): prompts batch together and the batch
+        # dim shards over (data, fsdp); the context axis shards each image's
+        # attention sequence automatically through the global CP dispatch
+        self.mesh = mesh
         # img2img validation (reference validation.py:2891 — IMG2IMG pipeline
         # when validation_using_datasets): init latents come from the data
         # plane, denoising starts at validation_strength
@@ -281,12 +287,115 @@ class Validation:
                 logger.warning("validation adapter %r failed to load: %s", path, exc)
         return runs
 
+    def _parallel_eligible(self) -> bool:
+        """Batched multi-prompt rendering requires uniform embed shapes and a
+        plain single-stage text2img pass; anything else falls back to the
+        sequential path (logged, never silently different math)."""
+        if not bool(getattr(self.config, "validation_parallel", False)):
+            return False
+        if len(self.prompts) < 2 or self.img2img:
+            return False
+        if bool(getattr(self.config, "validation_preview", False)):
+            logger.info("validation_parallel disabled: preview streaming is per-prompt")
+            return False
+        supports = getattr(self.model, "supports_multistage_validation", None)
+        if callable(supports) and supports() and len(self._latent_shape(1)) == 5:
+            logger.info("validation_parallel disabled: multistage validation is sequential")
+            return False
+        shapes = [
+            {k: v.shape for k, v in embeds.items() if hasattr(v, "shape")}
+            for embeds in self._embeds
+        ]
+        if any(s != shapes[0] for s in shapes[1:]):
+            logger.info(
+                "validation_parallel disabled: prompt embeds have non-uniform "
+                "shapes (padding them would change results vs the sequential path)"
+            )
+            return False
+        return True
+
+    def _render_batch(self, variables) -> List[np.ndarray]:
+        """One jitted pass over all prompts; batch sharded over (data, fsdp)
+        when a mesh is attached, attention sequence over ``context`` via the
+        global CP dispatch.  Per-prompt noise matches the sequential path
+        (fold_in by prompt index) so results are seed-identical."""
+        from ..parallel.mesh import batch_sharding
+
+        n = len(self.prompts)
+        shards = 1
+        if self.mesh is not None:
+            shards = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        batch = -(-n // shards) * shards  # pad to a multiple of the batch shards
+        latent_shape = self._latent_shape(batch)
+        if len(latent_shape) == 5:
+            seq_len = latent_shape[1] * (latent_shape[2] // 2) * (latent_shape[3] // 2)
+        else:
+            seq_len = (latent_shape[1] // 2) * (latent_shape[2] // 2)
+        scheduler = build_scheduler(self.model, self.num_steps, image_seq_len=seq_len)
+
+        def stack(embeds_list, key):
+            return jnp.stack([jnp.asarray(e[key]) for e in embeds_list])
+
+        pick = list(range(n)) + [n - 1] * (batch - n)  # pad by repeating the last prompt
+        embeds_list = [self._embeds[i] for i in pick]
+        batch_dict = {"latents": jnp.zeros(latent_shape, jnp.float32)}
+        for key, value in self._embeds[0].items():
+            if hasattr(value, "shape"):
+                batch_dict[key] = stack(embeds_list, key)
+        cond = self.model.inference_conditioning(batch_dict)
+
+        uncond = None
+        if self._wants_cfg() and getattr(self, "_negative_embeds", None) is not None:
+            neg = {"latents": batch_dict["latents"]}
+            for key, value in self._negative_embeds.items():
+                if hasattr(value, "shape"):
+                    neg[key] = jnp.broadcast_to(
+                        jnp.asarray(value)[None], (batch,) + value.shape
+                    )
+            uncond = self.model.inference_conditioning(neg)
+        guidance_scale = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
+
+        key = jax.random.PRNGKey(self.seed)
+        noise = jnp.stack(
+            [jax.random.normal(jax.random.fold_in(key, i), latent_shape[1:], jnp.float32)
+             for i in pick]
+        )
+        if self.mesh is not None:
+            noise = jax.device_put(noise, batch_sharding(self.mesh))
+
+        model = self.model
+        decode = self.decode_fn
+
+        def sample(variables, cond, uncond, noise):
+            if uncond is not None:
+                from ..schedulers import classifier_free_guidance
+
+                cond_fn = model.denoise_fn(variables, cond)
+                uncond_fn = model.denoise_fn(variables, uncond)
+
+                def denoise(latents, t):
+                    return classifier_free_guidance(
+                        cond_fn(latents, t), uncond_fn(latents, t), guidance_scale
+                    )
+            else:
+                denoise = model.denoise_fn(variables, cond)
+            latents = sample_loop(scheduler, denoise, noise)
+            if decode is None:
+                return latents
+            scaling = model.VAE_SCALING_FACTOR or 1.0
+            shift = model.VAE_SHIFT_FACTOR or 0.0
+            return decode(latents / scaling + shift)
+
+        out = np.asarray(jax.jit(sample)(variables, cond, uncond, noise))
+        return [out[i] for i in range(n)]
+
     def _run_one_pass(self, variables, step: int, slug: str = "") -> List[str]:
         paths = []
         images = []
         is_audio = getattr(self.model, "MODALITY", "image") == "audio"
+        batched = self._render_batch(variables) if self._parallel_eligible() else None
         for index, (prompt, embeds) in enumerate(zip(self.prompts, self._embeds)):
-            image = self._render(variables, embeds, index)
+            image = batched[index] if batched is not None else self._render(variables, embeds, index)
             is_video = image.ndim == 4
             ext = "wav" if is_audio else ("mp4" if is_video else "png")
             filename = os.path.join(
