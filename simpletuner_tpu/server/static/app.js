@@ -7,6 +7,8 @@
 const $ = (sel) => document.querySelector(sel);
 const api = async (method, path, body) => {
   const opts = { method, headers: {} };
+  const token = localStorage.getItem("st_token");
+  if (token) opts.headers["Authorization"] = "Bearer " + token;
   if (body !== undefined) {
     opts.headers["Content-Type"] = "application/json";
     opts.body = JSON.stringify(body);
@@ -16,6 +18,11 @@ const api = async (method, path, body) => {
   try { data = await res.json(); } catch (e) { /* empty body */ }
   return { status: res.status, data };
 };
+
+// ---- bearer token (auth engages once users exist) -------------------------
+const tokenInput = $("#token");
+tokenInput.value = localStorage.getItem("st_token") || "";
+tokenInput.onchange = () => localStorage.setItem("st_token", tokenInput.value.trim());
 
 // ---- tabs -----------------------------------------------------------------
 document.querySelectorAll("#tabs button").forEach((btn) => {
@@ -282,3 +289,99 @@ $("#config-save").onclick = async () => {
   refreshConfigs();
 };
 refreshConfigs();
+
+// ---- admin: queue / approvals / users / orgs / notifications / pricing ----
+function adminError(data, status) {
+  $("#admin-error").textContent = data && data.error ? `error ${status}: ${data.error}` : "";
+}
+async function refreshAdmin() {
+  if (!$("#tab-admin").classList.contains("active")) return;
+  const [{ data: queue }, { data: approvals }, { data: users },
+         { data: orgs }, { data: notifs }, { data: pricing }] = await Promise.all([
+    api("GET", "/api/queue"), api("GET", "/api/approvals?state=pending"),
+    api("GET", "/api/users"), api("GET", "/api/orgs"),
+    api("GET", "/api/notifications"), api("GET", "/api/pricing"),
+  ]);
+  if (queue && queue.pending) {
+    $("#queue-slots").textContent = `${queue.slots_free} slot(s) free`;
+    $("#queue-table tbody").innerHTML = queue.pending.map((e) =>
+      `<tr><td>${e.job_id}</td><td>${e.owner}</td><td>${e.priority}</td>` +
+      `<td>${new Date(e.submitted_at * 1000).toLocaleTimeString()}</td></tr>`).join("");
+    $("#usage-table tbody").innerHTML =
+      Object.entries(queue.fair_share_usage_seconds || {}).map(([u, s]) =>
+        `<tr><td>${u}</td><td>${s.toFixed(1)}</td></tr>`).join("");
+  }
+  if (Array.isArray(approvals)) {
+    const tbody = $("#approvals-table tbody");
+    tbody.innerHTML = "";
+    for (const a of approvals) {
+      const tr = document.createElement("tr");
+      tr.innerHTML = `<td>${a.approval_id}</td><td>${a.owner}</td>` +
+        `<td>${(a.config || {}).model_family ?? ""}</td><td>${a.priority}</td>`;
+      const td = document.createElement("td");
+      for (const action of ["approve", "reject"]) {
+        const b = document.createElement("button");
+        b.className = "small" + (action === "reject" ? " ghost" : "");
+        b.textContent = action;
+        b.onclick = async () => {
+          const { status, data } = await api("POST", `/api/approvals/${a.approval_id}/${action}`, {});
+          adminError(data, status);
+          refreshAdmin();
+        };
+        td.appendChild(b);
+      }
+      tr.appendChild(td);
+      tbody.appendChild(tr);
+    }
+  }
+  if (Array.isArray(users)) {
+    $("#users-table tbody").innerHTML = users.map((u) =>
+      `<tr><td>${u.username}</td><td>${u.role}</td>` +
+      `<td>${u.usage.jobs_submitted}</td><td>${u.usage.steps_requested}</td>` +
+      `<td>$${(u.usage.spend_usd || 0).toFixed(2)}</td></tr>`).join("");
+  }
+  if (Array.isArray(orgs)) {
+    $("#orgs-table tbody").innerHTML = orgs.map((o) =>
+      `<tr><td>${o.name}</td><td>${Object.keys(o.members).join(", ")}</td>` +
+      `<td>${o.require_approval ? "yes" : "no"}</td>` +
+      `<td>$${(o.usage.spend_usd || 0).toFixed(2)}</td></tr>`).join("");
+  }
+  if (Array.isArray(notifs)) {
+    $("#notifications").textContent = notifs.slice(-50).map((n) =>
+      `${n.read ? " " : "*"} [${n.kind}] ${n.title}`).join("\n");
+  }
+  if (pricing && !pricing.error) {
+    $("#pricing-table tbody").innerHTML = Object.entries(pricing).sort().map(([a, r]) =>
+      `<tr><td>${a}</td><td>$${r.toFixed(2)}</td></tr>`).join("");
+  }
+}
+$("#user-create").onclick = async () => {
+  const username = $("#new-user").value.trim();
+  if (!username) return;
+  const { status, data } = await api("POST", "/api/users",
+    { username, role: $("#new-user-role").value });
+  adminError(data, status);
+  if (status === 201) $("#user-token").textContent = `token: ${data.token}`;
+  refreshAdmin();
+};
+$("#org-create").onclick = async () => {
+  const name = $("#new-org").value.trim();
+  if (!name) return;
+  const { status, data } = await api("POST", "/api/orgs", {
+    name, owner: $("#new-org-owner").value.trim() || undefined,
+    require_approval: $("#new-org-approval").checked,
+  });
+  adminError(data, status);
+  refreshAdmin();
+};
+$("#notif-read").onclick = async () => { await api("POST", "/api/notifications/read", {}); refreshAdmin(); };
+$("#price-set").onclick = async () => {
+  const { status, data } = await api("POST", "/api/pricing", {
+    accelerator_type: $("#price-accel").value.trim(),
+    usd_per_chip_hour: parseFloat($("#price-rate").value),
+  });
+  adminError(data, status);
+  refreshAdmin();
+};
+setInterval(refreshAdmin, 4000);
+refreshAdmin();

@@ -136,3 +136,38 @@ def test_submit_job_and_watch_sse_to_completion(server, tmp_path):
     out_dir = detail["output_dir"] or config["output_dir"]
     ckpts = [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
     assert ckpts, f"no checkpoints in {out_dir}"
+
+
+def test_admin_tab_assets_and_flow(server):
+    """The admin panel's own HTTP calls (what static/app.js refreshAdmin does):
+    queue + approvals + users + orgs + notifications + pricing, plus the page
+    assets carrying the admin tab."""
+    srv, port = server
+
+    def get_text(path, token=None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        headers = {"Authorization": f"Bearer {token}"} if token else {}
+        conn.request("GET", path, headers=headers)
+        response = conn.getresponse()
+        body = response.read().decode()
+        conn.close()
+        return response.status, body
+
+    status, html = get_text("/")
+    assert status == 200
+    for anchor in ("data-tab=\"admin\"", "queue-table", "approvals-table",
+                   "users-table", "orgs-table", "pricing-table", "id=\"token\""):
+        assert anchor in html, f"missing {anchor} in index.html"
+    status, js = get_text("/static/app.js")
+    assert status == 200
+    for anchor in ("/api/queue", "/api/approvals", "/api/orgs",
+                   "/api/notifications", "/api/pricing", "st_token", "Authorization"):
+        assert anchor in js, f"missing {anchor} in app.js"
+
+    # the JSON calls the admin tab makes, end to end
+    status, queue = _request(port, "GET", "/api/queue")
+    assert status == 200 and "pending" in queue and "slots_free" in queue
+    status, approvals = _request(port, "GET", "/api/approvals?state=pending")
+    assert status == 200 and isinstance(approvals, list)
+    status, pricing = _request(port, "GET", "/api/pricing")
+    assert status == 200 and "v5e" in pricing
