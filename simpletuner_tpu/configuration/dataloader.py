@@ -160,6 +160,18 @@ def _validate(configs: Sequence[DatasetConfig], require_text_embeds: bool = True
         if config.type == "local" and config.dataset_type in PRIMARY_DATASET_TYPES and not config.disabled:
             if not config.instance_data_dir:
                 errors.append(f"{config.id}: local dataset requires instance_data_dir")
+        # storage-backend required fields caught at parse time, not first use
+        # (reference factory golden fixtures: error_missing_aws_fields)
+        if config.type == "aws" and not config.disabled and not config.extra.get("aws_bucket_name"):
+            errors.append(f"{config.id}: aws backend requires aws_bucket_name")
+        if config.type == "csv" and not config.disabled and not (
+            config.extra.get("csv_file") or config.instance_data_dir
+        ):
+            errors.append(f"{config.id}: csv_url backend requires csv_file")
+        if config.type == "huggingface" and not config.disabled and not (
+            config.extra.get("dataset_name") or config.instance_data_dir
+        ):
+            errors.append(f"{config.id}: huggingface backend requires dataset_name")
         for link_attr in ("text_embeds", "image_embeds"):
             target = getattr(config, link_attr)
             if target and target not in ids:
