@@ -76,7 +76,21 @@ def create_train_state(
     if quantize_mode:
         if not train_lora:
             raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")
-        frozen = quantize_params(frozen, quantize_mode)
+        # quantize on the HOST when weights are host-resident (fresh import):
+        # a 12B f32 base must never touch the chip pre-quantization — int8
+        # leaves transfer at 1/4 the bytes and actually fit 16G HBM
+        import numpy as _np
+
+        host_leaves = [
+            leaf for leaf in jax.tree_util.tree_leaves(frozen)
+            if isinstance(leaf, _np.ndarray)
+        ]
+        if host_leaves and jax.default_backend() != "cpu":
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                frozen = quantize_params(frozen, quantize_mode)
+        else:
+            frozen = quantize_params(frozen, quantize_mode)
     # EMA shadows only the deliverable adapters — the DMD critic is a throwaway
     # adversary (reference keeps EMA on the generator only)
     ema_target = {k: v for k, v in trainable.items() if k != "critic_lora"}
