@@ -117,13 +117,17 @@ def _cmd_server(args, extra: List[str]) -> int:
 def _cmd_jobs(args, extra: List[str]) -> int:
     """Jobs client against the training API server (reference cli jobs
     subcommands: list/submit/cancel/logs)."""
+    import os
     import urllib.request
 
     def request(method, path, body=None):
         data = json.dumps(body).encode() if body is not None else None
+        headers = {"Content-Type": "application/json"} if data else {}
+        token = args.token or os.environ.get("SIMPLETUNER_API_TOKEN")
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
         req = urllib.request.Request(
-            args.server + path, data=data, method=method,
-            headers={"Content-Type": "application/json"} if data else {},
+            args.server + path, data=data, method=method, headers=headers,
         )
         with urllib.request.urlopen(req, timeout=30) as response:
             return json.loads(response.read() or b"null")
@@ -137,8 +141,12 @@ def _cmd_jobs(args, extra: List[str]) -> int:
             print("submit requires --config", file=sys.stderr)
             return 2
         config = json.load(open(args.config))
-        job = request("POST", "/api/training/start", {"config": config})
-        print(job["job_id"])
+        job = request("POST", "/api/training/start",
+                      {"config": config, "priority": args.priority})
+        if job.get("state") == "awaiting_approval":
+            print(f"awaiting approval: {job['approval_id']}")
+        else:
+            print(job["job_id"])
         return 0
     if not args.job_id:
         print(f"{args.action} requires a job id", file=sys.stderr)
@@ -218,7 +226,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("action", choices=["list", "submit", "status", "logs", "cancel", "signal"])
     p.add_argument("job_id", nargs="?", default=None)
     p.add_argument("--server", default="http://127.0.0.1:8005")
+    p.add_argument("--token", default=None, help="bearer token (SIMPLETUNER_API_TOKEN)")
     p.add_argument("--config", default=None, help="config path for submit")
+    p.add_argument("--priority", type=int, default=4, help="queue priority 0-9")
     p.add_argument("--signal-action", default="checkpoint", choices=["validation", "checkpoint", "abort"])
     p.add_argument("--tail", type=int, default=50)
     p.set_defaults(fn=_cmd_jobs)
