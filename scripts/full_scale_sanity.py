@@ -89,7 +89,20 @@ def main() -> int:
     if not os.path.exists(ckpt_path):
         log("synthesizing full-shape host params (bf16)...")
         t0 = time.time()
-        rng = np.random.Generator(np.random.SFC64(0))
+        # numpy's ziggurat RNG runs at ~1-3M values/s on this class of vCPU —
+        # 11.9B params would take hours.  A vectorized splitmix64 counter hash
+        # (pure uint64 ops, GB/s) gives uniform values in [-sqrt(3)/sqrt(fan),
+        # +sqrt(3)/sqrt(fan)] — same variance as the Gaussian init, which is
+        # all the sanity run needs (finite loss + realistic quant statistics).
+        counter = [0]
+
+        def _uniform(n: int) -> np.ndarray:
+            x = np.arange(counter[0], counter[0] + n, dtype=np.uint64)
+            counter[0] += n
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            return (x >> np.uint64(40)).astype(np.float32) / np.float32(2**24) - 0.5
 
         def synth(path, s):
             names = [getattr(k, "key", str(k)) for k in path]
@@ -98,9 +111,10 @@ def main() -> int:
                 return np.ones(s.shape, ml_dtypes.bfloat16)
             if names[-1] == "bias":
                 return np.zeros(s.shape, ml_dtypes.bfloat16)
-            std = 1.0 / np.sqrt(fan_in)
-            return (rng.standard_normal(s.shape, dtype=np.float32) * std).astype(
-                ml_dtypes.bfloat16
+            scale = np.float32(np.sqrt(12.0) / np.sqrt(fan_in))  # std = 1/sqrt(fan)
+            n = int(np.prod(s.shape))
+            return (
+                (_uniform(n) * scale).astype(ml_dtypes.bfloat16).reshape(s.shape)
             )
 
         host_params = jax.tree_util.tree_unflatten(
