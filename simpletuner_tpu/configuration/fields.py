@@ -553,7 +553,13 @@ _f("disk_space_threshold_gb", FieldType.FLOAT, 5.0, section="observability")
 _f("disk_space_action", FieldType.STR, "warn", choices=["warn", "stop"], section="observability")
 _f("compile_cache_dir", FieldType.STR, None, help="Persistent XLA compile cache directory", section="acceleration")
 _f("gradient_checkpointing_policy", FieldType.STR, "full",
-   choices=["full", "dots", "single"], help="Remat policy (single = remat only single-stream blocks)",
+   choices=["full", "dots", "attn", "attn_all", "single"],
+   help="Remat policy (attn = save flash-attention outputs across the remat boundary; "
+        "single = remat only single-stream blocks)",
+   section="acceleration")
+_f("gradient_checkpointing_skip_last", FieldType.INT, 0,
+   help="Mixed remat: the last N single-stream blocks keep activations (no remat) — "
+        "buys back recompute FLOPs when HBM headroom allows (e.g. int4 base)",
    section="acceleration")
 _f("use_ema_for_validation", FieldType.BOOL, False, section="validation")
 _f("controlnet_depth", FieldType.INT, 2, help="ControlNet branch depth (DiT families)", section="model")

@@ -104,6 +104,7 @@ class Flux(ModelFoundation):
             lora_algo=self.lora_algo,
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
             remat_policy=getattr(self.config, "gradient_checkpointing_policy", None) or "full",
+            remat_skip_last=int(getattr(self.config, "gradient_checkpointing_skip_last", 0) or 0),
             tread_routes=routes,
             flowmap_gate=flowmap_gate,
             flowmap_deltatime_type=flowmap_deltatime,

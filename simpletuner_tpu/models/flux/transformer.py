@@ -234,6 +234,11 @@ class FluxTransformer(nn.Module):
     # "dots" saves matmul outputs and recomputes elementwise (usually the best
     # MFU/memory tradeoff on TPU: the MXU work is not repeated)
     remat_policy: str = "full"
+    # mixed remat: the LAST K single-stream blocks keep their activations
+    # (no remat) — remat trades FLOPs for HBM, so when headroom exists (int4
+    # base, small batch) buying back recompute on K blocks raises MFU without
+    # touching peak memory much (their bwd runs first, freeing early)
+    remat_skip_last: int = 0
     # TREAD routes over single-stream layers: tuple of
     # {"selection_ratio": r, "start_layer": i, "end_layer": j} (reference
     # helpers/training/tread.py + flux tread_init; active only when a
@@ -390,7 +395,12 @@ class FluxTransformer(nn.Module):
                     stream = TREADRouter.select(stream, keep_idx)
                     cos = jnp.take_along_axis(saved[2][0], keep_idx[..., None], axis=1)
                     sin = jnp.take_along_axis(saved[2][1], keep_idx[..., None], axis=1)
-            stream = single_cls(
+            layer_cls = (
+                SingleStreamBlock
+                if self.remat and layer >= cfg.depth_single - int(self.remat_skip_last)
+                else single_cls
+            )
+            stream = layer_cls(
                 cfg, name=f"single_{layer}", qk_clip=self.qk_clip, **common, **lora
             )(stream, cond_single, (cos, sin), None if saved is not None else segment_ids)
             if saved is None:

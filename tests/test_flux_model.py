@@ -99,3 +99,43 @@ def test_registry_resolves_flux():
 
     cls = ModelRegistry.get("flux")
     assert cls is Flux
+
+
+def test_remat_skip_last_is_numerically_invariant():
+    """Mixed remat (gradient_checkpointing_skip_last) trades memory for FLOPs
+    only — losses and LoRA grads must be bit-identical to full-stack remat."""
+
+    def build(skip):
+        cfg = TrainingConfig(
+            {
+                "model_family": "flux",
+                "model_type": "lora",
+                "lora_rank": 4,
+                "model_arch_preset": "tiny",
+                "gradient_checkpointing": True,
+                "gradient_checkpointing_policy": "attn",
+                "gradient_checkpointing_skip_last": skip,
+                "max_train_steps": 10,
+            }
+        )
+        return Flux(cfg, arch=FluxConfig.tiny())
+
+    results = []
+    for skip in (0, 2):
+        model = build(skip)
+        batch = model.example_batch(batch_size=2, resolution=64)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+
+        def loss_fn(lora):
+            pred = model.model_predict({**variables, "lora": lora}, prepared)
+            target = prepared["noise"] - prepared["latents"]
+            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["lora"])
+        results.append((float(loss), grads))
+
+    (l0, g0), (l2, g2) = results
+    assert np.isclose(l0, l2, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
