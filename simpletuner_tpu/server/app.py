@@ -25,6 +25,13 @@ Routes:
   POST /api/auth/oidc {id_token}   /api/auth/login {username,password}
   POST /api/auth/config            (OIDC/directory provider setup, admin)
   GET  /metrics (Prometheus)  /api/audit  (hash-chain verified)
+  GET  /api/version  /api/hardware  /api/system
+  GET  /api/checkpoints?output_dir=…   (guard/manifest/artifact inventory)
+  POST /api/inference/start            {checkpoint, prompt, …} → render job
+  GET/POST/DELETE /api/prompt-libraries[/<name>]
+  GET  /api/lycoris/presets            (algorithm preset table)
+  GET  /api/datasets/viewer?dir=…&offset=&limit=&thumbnails=1
+  POST /api/webhooks/test              {url, message?}
   GET  /  /ui  /static/*               (WebUI: dashboard + job form + dataset
                                         plan viewer, server/static/)
 """
@@ -103,7 +110,11 @@ def create_server(
     from .orgs import OrgStore
     from .pricing import PricingTable
 
+    from . import extras
+    from .extras import PromptLibraryStore
+
     users = UserStore(state_dir)
+    prompt_libraries = PromptLibraryStore(state_dir)
     orgs = OrgStore(state_dir)
     approvals = ApprovalStore(state_dir)
     notifications = NotificationCenter(state_dir)
@@ -355,7 +366,49 @@ def create_server(
             if path == "/api/notifications":
                 unread = "unread=1" in self.path or "unread=true" in self.path
                 return self._json(notifications.list(user["username"], unread_only=unread))
+            if path == "/api/version":
+                return self._json(extras.version_info())
+            if path == "/api/hardware":
+                return self._json(extras.hardware_info())
+            if path == "/api/system":
+                return self._json(extras.system_info(state_dir, len(sse._clients)))
+            if path == "/api/checkpoints":
+                output_dir = self._query_param("output_dir")
+                if not output_dir:
+                    return self._json({"error": "output_dir query param required"}, 422)
+                return self._json(extras.list_checkpoints(output_dir))
+            if path == "/api/lycoris/presets":
+                from ..cli.configure_tui import LYCORIS_ALGORITHMS
+
+                return self._json(LYCORIS_ALGORITHMS)
+            if path == "/api/prompt-libraries":
+                return self._json(prompt_libraries.list())
+            match = re.match(r"^/api/prompt-libraries/([\w.-]+)$", path)
+            if match:
+                entry = prompt_libraries.get(match.group(1))
+                if entry is None:
+                    return self._json({"error": "unknown prompt library"}, 404)
+                return self._json(entry)
+            if path == "/api/datasets/viewer":
+                directory = self._query_param("dir")
+                if not directory:
+                    return self._json({"error": "dir query param required"}, 422)
+                try:
+                    return self._json(extras.dataset_samples(
+                        directory,
+                        offset=int(self._query_param("offset") or 0),
+                        limit=int(self._query_param("limit") or 50),
+                        thumbnails=self._query_param("thumbnails") in ("1", "true"),
+                    ))
+                except FileNotFoundError as exc:
+                    return self._json({"error": str(exc)}, 404)
             return self._json({"error": "not found"}, 404)
+
+        def _query_param(self, name: str) -> Optional[str]:
+            from urllib.parse import parse_qs, urlparse
+
+            values = parse_qs(urlparse(self.path).query).get(name)
+            return values[0] if values else None
 
         def _sse(self):
             self.send_response(200)
@@ -655,6 +708,56 @@ def create_server(
                 audit.append("notifications.smtp", detail={"host": body.get("host")})
                 return self._json({"ok": True})
 
+            if path == "/api/inference/start":
+                # checkpoint-inference job (reference routes/checkpoints.py
+                # inference endpoint): rendered by a ``cli inference``
+                # subprocess so the chip is shared through the same keeper
+                checkpoint = str(body.get("checkpoint") or "").strip()
+                prompt = str(body.get("prompt") or "").strip()
+                if not checkpoint or not prompt:
+                    return self._json({"error": "checkpoint and prompt required"}, 422)
+                import sys as _sys
+
+                output = body.get("output") or os.path.join(
+                    state_dir, "inference", time.strftime("%Y%m%d-%H%M%S"))
+                argv = [_sys.executable, "-m", "simpletuner_tpu.cli", "inference",
+                        "--checkpoint", checkpoint, "--prompt", prompt,
+                        "--output", str(output),
+                        "--steps", str(int(body.get("steps", 20))),
+                        "--seed", str(int(body.get("seed", 42)))]
+                if body.get("config"):
+                    argv += ["--config", str(body["config"])]
+                if body.get("resolution"):
+                    argv += ["--resolution", str(int(body["resolution"]))]
+                job = keeper.submit_job(
+                    {"checkpoint": checkpoint, "prompt": prompt, "output_dir": str(output)},
+                    owner=user["username"], kind="inference", argv=argv)
+                audit.append("inference.start",
+                             detail={"job_id": job.job_id, "checkpoint": checkpoint})
+                return self._json(job.to_dict(), 201)
+
+            match = re.match(r"^/api/prompt-libraries/([\w.-]+)$", path)
+            if match:
+                try:
+                    result = prompt_libraries.save(
+                        match.group(1), body.get("library") or body)
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("prompt_library.save", detail=result)
+                return self._json(result, 201)
+
+            if path == "/api/webhooks/test":
+                url = str(body.get("url") or "").strip()
+                if not url:
+                    return self._json({"error": "url required"}, 422)
+                try:
+                    result = extras.webhook_test(
+                        url, body.get("message") or "simpletuner-tpu webhook test")
+                except Exception as exc:
+                    return self._json({"sent": False, "error": str(exc)}, 502)
+                audit.append("webhooks.test", detail={"url": url})
+                return self._json(result)
+
             if path == "/api/auth/config":
                 if users.auth_required and user["role"] != "admin":
                     return self._json({"error": "admin only"}, 403)
@@ -701,6 +804,12 @@ def create_server(
                 ok = orgs.delete_org(match.group(1))
                 if ok:
                     audit.append("org.delete", detail={"name": match.group(1)})
+                return self._json({"deleted": ok}, 200 if ok else 404)
+            match = re.match(r"^/api/prompt-libraries/([\w.-]+)$", path)
+            if match:
+                ok = prompt_libraries.delete(match.group(1))
+                if ok:
+                    audit.append("prompt_library.delete", detail={"name": match.group(1)})
                 return self._json({"deleted": ok}, 200 if ok else 404)
             return self._json({"error": "not found"}, 404)
 

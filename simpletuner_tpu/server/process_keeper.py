@@ -26,12 +26,17 @@ JOB_STATES = ("pending", "running", "completed", "failed", "cancelled")
 
 class TrainingJob:
     def __init__(self, job_id: str, config: Dict[str, Any], workdir: str,
-                 owner: Optional[str] = None, priority: int = 4):
+                 owner: Optional[str] = None, priority: int = 4,
+                 kind: str = "train", argv: Optional[List[str]] = None):
         self.job_id = job_id
         self.config = config
         self.workdir = workdir
         self.owner = owner
         self.priority = priority
+        self.kind = kind
+        # non-training jobs (checkpoint inference) override the subprocess
+        # command line; ``{config_path}`` is substituted at start
+        self.argv = argv
         self.state = "pending"
         self.created_at = time.time()
         self.started_at: Optional[float] = None
@@ -47,6 +52,7 @@ class TrainingJob:
         return {
             "job_id": self.job_id,
             "state": self.state,
+            "kind": self.kind,
             "owner": self.owner,
             "priority": self.priority,
             "created_at": self.created_at,
@@ -98,13 +104,15 @@ class ProcessKeeper:
 
     def submit_job(self, config: Dict[str, Any], job_id: Optional[str] = None,
                    owner: Optional[str] = None, priority: int = 4,
-                   autostart: bool = True) -> TrainingJob:
+                   autostart: bool = True, kind: str = "train",
+                   argv: Optional[List[str]] = None) -> TrainingJob:
         """With ``autostart`` the keeper self-schedules (standalone use);
         the server submits with ``autostart=False`` and dispatches through
         the fair-share queue (jobqueue.FairShareQueue → start_job)."""
         job_id = job_id or uuid.uuid4().hex[:12]
         workdir = tempfile.mkdtemp(prefix=f"st_job_{job_id}_")
-        job = TrainingJob(job_id, dict(config), workdir, owner=owner, priority=priority)
+        job = TrainingJob(job_id, dict(config), workdir, owner=owner, priority=priority,
+                          kind=kind, argv=argv)
         with self._lock:
             self.jobs[job_id] = job
         if not autostart:
@@ -139,8 +147,11 @@ class ProcessKeeper:
         env = dict(os.environ)
         env["SIMPLETUNER_SIGNAL_FILE"] = job.signal_file
         env["SIMPLETUNER_JOB_ID"] = job.job_id
+        cmd = [sys.executable, "-m", "simpletuner_tpu.train", "--config", job.config_path]
+        if job.argv is not None:
+            cmd = [arg.replace("{config_path}", job.config_path) for arg in job.argv]
         job.process = subprocess.Popen(
-            [sys.executable, "-m", "simpletuner_tpu.train", "--config", job.config_path],
+            cmd,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
