@@ -290,6 +290,138 @@ $("#config-save").onclick = async () => {
 };
 refreshConfigs();
 
+// ---- dataset sample browser (reference dataset_viewer routes/pages) --------
+let viewerOffset = 0;
+const VIEWER_PAGE = 24;
+async function loadViewer() {
+  const dir = $("#viewer-dir").value.trim();
+  if (!dir) return;
+  const { status, data } = await api("GET",
+    `/api/datasets/viewer?dir=${encodeURIComponent(dir)}&offset=${viewerOffset}` +
+    `&limit=${VIEWER_PAGE}&thumbnails=1`);
+  if (status !== 200) {
+    $("#viewer-info").textContent = (data && data.error) || `error ${status}`;
+    return;
+  }
+  $("#viewer-info").textContent =
+    `${data.total} samples — showing ${data.offset + 1}-${data.offset + data.samples.length}`;
+  $("#viewer-grid").innerHTML = data.samples.map((s) =>
+    `<figure title="${s.name}">` +
+    (s.thumbnail ? `<img src="${s.thumbnail}">` : `<div class="nofile">${s.name.split(".").pop()}</div>`) +
+    `<figcaption>${s.caption ?? ""}</figcaption></figure>`).join("");
+}
+$("#viewer-btn").onclick = () => { viewerOffset = 0; loadViewer(); };
+$("#viewer-prev").onclick = () => { viewerOffset = Math.max(0, viewerOffset - VIEWER_PAGE); loadViewer(); };
+$("#viewer-next").onclick = () => { viewerOffset += VIEWER_PAGE; loadViewer(); };
+
+// ---- checkpoints: inventory + inference + prompt libraries -----------------
+$("#ckpt-btn").onclick = async () => {
+  $("#ckpt-error").textContent = "";
+  const dir = $("#ckpt-dir").value.trim();
+  const { status, data } = await api("GET",
+    `/api/checkpoints?output_dir=${encodeURIComponent(dir)}`);
+  if (status !== 200) { $("#ckpt-error").textContent = (data && data.error) || status; return; }
+  const tbody = $("#ckpt-table tbody");
+  tbody.innerHTML = "";
+  for (const c of data) {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${c.step}</td><td>${c.rolling ? "yes" : ""}</td>` +
+      `<td>${c.complete ? "✓" : "partial"}</td><td>${c.artifacts.join(", ")}</td>`;
+    const td = document.createElement("td");
+    const use = document.createElement("button");
+    use.className = "small ghost";
+    use.textContent = "render";
+    use.onclick = () => { $("#inf-ckpt").value = c.path; };
+    td.appendChild(use);
+    tr.appendChild(td);
+    tbody.appendChild(tr);
+  }
+};
+$("#inf-btn").onclick = async () => {
+  const body = {
+    checkpoint: $("#inf-ckpt").value.trim(),
+    prompt: $("#inf-prompt").value.trim(),
+    steps: parseInt($("#inf-steps").value, 10) || 20,
+    seed: parseInt($("#inf-seed").value, 10) || 42,
+  };
+  const res = $("#inf-res").value.trim();
+  if (res) body.resolution = parseInt(res, 10);
+  const cfg = $("#inf-config").value.trim();
+  if (cfg) body.config = cfg;
+  const { status, data } = await api("POST", "/api/inference/start", body);
+  $("#inf-result").textContent = status === 201
+    ? `render job ${data.job_id} started (watch Jobs tab)` : `error: ${data && data.error}`;
+  if (status === 201) refreshJobs();
+};
+async function refreshPromptLibs() {
+  const { data } = await api("GET", "/api/prompt-libraries");
+  if (!Array.isArray(data)) return;
+  const tbody = $("#plib-table tbody");
+  tbody.innerHTML = "";
+  for (const lib of data) {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${lib.name}</td><td>${lib.prompts}</td>`;
+    const td = document.createElement("td");
+    const view = document.createElement("button");
+    view.className = "small ghost";
+    view.textContent = "edit";
+    view.onclick = async () => {
+      const { data: entry } = await api("GET", `/api/prompt-libraries/${lib.name}`);
+      if (entry && entry.library) {
+        $("#plib-name").value = lib.name;
+        $("#plib-json").value = JSON.stringify(entry.library, null, 2);
+      }
+    };
+    td.appendChild(view);
+    tr.appendChild(td);
+    tbody.appendChild(tr);
+  }
+}
+$("#plib-save").onclick = async () => {
+  $("#plib-error").textContent = "";
+  const name = $("#plib-name").value.trim();
+  let library;
+  try { library = JSON.parse($("#plib-json").value); } catch (err) {
+    $("#plib-error").textContent = "invalid JSON: " + err;
+    return;
+  }
+  const { status, data } = await api("POST", `/api/prompt-libraries/${name}`, { library });
+  if (status !== 201) $("#plib-error").textContent = (data && data.error) || status;
+  refreshPromptLibs();
+};
+$("#plib-delete").onclick = async () => {
+  const name = $("#plib-name").value.trim();
+  if (!name) return;
+  await api("DELETE", `/api/prompt-libraries/${name}`);
+  refreshPromptLibs();
+};
+refreshPromptLibs();
+
+// ---- system: hardware + versions + webhook test ----------------------------
+const fmtBytes = (n) => (n == null ? "?" : (n / 1e9).toFixed(2) + " GB");
+async function refreshSystem() {
+  if (!$("#tab-system").classList.contains("active")) return;
+  const [{ data: hw }, { data: ver }] = await Promise.all([
+    api("GET", "/api/hardware"), api("GET", "/api/version"),
+  ]);
+  if (hw && hw.accelerators) {
+    $("#hw-backend").textContent = hw.backend || "";
+    $("#hw-table tbody").innerHTML = hw.accelerators.map((d) =>
+      `<tr><td>${d.id}</td><td>${d.kind}</td><td>${d.platform}</td>` +
+      `<td>${d.memory ? fmtBytes(d.memory.bytes_in_use) + " / " + fmtBytes(d.memory.bytes_limit) : ""}</td></tr>`
+    ).join("");
+    $("#host-info").textContent = JSON.stringify(hw.host, null, 2);
+  }
+  if (ver) $("#version-info").textContent = JSON.stringify(ver, null, 2);
+}
+$("#wh-btn").onclick = async () => {
+  const url = $("#wh-url").value.trim();
+  if (!url) return;
+  const { status, data } = await api("POST", "/api/webhooks/test", { url });
+  $("#wh-result").textContent = status === 200 ? "sent ✓" : `error: ${data && data.error}`;
+};
+setInterval(refreshSystem, 5000);
+
 // ---- admin: queue / approvals / users / orgs / notifications / pricing ----
 function adminError(data, status) {
   $("#admin-error").textContent = data && data.error ? `error ${status}: ${data.error}` : "";

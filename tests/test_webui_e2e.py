@@ -171,3 +171,42 @@ def test_admin_tab_assets_and_flow(server):
     assert status == 200 and isinstance(approvals, list)
     status, pricing = _request(port, "GET", "/api/pricing")
     assert status == 200 and "v5e" in pricing
+
+
+def test_new_tabs_assets_and_id_crossref(server):
+    """Checkpoints/System/dataset-browser tabs: every element id the JS
+    references must exist in the page (a missing id nulls the whole script),
+    and the JSON calls the new tabs make work end to end."""
+    import re
+
+    _, port = server
+
+    def get_text(path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", path)
+        response = conn.getresponse()
+        body = response.read().decode()
+        conn.close()
+        return response.status, body
+
+    status, html = get_text("/")
+    assert status == 200
+    for anchor in ('data-tab="checkpoints"', 'data-tab="system"',
+                   "viewer-grid", "ckpt-table", "plib-table", "hw-table"):
+        assert anchor in html, f"missing {anchor} in index.html"
+    status, js = get_text("/static/app.js")
+    assert status == 200
+    for anchor in ("/api/checkpoints", "/api/inference/start",
+                   "/api/prompt-libraries", "/api/hardware", "/api/webhooks/test",
+                   "/api/datasets/viewer"):
+        assert anchor in js, f"missing {anchor} in app.js"
+
+    referenced = set(re.findall(r'\$\("#([\w-]+)"\)', js))
+    present = set(re.findall(r'id="([\w-]+)"', html))
+    missing = sorted(referenced - present)
+    assert not missing, f"app.js references ids absent from index.html: {missing}"
+
+    status, hw = _request(port, "GET", "/api/hardware")
+    assert status == 200 and hw["accelerators"]
+    status, ver = _request(port, "GET", "/api/version")
+    assert status == 200 and ver["simpletuner_tpu"]
