@@ -70,6 +70,8 @@ class BaseDataBackend(ABC):
         import torch
 
         def to_torch(value):
+            if isinstance(value, torch.Tensor):
+                return value  # already torch (incl. bf16, which numpy can't hold)
             if isinstance(value, np.ndarray):
                 return torch.from_numpy(np.ascontiguousarray(value))
             if isinstance(value, dict):
@@ -77,6 +79,10 @@ class BaseDataBackend(ABC):
             if isinstance(value, (list, tuple)):
                 return type(value)(to_torch(v) for v in value)
             if hasattr(value, "dtype") and hasattr(value, "__array__"):  # jax array
+                import jax.numpy as jnp
+
+                if value.dtype == jnp.bfloat16:  # numpy round-trip would fail
+                    return torch.from_numpy(np.asarray(value, dtype=np.float32)).to(torch.bfloat16)
                 return torch.from_numpy(np.asarray(value))
             return value
 

@@ -33,12 +33,16 @@ class MemoryDataBackend(BaseDataBackend):
         file_extensions: Optional[Sequence[str]] = None,
         instance_data_dir: Optional[str] = None,
     ) -> List[str]:
+        from .local import IMAGE_EXTENSIONS
+
         keys = sorted(self._store)
-        if file_extensions:
-            extensions = tuple(
-                ext.lower() if ext.startswith(".") else "." + ext.lower() for ext in file_extensions
-            )
-            keys = [k for k in keys if k.lower().endswith(extensions)]
+        # default to image extensions like every other backend — callers that
+        # want cache files pass explicit extensions
+        extensions = tuple(
+            ext.lower() if ext.startswith(".") else "." + ext.lower()
+            for ext in (file_extensions or IMAGE_EXTENSIONS)
+        )
+        keys = [k for k in keys if k.lower().endswith(extensions)]
         if instance_data_dir:
             keys = [k for k in keys if k.startswith(instance_data_dir)]
         return keys
