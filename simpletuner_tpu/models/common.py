@@ -183,9 +183,20 @@ class ModelFoundation:
             beta_beta=getattr(c, "flow_beta_schedule_beta", 2.0) or 2.0,
         )
 
+    # per-family DDPM betas (reference loads each model's hub scheduler config,
+    # common.py:4270 DDPMScheduler.from_pretrained — SD-arch models ship
+    # scaled_linear 0.00085->0.012, PixArt the IDDPM linear 1e-4->0.02,
+    # DeepFloyd IF squaredcos_cap_v2)
+    DDPM_BETA_START: float = 0.00085
+    DDPM_BETA_END: float = 0.012
+    DDPM_BETA_SCHEDULE: str = "scaled_linear"
+
     def ddpm_schedule_config(self) -> DDPMScheduleConfig:
         return DDPMScheduleConfig(
-            rescale_betas_zero_snr=bool(getattr(self.config, "rescale_betas_zero_snr", False))
+            beta_start=self.DDPM_BETA_START,
+            beta_end=self.DDPM_BETA_END,
+            beta_schedule=self.DDPM_BETA_SCHEDULE,
+            rescale_betas_zero_snr=bool(getattr(self.config, "rescale_betas_zero_snr", False)),
         )
 
     def timestep_sampling_config(self) -> TimestepSamplingConfig:

@@ -16,6 +16,10 @@ class DeepFloyd(SD1x):
     NAME = "deepfloyd"
     PREDICTION_TYPE = "epsilon"
     REQUIRES_VAE = False  # pixel space
+    # IF scheduler config: squaredcos_cap_v2 betas (hub scheduler_config.json)
+    DDPM_BETA_START = 0.0001
+    DDPM_BETA_END = 0.02
+    DDPM_BETA_SCHEDULE = "squaredcos_cap_v2"
     LATENT_CHANNEL_COUNT = 3
     DEFAULT_RESOLUTION = 64
     DEFAULT_FLAVOUR = "i-m-400m"

@@ -26,6 +26,11 @@ class PixartSigma(ModelFoundation):
     NAME = "pixart_sigma"
     PREDICTION_TYPE = "epsilon"
     MODEL_TYPE = "transformer"
+    # PixArt ships the IDDPM linear schedule (hub scheduler_config.json),
+    # not SD's scaled_linear — reference reads it via DDPMScheduler.from_pretrained
+    DDPM_BETA_START = 0.0001
+    DDPM_BETA_END = 0.02
+    DDPM_BETA_SCHEDULE = "linear"
     LATENT_CHANNEL_COUNT = 4
     DEFAULT_RESOLUTION = 1024
     DEFAULT_FLAVOUR = "1024-ms"

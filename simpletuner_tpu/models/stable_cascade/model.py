@@ -26,6 +26,13 @@ class StableCascade(ModelFoundation):
     NAME = "stable_cascade"
     PREDICTION_TYPE = "epsilon"
     MODEL_TYPE = "unet"
+    # DDPMWuerstchenScheduler's continuous cosine alpha_cumprod(t) =
+    # cos^2((t+s)/(1+s)*pi/2)/alpha_0 with s=0.008 (reference
+    # scheduler_ddpm_wuerstchen.py:114-126) — squaredcos_cap_v2 is its
+    # 1000-step discretization
+    DDPM_BETA_START = 0.0001
+    DDPM_BETA_END = 0.02
+    DDPM_BETA_SCHEDULE = "squaredcos_cap_v2"
     LATENT_CHANNEL_COUNT = 16
     DEFAULT_RESOLUTION = 1024
     DEFAULT_FLAVOUR = "stage-c"

@@ -133,3 +133,48 @@ class TestImg2Img:
         err_init = float(jnp.mean((noised - init) ** 2))
         err_noise = float(jnp.mean((noised - noise) ** 2))
         assert err_init < err_noise
+
+
+class TestPerFamilyDDPMBetas:
+    """Reference loads each model's hub scheduler config (common.py:4270);
+    families must pin their published beta schedules, not inherit SD's."""
+
+    def _schedule(self, family):
+        from simpletuner_tpu.configuration import TrainingConfig
+        from simpletuner_tpu.models.registry import ModelRegistry
+
+        cls = ModelRegistry.get(family)
+        cfg = TrainingConfig({"model_family": family, "model_type": "lora",
+                              "lora_rank": 2, "optimizer": "adamw",
+                              "learning_rate": 1e-4, "max_train_steps": 1})
+        return cls(cfg).ddpm_schedule_config()
+
+    def test_sd_family_scaled_linear(self):
+        for family in ("sd1x", "sdxl", "kolors"):
+            sched = self._schedule(family)
+            assert sched.beta_schedule == "scaled_linear"
+            assert sched.beta_start == 0.00085 and sched.beta_end == 0.012
+
+    def test_pixart_iddpm_linear(self):
+        sched = self._schedule("pixart_sigma")
+        assert sched.beta_schedule == "linear"
+        assert sched.beta_start == 0.0001 and sched.beta_end == 0.02
+
+    def test_deepfloyd_squaredcos(self):
+        assert self._schedule("deepfloyd").beta_schedule == "squaredcos_cap_v2"
+
+    def test_stable_cascade_matches_wuerstchen_cosine(self):
+        """squaredcos_cap_v2 must track the DDPMWuerstchenScheduler continuous
+        alpha_cumprod (s=0.008) it discretizes."""
+        import math
+
+        from simpletuner_tpu.training.losses import make_alphas_cumprod
+
+        sched = self._schedule("stable_cascade")
+        assert sched.beta_schedule == "squaredcos_cap_v2"
+        ac = np.asarray(make_alphas_cumprod(sched))
+        s = 0.008
+        init = math.cos(s / (1 + s) * math.pi / 2) ** 2
+        t = (np.arange(1000) + 1) / 1000.0
+        want = np.cos((t + s) / (1 + s) * math.pi / 2) ** 2 / init
+        np.testing.assert_allclose(ac[:-5], want[:-5], atol=2e-3)
