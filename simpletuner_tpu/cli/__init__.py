@@ -174,6 +174,12 @@ def _cmd_docs(args, extra: List[str]) -> int:
 def _cmd_version(args, extra: List[str]) -> int:
     from .. import __version__
 
+    if getattr(args, "full", False):
+        from ..server.extras import version_info
+
+        for name, ver in version_info().items():
+            print(f"{name:20s} {ver}")
+        return 0
     print(__version__)
     return 0
 
@@ -242,6 +248,7 @@ def build_parser() -> argparse.ArgumentParser:
     register_platform(sub)
 
     p = sub.add_parser("version", help="print version")
+    p.add_argument("--full", action="store_true", help="include dependency versions")
     p.set_defaults(fn=_cmd_version)
     return parser
 

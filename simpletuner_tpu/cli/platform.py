@@ -284,6 +284,91 @@ def cmd_worker(args, extra: List[str]) -> int:
     return worker_main(argv + extra)
 
 
+def cmd_hardware(args, extra: List[str]) -> int:
+    """Accelerator + host inventory (reference cli hardware / routes/hardware.py)."""
+    if args.local:
+        from ..server.extras import hardware_info
+
+        info = hardware_info()
+    else:
+        info = _request(args, "GET", "/api/hardware")
+    if args.json:
+        _print_json(info)
+        return 0
+    print(f"backend: {info.get('backend', '?')}  processes: {info.get('process_count', 1)}")
+    for dev in info.get("accelerators", []):
+        mem = dev.get("memory") or {}
+        used = mem.get("bytes_in_use")
+        limit = mem.get("bytes_limit")
+        hbm = f"  {used/1e9:.2f}/{limit/1e9:.2f} GB" if used is not None and limit else ""
+        print(f"  [{dev['id']}] {dev['kind']} ({dev['platform']}){hbm}")
+    host = info.get("host", {})
+    if "mem_available_bytes" in host:
+        print(f"host: {host['cpu_count']} cpus, "
+              f"{host['mem_available_bytes']/1e9:.1f}/{host['mem_total_bytes']/1e9:.1f} GB free, "
+              f"disk {host['disk']['free_bytes']/1e9:.1f} GB free")
+    return 0
+
+
+def cmd_checkpoints(args, extra: List[str]) -> int:
+    """Checkpoint inventory for an output dir (reference routes/checkpoints.py)."""
+    if args.local:
+        from ..server.extras import list_checkpoints
+
+        entries = list_checkpoints(args.output_dir)
+    else:
+        from urllib.parse import quote
+
+        entries = _request(args, "GET", f"/api/checkpoints?output_dir={quote(args.output_dir)}")
+    for e in entries:
+        state = "complete" if e["complete"] else "PARTIAL"
+        arts = ",".join(e["artifacts"]) if e["artifacts"] else "-"
+        rolling = " rolling" if e["rolling"] else ""
+        print(f"step {e['step']:>8d}{rolling}  {state:8s}  {arts}")
+    if not entries:
+        print(f"no checkpoints under {args.output_dir}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_prompt_libraries(args, extra: List[str]) -> int:
+    if args.action == "list":
+        for lib in _request(args, "GET", "/api/prompt-libraries"):
+            print(f"{lib['name']:24s} {lib['prompts']} prompts")
+    elif args.action == "show":
+        _print_json(_request(args, "GET", f"/api/prompt-libraries/{args.name}"))
+    elif args.action == "push":
+        with open(args.file) as fh:
+            library = json.load(fh)
+        _print_json(_request(args, "POST", f"/api/prompt-libraries/{args.name}",
+                             {"library": library}))
+    elif args.action == "delete":
+        _print_json(_request(args, "DELETE", f"/api/prompt-libraries/{args.name}"))
+    return 0
+
+
+def cmd_render(args, extra: List[str]) -> int:
+    """Submit a checkpoint-inference render job to the server."""
+    body: Dict[str, Any] = {
+        "checkpoint": args.checkpoint, "prompt": args.prompt,
+        "steps": args.steps, "seed": args.seed,
+    }
+    if args.resolution:
+        body["resolution"] = args.resolution
+    if args.config:
+        body["config"] = args.config
+    job = _request(args, "POST", "/api/inference/start", body)
+    print(f"render job {job['job_id']} submitted (output: {job['output_dir']})")
+    if not args.wait:
+        return 0
+    while True:
+        info = _request(args, "GET", f"/api/training/status/{job['job_id']}")
+        if info["state"] in ("completed", "failed", "cancelled"):
+            print(f"render {info['state']}")
+            return 0 if info["state"] == "completed" else 1
+        time.sleep(2.0)
+
+
 # ---- parser wiring ----------------------------------------------------------------------
 
 
@@ -381,3 +466,33 @@ def register(sub) -> None:
     p.add_argument("--name", default=None)
     _common(p)
     p.set_defaults(fn=cmd_worker)
+
+    p = sub.add_parser("hardware", help="accelerator + host inventory")
+    p.add_argument("--local", action="store_true", help="inspect this machine instead of the server")
+    p.add_argument("--json", action="store_true")
+    _common(p)
+    p.set_defaults(fn=cmd_hardware)
+
+    p = sub.add_parser("checkpoints", help="checkpoint inventory for an output dir")
+    p.add_argument("output_dir")
+    p.add_argument("--local", action="store_true", help="scan the local filesystem directly")
+    _common(p)
+    p.set_defaults(fn=cmd_checkpoints)
+
+    p = sub.add_parser("prompt-libraries", help="named validation prompt libraries")
+    p.add_argument("action", choices=["list", "show", "push", "delete"])
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--file", default=None, help="JSON {shortname: prompt} file for push")
+    _common(p)
+    p.set_defaults(fn=cmd_prompt_libraries)
+
+    p = sub.add_parser("render", help="render prompts from a checkpoint via the server")
+    p.add_argument("checkpoint")
+    p.add_argument("prompt")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--config", default=None)
+    p.add_argument("--wait", action="store_true")
+    _common(p)
+    p.set_defaults(fn=cmd_render)

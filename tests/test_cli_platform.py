@@ -156,3 +156,48 @@ def test_webhook_test_fire(tmp_path, capsys):
     assert main(["webhooks", "--config", str(config), "--message", "ping-123"]) == 0
     sink.shutdown()
     assert any("ping-123" in json.dumps(h) for h in hits)
+
+
+def test_hardware_version_local_and_server(api, capsys):
+    url, _ = api
+    assert main(["hardware", "--server", url]) == 0
+    out = capsys.readouterr().out
+    assert "backend:" in out and "[0]" in out
+    assert main(["hardware", "--local", "--json"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["accelerators"]
+
+    assert main(["version", "--full"]) == 0
+    out = capsys.readouterr().out
+    assert "simpletuner_tpu" in out and "jax" in out
+
+
+def test_checkpoints_inventory(api, tmp_path, capsys):
+    url, _ = api
+    out_dir = tmp_path / "run"
+    ck = out_dir / "checkpoint-40"
+    ck.mkdir(parents=True)
+    (ck / ".checkpoint_complete").write_text("")
+    (ck / "adapter.safetensors").write_text("x")
+    assert main(["checkpoints", str(out_dir), "--server", url]) == 0
+    out = capsys.readouterr().out
+    assert "step       40" in out and "complete" in out and "adapter.safetensors" in out
+    assert main(["checkpoints", str(out_dir), "--local"]) == 0
+    assert main(["checkpoints", str(tmp_path / "empty"), "--server", url]) == 1
+
+
+def test_prompt_libraries_cycle(api, tmp_path, capsys):
+    url, _ = api
+    lib = tmp_path / "lib.json"
+    lib.write_text(json.dumps({"cat": "a photo of a cat", "dog": "a photo of a dog"}))
+    common = ["--server", url]
+    assert main(["prompt-libraries", "push", "animals", "--file", str(lib), *common]) == 0
+    capsys.readouterr()
+    assert main(["prompt-libraries", "list", *common]) == 0
+    assert "animals" in capsys.readouterr().out
+    assert main(["prompt-libraries", "show", "animals", *common]) == 0
+    assert "a photo of a dog" in capsys.readouterr().out
+    assert main(["prompt-libraries", "delete", "animals", *common]) == 0
+    capsys.readouterr()
+    assert main(["prompt-libraries", "list", *common]) == 0
+    assert "animals" not in capsys.readouterr().out
