@@ -112,6 +112,9 @@ def flagship() -> dict:
             "max_train_steps": 1000,
             "gradient_checkpointing": True,
             "gradient_checkpointing_policy": os.environ.get("BENCH_REMAT_POLICY", "attn"),
+            # mixed remat: keep activations on the last N single-stream blocks
+            # (BENCH_SKIP_LAST sweep; 0 = remat everything)
+            "gradient_checkpointing_skip_last": int(os.environ.get("BENCH_SKIP_LAST", 0)),
             "base_model_precision": f"{quant}-quanto",
         }
     )
@@ -243,6 +246,7 @@ def flagship() -> dict:
         "resolution": resolution,
         "quant": quant,
         "remat": True,
+        "skip_last": int(os.environ.get("BENCH_SKIP_LAST", 0)),
     }
 
 
