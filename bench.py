@@ -115,6 +115,9 @@ def flagship() -> dict:
             # mixed remat: keep activations on the last N single-stream blocks
             # (BENCH_SKIP_LAST sweep; 0 = remat everything)
             "gradient_checkpointing_skip_last": int(os.environ.get("BENCH_SKIP_LAST", 0)),
+            # int8 MXU matmuls (off | forward | full): s8xs8->s32 contraction at
+            # 2x bf16 peak for the frozen base (BENCH_QMATMUL sweep)
+            "quantized_matmul": os.environ.get("BENCH_QMATMUL", "off"),
             "base_model_precision": f"{quant}-quanto",
         }
     )
@@ -247,6 +250,7 @@ def flagship() -> dict:
         "quant": quant,
         "remat": True,
         "skip_last": int(os.environ.get("BENCH_SKIP_LAST", 0)),
+        "quantized_matmul": os.environ.get("BENCH_QMATMUL", "off"),
     }
 
 

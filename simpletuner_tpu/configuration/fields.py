@@ -351,6 +351,15 @@ _f(
     help="Base (frozen) model quantization: no_change | int8-quanto | int8 | fp8 | nf4 ...",
     section="precision",
 )
+_f(
+    "quantized_matmul",
+    FieldType.STR,
+    "off",
+    choices=["off", "forward", "full"],
+    help="Run int8-base matmuls on the int8 MXU path (2x bf16 peak): "
+         "forward = int8 fwd only, full = int8 fwd + int8 dx backward",
+    section="precision",
+)
 _f("text_encoder_precision", FieldType.STR, None, section="precision")
 _f("quantize_via", FieldType.STR, "accelerator", choices=["cpu", "accelerator"], section="precision")
 _f("keep_vae_loaded", FieldType.BOOL, False, section="precision")

@@ -76,6 +76,12 @@ class ModelFoundation:
         self.flavour = getattr(config, "model_flavour", None) or self.DEFAULT_FLAVOUR
         self._module: Optional[nn.Module] = None
         self._alphas_cumprod: Optional[jax.Array] = None
+        # int8 MXU matmul mode is static at trace time; every surface that
+        # builds a model (trainer, bench, inference) routes its config here
+        from ..training.quantization import resolve_quantized_matmul
+        from .layers import set_quantized_matmul
+
+        set_quantized_matmul(resolve_quantized_matmul(config))
 
     # ---- acceleration presets ---------------------------------------------------------
     @classmethod

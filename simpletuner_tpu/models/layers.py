@@ -25,6 +25,16 @@ Dtype = Any
 # (B, rank); None disables.
 _TLORA_MASK: Optional[jax.Array] = None
 
+# int8 MXU matmul mode for quantized frozen bases ("off" | "forward" | "full");
+# static at trace time — set from config before building the jitted step
+# (training/quantization.py int8_dynamic_dot)
+_QUANTIZED_MATMUL: str = "off"
+
+
+def set_quantized_matmul(mode: str) -> None:
+    global _QUANTIZED_MATMUL
+    _QUANTIZED_MATMUL = mode or "off"
+
 
 def set_tlora_mask(mask: Optional[jax.Array]) -> None:
     global _TLORA_MASK
@@ -108,8 +118,19 @@ class LoRADense(nn.Module):
             scale = self.variable(
                 "qscales", "kernel_scale", lambda: jnp.ones((self.features,), jnp.float32)
             ).value
-            kernel = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
-            y = jnp.dot(x.astype(self.dtype), kernel)
+            if kernel.dtype == jnp.int8 and _QUANTIZED_MATMUL != "off":
+                # int8 MXU path: dynamic per-token activation quantization,
+                # s8 x s8 -> s32 contraction (2x bf16 peak on v5e);
+                # "full" runs the dx backward in int8 too
+                from ..training.quantization import int8_dynamic_dot
+
+                y = int8_dynamic_dot(
+                    x.astype(self.dtype), kernel, scale,
+                    _QUANTIZED_MATMUL == "full",
+                )
+            else:
+                kernel = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
+                y = jnp.dot(x.astype(self.dtype), kernel)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:

@@ -262,3 +262,93 @@ def resolve_precision(config: Any) -> Optional[str]:
             "from the reference backend", raw, _SUBSTITUTED[raw],
         )
     return PRECISION_ALIASES[raw]
+
+
+# ---------------------------------------------------------------------------------
+# int8 MXU matmuls (SwitchBack/AQT-style): dynamic per-token activation
+# quantization so the s8 x s8 -> s32 systolic-array path does the work instead
+# of dequantize-then-bf16.  v5e int8 peak is 2x bf16 peak (394 vs 197 TOPS);
+# with a frozen int8 base + LoRA, forward int8 alone cuts step time ~25% and
+# forward+dx int8 up to ~2x on the base matmuls.  Weights stay frozen so the
+# only backward product is dx; its int8 variant pre-scales dy by the
+# per-output-channel weight scale so the contraction is pure int8.
+# Reference capability: quanto/torchao int8 *compute* backends
+# (quantisation/__init__.py:559-999); SwitchBack (Wortsman et al.) for the
+# fwd-int8 / dx-precision split.
+# ---------------------------------------------------------------------------------
+
+
+def _dynamic_quantize(values: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row (last-axis) symmetric int8: returns (int8 values, fp32 scales)."""
+    v = values.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.round(v / scales).astype(jnp.int8)
+    return q, scales
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_dynamic_dot(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+                     bwd_int8: bool = False) -> jax.Array:
+    """y = dequant(x @ W) with the contraction in int8 on the MXU.
+
+    ``x`` (..., in) any float dtype; ``w_q`` (in, out) int8 with per-output
+    ``w_scale`` (out,).  Forward always int8; backward dx runs int8 too when
+    ``bwd_int8`` (dy pre-scaled by w_scale so the scale leaves the
+    contraction), else dequantized bf16 for full-precision gradients."""
+    y, _ = _int8_dot_fwd(x, w_q, w_scale, bwd_int8)
+    return y
+
+
+def _int8_dot_fwd(x, w_q, w_scale, bwd_int8):
+    x_q, x_scales = _dynamic_quantize(x)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (acc.astype(jnp.float32) * x_scales * w_scale.astype(jnp.float32)).astype(x.dtype)
+    return y, (x, w_q, w_scale)
+
+
+def _int8_dot_bwd(bwd_int8, residuals, dy):
+    import numpy as np
+
+    x, w_q, w_scale = residuals
+    if bwd_int8:
+        # dx_j = sum_o dy_o * s_o * w_q[j, o]: fold s into dy, contract int8
+        dy_scaled = dy.astype(jnp.float32) * w_scale.astype(jnp.float32)
+        dy_q, dy_scales = _dynamic_quantize(dy_scaled)
+        acc = jax.lax.dot_general(
+            dy_q, w_q, (((dy.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dx = (acc.astype(jnp.float32) * dy_scales).astype(x.dtype)
+    else:
+        w = (w_q.astype(jnp.float32) * w_scale[None, :].astype(jnp.float32)).astype(jnp.bfloat16)
+        dx = jax.lax.dot_general(
+            dy.astype(jnp.bfloat16), w, (((dy.ndim - 1,), (1,)), ((), ())),
+        ).astype(x.dtype)
+    # the base is frozen: w cotangents exist only to satisfy the vjp contract
+    # (int8 primals take float0 tangents) and are DCE'd by XLA
+    d_wq = np.zeros(w_q.shape, dtype=jax.dtypes.float0)
+    d_ws = jnp.zeros_like(w_scale)
+    return (dx, d_wq, d_ws)
+
+
+int8_dynamic_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
+
+
+QUANTIZED_MATMUL_MODES = ("off", "forward", "full")
+
+
+def resolve_quantized_matmul(config: Any) -> str:
+    raw = getattr(config, "quantized_matmul", None) or "off"
+    if isinstance(raw, bool):
+        raw = "forward" if raw else "off"
+    if raw not in QUANTIZED_MATMUL_MODES:
+        raise ValueError(
+            f"unknown quantized_matmul mode {raw!r}; known: {QUANTIZED_MATMUL_MODES}"
+        )
+    return raw

@@ -219,3 +219,80 @@ class TestInt4:
             float(metrics_fp["loss"]), 1e-6
         )
         assert has_quantized(state_q2.frozen)
+
+
+class TestInt8MXUMatmul:
+    """int8 MXU matmul path (quantized_matmul=forward|full): dynamic
+    per-token activation quantization + s8 x s8 -> s32 contraction
+    (training/quantization.py int8_dynamic_dot; SwitchBack-style)."""
+
+    def test_dot_numerics_and_grads(self):
+        from simpletuner_tpu.training.quantization import (
+            int8_dynamic_dot,
+            quantize_params,
+        )
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 1, (2, 16, 64)), jnp.float32)
+        w = rng.normal(0, 0.05, (64, 96)).astype(np.float32)
+        q = quantize_params({"params": {"m": {"kernel": jnp.asarray(w)}}}, "int8")
+        w_q = q["params"]["m"]["kernel"]
+        w_s = q["qscales"]["m"]["kernel_scale"]
+
+        ref = x @ w
+        y = int8_dynamic_dot(x, w_q, w_s)
+        assert float(jnp.max(jnp.abs(y - ref)) / jnp.max(jnp.abs(ref))) < 0.03
+
+        gref = jax.grad(lambda a: float32_sum_sq(a @ w))(x)
+        g_bf16 = jax.grad(lambda a: float32_sum_sq(int8_dynamic_dot(a, w_q, w_s)))(x)
+        g_int8 = jax.grad(lambda a: float32_sum_sq(int8_dynamic_dot(a, w_q, w_s, True)))(x)
+        scale = float(jnp.max(jnp.abs(gref)))
+        assert float(jnp.max(jnp.abs(g_bf16 - gref))) / scale < 0.03
+        assert float(jnp.max(jnp.abs(g_int8 - gref))) / scale < 0.03
+
+    def test_training_step_matches_dequant_path(self):
+        """10 steps with quantized_matmul on vs off: trajectories track."""
+        from simpletuner_tpu.models.layers import set_quantized_matmul
+
+        losses = {}
+        for mode in ("off", "forward", "full"):
+            cfg = TrainingConfig(
+                {
+                    "model_family": "flux", "model_type": "lora", "lora_rank": 4,
+                    "optimizer": "adamw", "learning_rate": 1e-3,
+                    "max_train_steps": 10, "quantized_matmul": mode,
+                }
+            )
+            model = Flux(cfg, arch=FluxConfig.tiny())  # sets the matmul mode
+            batch = model.example_batch(batch_size=2, resolution=32)
+            variables = model.init_params(jax.random.PRNGKey(0), batch)
+            schedule = get_lr_schedule(cfg, 10)
+            tx = get_optimizer(cfg, schedule)
+            state = create_train_state(model, variables, tx, quantize_mode="int8")
+            step = jax.jit(build_train_step(model, tx, schedule))
+            curve = []
+            for i in range(10):
+                state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+                curve.append(float(metrics["loss"]))
+            losses[mode] = np.asarray(curve)
+        set_quantized_matmul("off")
+        assert np.all(np.isfinite(losses["forward"]))
+        # int8-activation noise shifts the loss only slightly off the
+        # dequant-to-bf16 reference trajectory
+        np.testing.assert_allclose(losses["forward"], losses["off"], rtol=0.1, atol=0.02)
+        np.testing.assert_allclose(losses["full"], losses["off"], rtol=0.1, atol=0.02)
+        # it still learns
+        assert losses["full"][-1] < losses["full"][0]
+
+    def test_unknown_mode_rejected(self):
+        from simpletuner_tpu.training.quantization import resolve_quantized_matmul
+
+        class Cfg:
+            quantized_matmul = "int8-magic"
+
+        with pytest.raises(ValueError, match="quantized_matmul"):
+            resolve_quantized_matmul(Cfg())
+
+
+def float32_sum_sq(a):
+    return jnp.sum(a.astype(jnp.float32) ** 2)
