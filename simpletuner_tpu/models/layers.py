@@ -97,10 +97,23 @@ class LoRADense(nn.Module):
             # HBM holds 0.5 byte/param plus one transient bf16 kernel
             packed = self.get_variable("qscales", "kernel_packed")
             scale = self.get_variable("qscales", "kernel_scale")
-            from ..training.quantization import unpack_int4
+            if _QUANTIZED_MATMUL != "off":
+                # nibbles unpack to int8 in [-7, 7] and ride the same s8
+                # MXU contraction as the int8 base
+                from ..training.quantization import (
+                    int8_dynamic_dot,
+                    unpack_int4_to_int8,
+                )
 
-            kernel = unpack_int4(packed, scale, self.dtype)
-            y = jnp.dot(x.astype(self.dtype), kernel)
+                y = int8_dynamic_dot(
+                    x.astype(self.dtype), unpack_int4_to_int8(packed), scale,
+                    _QUANTIZED_MATMUL == "full",
+                )
+            else:
+                from ..training.quantization import unpack_int4
+
+                kernel = unpack_int4(packed, scale, self.dtype)
+                y = jnp.dot(x.astype(self.dtype), kernel)
             if self.use_bias:
                 bias = self.param(
                     "bias", nn.initializers.zeros, (self.features,), self.param_dtype

@@ -175,10 +175,15 @@ def unpack_int4(packed: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.
     matching the half-split packing above.  Narrow (int8) intermediates and a
     single concat keep the transient footprint at ~1 byte/param before the
     final bf16 kernel."""
+    return (unpack_int4_to_int8(packed).astype(dtype) * scale[None, :].astype(dtype))
+
+
+def unpack_int4_to_int8(packed: jax.Array) -> jax.Array:
+    """Nibbles -> (in, out) int8 values in [-7, 7] (no scale applied): the
+    operand layout the int8 MXU contraction consumes directly."""
     low = (packed & 0xF).astype(jnp.int8) - 8
     high = (packed >> 4).astype(jnp.int8) - 8
-    q = jnp.concatenate([low, high], axis=0)
-    return (q.astype(dtype) * scale[None, :].astype(dtype))
+    return jnp.concatenate([low, high], axis=0)
 
 
 def dequantize_params(frozen: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:

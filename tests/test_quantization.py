@@ -296,3 +296,32 @@ class TestInt8MXUMatmul:
 
 def float32_sum_sq(a):
     return jnp.sum(a.astype(jnp.float32) ** 2)
+
+
+def test_int4_base_int8_mxu_path():
+    """int4 nibbles ride the same s8 MXU contraction when quantized_matmul is
+    on; one step matches the bf16-unpack path closely."""
+    from simpletuner_tpu.models.layers import set_quantized_matmul
+
+    metrics_by_mode = {}
+    for mode in ("off", "forward"):
+        cfg = TrainingConfig(
+            {
+                "model_family": "flux", "model_type": "lora", "lora_rank": 4,
+                "optimizer": "adamw", "learning_rate": 1e-3,
+                "max_train_steps": 4, "quantized_matmul": mode,
+            }
+        )
+        model = Flux(cfg, arch=FluxConfig.tiny())
+        batch = model.example_batch(batch_size=2, resolution=32)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        schedule = get_lr_schedule(cfg, 4)
+        tx = get_optimizer(cfg, schedule)
+        state = create_train_state(model, variables, tx, quantize_mode="int4")
+        step = jax.jit(build_train_step(model, tx, schedule))
+        _, metrics = step(state, batch, jax.random.PRNGKey(7))
+        metrics_by_mode[mode] = float(metrics["loss"])
+    set_quantized_matmul("off")
+    assert np.isfinite(metrics_by_mode["forward"])
+    assert abs(metrics_by_mode["forward"] - metrics_by_mode["off"]) < 0.1 * max(
+        metrics_by_mode["off"], 1e-6)
