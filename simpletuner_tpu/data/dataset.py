@@ -173,7 +173,6 @@ def collate_batch(
             caption = ""
         captions.append(caption)
 
-    embeds = [bundle.text_cache.get(c) for c in captions]
     batch: Dict[str, Any] = {
         "latents": np.stack(latents).astype(np.float32),
         "captions": captions,
@@ -181,7 +180,14 @@ def collate_batch(
         "bucket": samples[0]["bucket"],
         "image_paths": [s["image_path"] for s in samples],
     }
-    batch.update(model.collate_text_embeds(embeds))
+    if getattr(model, "trains_text_encoder", False):
+        # text-encoder training: captions ride as fixed-shape token ids and
+        # encode inside the train step (reference collate tokenizes when the
+        # TE joins the optimizer); the embed cache is bypassed entirely
+        batch.update(model.tokenize_captions(captions))
+    else:
+        embeds = [bundle.text_cache.get(c) for c in captions]
+        batch.update(model.collate_text_embeds(embeds))
 
     # conditioning pairing (ControlNet/edit): fetch the same-named sample's
     # latents from every linked conditioning dataset (reference collate.py:733-994

@@ -364,8 +364,14 @@ def configure_multi_databackend(
                 # pre-tokenised codec training (HeartMuLa): tokens are already
                 # on disk, tags/lyrics tokenize into the grid at collate time
                 continue
-            # text embeds for every caption in the dataset
-            if bundle.text_cache is not None and bundle.text_cache.encode_fn is not None:
+            # text embeds for every caption in the dataset (skipped when the
+            # text encoder trains: embeds are recomputed every step from the
+            # live TE params, a cache would be stale by construction)
+            if (
+                bundle.text_cache is not None
+                and bundle.text_cache.encode_fn is not None
+                and not getattr(model, "trains_text_encoder", False)
+            ):
                 from .captions import get_caption
 
                 captions = []

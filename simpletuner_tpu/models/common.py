@@ -70,6 +70,10 @@ class ModelFoundation:
     DEFAULT_LORA_TARGET: Sequence[str] = ("to_q", "to_k", "to_v", "to_out")
     VAE_SCALING_FACTOR: float = 1.0
     VAE_SHIFT_FACTOR: float = 0.0
+    # --train_text_encoder (reference field_registry sections/training.py:723,
+    # trainer.py:2711): families that wire per-step text encoding opt in;
+    # the reference recommends it for SD 1.x/2.x only
+    SUPPORTS_TEXT_ENCODER_TRAINING: bool = False
 
     def __init__(self, config: Any):
         self.config = config
@@ -149,6 +153,13 @@ class ModelFoundation:
 
     def init_params(self, rng: jax.Array, batch: Optional[Dict[str, jax.Array]] = None):
         batch = batch or self.example_batch()
+        if "te_input_ids" in batch and "text_embeds" not in batch:
+            # train_text_encoder batches carry tokens, not embeds; encode with
+            # the host encoder's current params for shape inference
+            batch = {
+                **batch,
+                **self.apply_text_encoder(self.text_encoders[0].model.params, batch),
+            }
         prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
         inputs = self.get_model_inputs(prepared)
         # jit the init: eager init dispatches thousands of tiny ops (very slow
@@ -384,6 +395,11 @@ class ModelFoundation:
 
     def loss_fn(self, variables, rng: jax.Array, batch: Dict[str, jax.Array]) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Single fused prepare→predict→loss, the body of the train step."""
+        if "te_params" in variables and "te_input_ids" in batch:
+            # text-encoder training: captions encode inside the step with the
+            # trainable TE params so its gradients flow (reference
+            # trainer.py:3394 text encoder joins the optimizer)
+            batch = {**batch, **self.apply_text_encoder(variables["te_params"], batch)}
         prepared = self.prepare_batch(rng, batch)
         if self.lora_rank > 0 and self.lora_algo == "tlora":
             # T-LoRA: per-sample rank gating by noise level (reference
@@ -502,6 +518,38 @@ class ModelFoundation:
     def encode_text(self, prompts: Sequence[str]):
         """Encode prompts -> list of per-prompt embed dicts (cache payload format)."""
         raise NotImplementedError
+
+    # ---- text-encoder training (reference trainer.py:2711,3394: the text
+    # encoder joins the optimizer and captions encode per step instead of
+    # from the cache) -----------------------------------------------------------------------
+    @property
+    def trains_text_encoder(self) -> bool:
+        return bool(getattr(self.config, "train_text_encoder", False))
+
+    def tokenize_captions(self, captions: Sequence[str]) -> Dict[str, Any]:
+        """Captions -> fixed-shape token batch for in-step encoding
+        (static max_length padding keeps XLA shapes stable)."""
+        import numpy as np
+
+        encoder = self.text_encoders[0]
+        tokens = encoder.tokenize(list(captions))
+        return {
+            "te_input_ids": np.asarray(tokens["input_ids"], np.int32),
+            "te_attention_mask": np.asarray(tokens["attention_mask"], np.int32),
+        }
+
+    def apply_text_encoder(self, te_params: Any, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Run the (trainable) text encoder inside the jitted step.  The HF
+        flax module is pure and differentiable — the same model object the
+        caching path uses, now applied with params from the train state."""
+        encoder = self.text_encoders[0]
+        # the HF wrapper fills position_ids and routes params to module.apply
+        out = encoder.model(
+            input_ids=batch["te_input_ids"],
+            attention_mask=batch["te_attention_mask"],
+            params=te_params,  # HF wrapper adds its own {"params": ...} layer
+        )
+        return {"text_embeds": out.last_hidden_state}
 
     def collate_text_embeds(self, embeds: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         """Stack per-prompt cached embed dicts into batch arrays."""

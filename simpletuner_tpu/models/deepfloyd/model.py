@@ -20,6 +20,9 @@ class DeepFloyd(SD1x):
     DDPM_BETA_START = 0.0001
     DDPM_BETA_END = 0.02
     DDPM_BETA_SCHEDULE = "squaredcos_cap_v2"
+    # T5-XXL encoder: in-step TE training untested for the T5 path; keep the
+    # inherited SD1x opt-in off rather than accept-and-maybe-break
+    SUPPORTS_TEXT_ENCODER_TRAINING = False
     LATENT_CHANNEL_COUNT = 3
     DEFAULT_RESOLUTION = 64
     DEFAULT_FLAVOUR = "i-m-400m"

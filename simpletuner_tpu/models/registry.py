@@ -95,4 +95,19 @@ def get_model_family(config: Any):
         raise ValueError("config.model_family is required")
     model = ModelRegistry.create(family, config)
     model.check_user_config()
+    if getattr(config, "train_text_encoder", False):
+        # framework-level invariant (families override check_user_config
+        # without chaining): accept-and-ignore is banned, so unsupported
+        # combinations fail here (reference trainer.py:2711 gates the same)
+        if not model.SUPPORTS_TEXT_ENCODER_TRAINING:
+            raise ValueError(
+                f"train_text_encoder is not supported for model_family="
+                f"{model.NAME!r} (supported: sd1x, sd2x)"
+            )
+        if getattr(config, "model_type", "lora") != "full":
+            raise NotImplementedError(
+                "train_text_encoder currently requires model_type=full "
+                "(text-encoder LoRA is not implemented; the reference "
+                "recommends TE training for full SD 1.x/2.x fine-tunes only)"
+            )
     return model

@@ -18,6 +18,7 @@ from ..unet import UNet2DCondition, UNetConfig
 class SD1x(ModelFoundation):
     NAME = "sd1x"
     PREDICTION_TYPE = "epsilon"
+    SUPPORTS_TEXT_ENCODER_TRAINING = True  # reference-recommended for SD 1.x/2.x
     MODEL_TYPE = "unet"
     LATENT_CHANNEL_COUNT = 4
     DEFAULT_RESOLUTION = 512

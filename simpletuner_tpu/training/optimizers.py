@@ -514,12 +514,32 @@ def get_optimizer(
     config: Any,
     learning_rate: optax.ScalarOrSchedule,
 ) -> optax.GradientTransformation:
-    """Build the optax chain: clip → named optimizer (+ grad accumulation)."""
+    """Build the optax chain: clip → named optimizer (+ grad accumulation).
+
+    With ``train_text_encoder`` and a distinct ``text_encoder_lr`` (reference
+    --text_encoder_lr, field_registry training.py:740), the ``te_params``
+    subtree gets its own optimizer instance at that rate via multi_transform;
+    everything else rides the main schedule.
+    """
     name = (config.get("optimizer") or "adamw").lower()
     if name not in _OPTIMIZERS:
         raise ValueError(f"unknown optimizer {name!r}; known: {optimizer_names()}")
     overrides = parse_optimizer_config(config.get("optimizer_config"))
     tx = _OPTIMIZERS[name](learning_rate, config, overrides)
+
+    te_lr = config.get("text_encoder_lr")
+    if config.get("train_text_encoder") and te_lr:
+        tx_te = _OPTIMIZERS[name](float(te_lr), config, overrides)
+
+        def label_tree(params):
+            return {
+                key: jax.tree_util.tree_map(
+                    lambda _: "te" if key == "te_params" else "model", sub
+                )
+                for key, sub in params.items()
+            }
+
+        tx = optax.multi_transform({"model": tx, "te": tx_te}, label_tree)
 
     chain = []
     max_grad_norm = config.get("max_grad_norm", 1.0)

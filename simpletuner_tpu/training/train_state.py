@@ -46,6 +46,7 @@ def create_train_state(
     quantize_mode: Optional[str] = None,
     teacher_params: Optional[Dict[str, Any]] = None,
     critic_params: Optional[Dict[str, Any]] = None,
+    text_encoder_params: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
     """Split variables into frozen/trainable by model_type and initialize optimizer.
 
@@ -73,6 +74,10 @@ def create_train_state(
     if critic_params is not None:
         # second adapter set trained jointly (DMD fake-score critic)
         trainable["critic_lora"] = critic_params
+    if text_encoder_params is not None:
+        # --train_text_encoder: the TE joins the optimizer (reference
+        # trainer.py:3394); captions encode in-step via model.apply_text_encoder
+        trainable["te_params"] = text_encoder_params
     if quantize_mode:
         if not train_lora:
             raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")
@@ -92,8 +97,9 @@ def create_train_state(
         else:
             frozen = quantize_params(frozen, quantize_mode)
     # EMA shadows only the deliverable adapters — the DMD critic is a throwaway
-    # adversary (reference keeps EMA on the generator only)
-    ema_target = {k: v for k, v in trainable.items() if k != "critic_lora"}
+    # adversary (reference keeps EMA on the generator only) and the text
+    # encoder follows the reference's EMA scope (unet/transformer only)
+    ema_target = {k: v for k, v in trainable.items() if k not in ("critic_lora", "te_params")}
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         frozen=frozen,

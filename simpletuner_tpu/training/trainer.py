@@ -342,6 +342,10 @@ class Trainer:
         """Free host text-encoder memory after all caching (reference trainer.py:2710)."""
         if self.config.get("text_cache_ondemand") or self.config.get("vae_cache_ondemand"):
             return
+        if self.config.get("train_text_encoder"):
+            # the TE trains in-step: the module (and tokenizer) must stay
+            # resident for the whole run (reference trainer.py:2711)
+            return
         self.model.text_encoders = []
 
     def _resolve_pretrained_transformer(self) -> Optional[str]:
@@ -552,6 +556,9 @@ class Trainer:
 
         from .quantization import resolve_precision
 
+        text_encoder_params = None
+        if self.config.get("train_text_encoder"):
+            text_encoder_params = self.model.text_encoders[0].model.params
         state = create_train_state(
             self.model,
             self.variables,
@@ -560,6 +567,7 @@ class Trainer:
             quantize_mode=resolve_precision(self.config),
             teacher_params=getattr(self, "teacher_params", None),
             critic_params=getattr(self, "critic_params", None),
+            text_encoder_params=text_encoder_params,
         )
         step_fn = build_train_step(
             self.model,
@@ -679,6 +687,39 @@ class Trainer:
         except Exception as exc:
             logger.warning("LoRA export failed: %s", exc)
 
+    def _sync_trained_text_encoder(self) -> None:
+        """Copy live ``te_params`` from the train state back into the host
+        encoder so validation prompt encoding and exports see the trained
+        weights (reference: the pipeline is rebuilt around the trained TE)."""
+        te = getattr(self, "_state", None)
+        te = te.trainable.get("te_params") if te is not None else None
+        if te is None or not self.model.text_encoders:
+            return
+        self.model.text_encoders[0].model.params = jax.device_get(te)
+
+    def _export_text_encoder(self, out_dir: str) -> None:
+        """Trained TE -> torch-layout safetensors diffusers consumers load
+        (transformers' flax->pt conversion; reference save_hooks exports the
+        text encoder next to the unet for full fine-tunes)."""
+        import torch
+        from transformers import CLIPTextConfig, CLIPTextModel
+        from transformers.modeling_flax_pytorch_utils import (
+            load_flax_weights_in_pytorch_model,
+        )
+
+        encoder = self.model.text_encoders[0]
+        config = encoder.model.config
+        if not isinstance(config, CLIPTextConfig):  # pragma: no cover
+            raise NotImplementedError(
+                f"text-encoder export implemented for CLIP only, got {type(config).__name__}"
+            )
+        with torch.device("cpu"):
+            pt_model = CLIPTextModel(config)
+        pt_model = load_flax_weights_in_pytorch_model(pt_model, encoder.model.params)
+        te_dir = os.path.join(out_dir, "text_encoder")
+        pt_model.save_pretrained(te_dir, safe_serialization=True)
+        logger.info("exported trained text encoder to %s", te_dir)
+
     def _export_pipeline(self, checkpoint_path: str) -> None:
         """Full-rank export: diffusers-layout safetensors alongside the Orbax
         checkpoint (reference save_hooks.py:271 model-type-aware save,
@@ -701,12 +742,16 @@ class Trainer:
                 for key, value in self._state.variables().items()
                 if key in ("params", "controlnet")
             }
+            pipeline_dir = os.path.join(checkpoint_path, "pipeline")
             save_full_pipeline(
                 self.model,
                 variables,
-                os.path.join(checkpoint_path, "pipeline"),
+                pipeline_dir,
                 metadata=safetensors_modelspec(self.model, self.config),
             )
+            if "te_params" in self._state.trainable:
+                self._sync_trained_text_encoder()
+                self._export_text_encoder(pipeline_dir)
         except Exception as exc:
             logger.warning("full-pipeline export failed: %s", exc)
 
@@ -923,6 +968,7 @@ class Trainer:
 
                 if self.validation is not None and self.validation.would_validate(self.global_step):
                     use_ema = bool(self.config.get("use_ema_for_validation")) and self._state.ema is not None
+                    self._sync_trained_text_encoder()
                     self.validation.run_validations(
                         self._state.variables(use_ema=use_ema), self.global_step
                     )
