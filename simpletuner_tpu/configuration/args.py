@@ -28,6 +28,12 @@ class TrainingConfig:
             for key, value in values.items():
                 self._values[normalize_key(key)] = value
         self._cross_validate()
+        if values:
+            # fail-loud ledger: configured fields the build deliberately does
+            # not wire warn that they have no effect (configuration/wiring.py)
+            from .wiring import warn_unwired
+
+            warn_unwired(self)
 
     # -- mapping / attribute protocol ---------------------------------------------------
     def __getattr__(self, name: str) -> Any:

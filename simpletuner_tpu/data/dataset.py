@@ -254,7 +254,12 @@ def collate_batch(
                     (latent_w, latent_h), _Image.BILINEAR
                 )
                 masks.append((np.asarray(mask, np.float32) / 255.0 > 0.5).astype(np.float32))
-            batch["loss_mask"] = np.stack(masks)[..., None]
+            # --masked_loss_probability (reference masked-loss training):
+            # apply the mask to only a fraction of batches; the rest train on
+            # the full frame so the background doesn't collapse. 1.0 = always.
+            mask_prob = float(getattr(model.config, "masked_loss_probability", 1.0) or 1.0)
+            if mask_prob >= 1.0 or rng.random() < mask_prob:
+                batch["loss_mask"] = np.stack(masks)[..., None]
 
         if ref_bundles:
             if conditioning_sampling == "random" and len(ref_bundles) > 1:

@@ -268,6 +268,8 @@ class ModelFoundation:
         # offset noise (reference --noise_offset/--noise_offset_probability):
         # channel-wise low-frequency offsets, applied per-sample with prob p
         offset = float(getattr(self.config, "noise_offset", 0.0) or 0.0)
+        if not offset and getattr(self.config, "offset_noise", False):
+            offset = 0.1  # --offset_noise bool switch at the reference default strength
         if offset > 0:
             rng_off, rng_gate = jax.random.split(jax.random.fold_in(rng, 0x0F))
             off_shape = (batch_size,) + (1,) * (latents.ndim - 2) + (latents.shape[-1],)

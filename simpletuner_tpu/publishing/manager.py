@@ -105,9 +105,14 @@ class PublishingManager:
         except Exception as exc:
             logger.warning("post-checkpoint script failed: %s", exc)
 
-    def on_checkpoint(self, checkpoint_path: str) -> None:
-        """Everything that follows a checkpoint: card, uploads, user script."""
-        self.push_to_hub(checkpoint_path)
+    def on_checkpoint(self, checkpoint_path: str, final: bool = False) -> None:
+        """Everything that follows a checkpoint: card, uploads, user script.
+
+        Intermediate checkpoints push to the hub only with
+        --push_checkpoints_to_hub (reference cmd_args: push_to_hub covers the
+        final artifact, push_checkpoints_to_hub every interval)."""
+        if final or self.config.get("push_checkpoints_to_hub"):
+            self.push_to_hub(checkpoint_path)
         self.upload_to_provider(checkpoint_path)
         self.run_post_checkpoint_script(checkpoint_path)
 

@@ -62,6 +62,13 @@ def safetensors_modelspec(
     if description:
         spec["modelspec.description"] = str(description)
     words = list(trigger_words or [])
+    explicit = config.get("modelspec_trigger_words")
+    if explicit:
+        if isinstance(explicit, str):
+            explicit = [w.strip() for w in explicit.split(",") if w.strip()]
+        for w in reversed(list(explicit)):
+            if w not in words:
+                words.insert(0, w)
     trigger = config.get("instance_prompt")
     if trigger and str(trigger) not in words:
         words.insert(0, str(trigger))
@@ -124,6 +131,9 @@ def build_model_card(
     ]
     if config.get("lora_rank") and adapter == "lora":
         lines.append(f"- LoRA rank: {config.get('lora_rank')}")
+    if config.get("model_card_note"):
+        # --model_card_note: freeform operator note at the top of the card
+        lines += ["", str(config.get("model_card_note"))]
     if config.get("instance_prompt"):
         lines += ["", f"Trigger phrase: `{config.get('instance_prompt')}`"]
     if validation_images:

@@ -15,8 +15,24 @@ import jax
 import jax.numpy as jnp
 
 
-def classifier_free_guidance(cond: jax.Array, uncond: jax.Array, scale: float) -> jax.Array:
-    return uncond + scale * (cond - uncond)
+def classifier_free_guidance(
+    cond: jax.Array,
+    uncond: jax.Array,
+    scale: float,
+    rescale: float = 0.0,
+) -> jax.Array:
+    """CFG with optional rescaling (reference --validation_guidance_rescale;
+    Lin et al. "Common Diffusion Noise Schedules and Sample Steps are Flawed"
+    eq. 15-16: renormalize the guided prediction's per-sample std toward the
+    conditional prediction's to curb overexposure)."""
+    guided = uncond + scale * (cond - uncond)
+    if not rescale:
+        return guided
+    axes = tuple(range(1, guided.ndim))
+    std_cond = jnp.std(cond, axis=axes, keepdims=True)
+    std_guided = jnp.maximum(jnp.std(guided, axis=axes, keepdims=True), 1e-8)
+    renorm = guided * (std_cond / std_guided)
+    return rescale * renorm + (1.0 - rescale) * guided
 
 
 def sample_loop(

@@ -29,6 +29,7 @@ class EvalLoss:
         seed: int = 1234,
         max_batches: int = 8,
         eval_dataset_ids=None,
+        draws_per_batch: int = 1,
     ):
         self.model = model
         ids = (
@@ -47,6 +48,9 @@ class EvalLoss:
         ]
         self.seed = seed
         self.max_batches = max_batches
+        # --eval_timesteps: deterministic draws per batch (fixed rng fan-out)
+        # average noise/timestep sampling variance out of the eval-loss metric
+        self.draws_per_batch = max(1, int(draws_per_batch))
         self._loss_jit = None
 
     @property
@@ -75,7 +79,10 @@ class EvalLoss:
                     for k, v in raw.items()
                     if isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
                 }
-                losses.append(float(self._loss_jit(variables, batch, jax.random.fold_in(rng, count))))
+                for draw in range(self.draws_per_batch):
+                    losses.append(float(self._loss_jit(
+                        variables, batch,
+                        jax.random.fold_in(rng, count * 1009 + draw))))
                 count += 1
                 if count >= self.max_batches:
                     break

@@ -105,6 +105,8 @@ def build_trackers(config, output_dir: str) -> List[BaseTracker]:
     run_name = getattr(config, "tracker_run_name", None) or "simpletuner-tpu"
     project = getattr(config, "tracker_project_name", None) or "simpletuner-tpu"
     trackers: List[BaseTracker] = [JSONLTracker(output_dir, run_name)]
+    # --logging_dir overrides where tracker files land (reference cmd_args)
+    output_dir = str(getattr(config, "logging_dir", None) or output_dir)
     for name in report_to.replace("+", ",").split(","):
         name = name.strip()
         if name in ("", "none", "jsonl"):

@@ -99,6 +99,21 @@ class Trainer:
         self.global_step = 0
         self.epoch = 0
         self.grad_accum_steps = int(self.config.get("gradient_accumulation_steps", 1) or 1)
+        if int(self.config.get("tensor_parallel_size", 1) or 1) != 1:
+            # the reference hardcodes tp_size=1 too (context_parallel.py:137);
+            # shard via mesh axes (fsdp/context) instead — fail loudly rather
+            # than accept-and-ignore
+            raise ValueError(
+                "tensor_parallel_size != 1 is not supported (the reference has no TP "
+                "either); use fsdp/context mesh axes for model sharding"
+            )
+        mechanism = self.config.get("attention_mechanism")
+        if mechanism and mechanism != "auto":
+            # reference AttentionBackendController alias names route to the
+            # TPU backends (pallas flash / xla sdpa) in ops/attention.py
+            from ..ops.attention import set_attention_backend
+
+            set_attention_backend(str(mechanism))
         self.data_plane = None
         self.vae = None
         self.vae_params = None
@@ -114,7 +129,7 @@ class Trainer:
         self.checkpoint_manager = CheckpointManager(
             self.output_dir,
             total_limit=self.config.get("checkpoints_total_limit"),
-            rolling_total_limit=int(self.config.get("checkpointing_rolling_total_limit", 1) or 1),
+            rolling_total_limit=int(self.config.get("checkpoints_rolling_total_limit", 1) or 1),
             async_save=bool(self.config.get("checkpointing_use_async", False)),
         )
 
@@ -158,9 +173,17 @@ class Trainer:
                 "random-weight text encoders produce garbage conditioning — set "
                 "allow_untrained_init=true only for from-scratch runs"
             )
+        specs = self.model.TEXT_ENCODER_CONFIGURATION
+        max_len = self.config.get("tokenizer_max_length")
+        if max_len:
+            # --tokenizer_max_length caps every encoder's sequence (reference
+            # cmd_args; families with multiple TEs all honor it)
+            import dataclasses as _dc
+
+            specs = tuple(_dc.replace(s, max_length=int(max_len)) for s in specs)
         self.model.attach_text_encoders(
             load_text_encoders(
-                self.model.TEXT_ENCODER_CONFIGURATION,
+                specs,
                 pretrained_path=te_path,
                 tiny=tiny,
             )
@@ -334,7 +357,9 @@ class Trainer:
             self.model,
             list(self.data_plane.bundles.values()) if self.data_plane else [],
             seed=self.seed,
+            max_batches=int(self.config.get("num_eval_images", 8) or 8),
             eval_dataset_ids=self.config.get("eval_dataset_id"),
+            draws_per_batch=int(self.config.get("eval_timesteps", 1) or 1),
         )
         self._stage("init_validations", "completed")
 
@@ -626,7 +651,7 @@ class Trainer:
         self.publishing = PublishingManager(self.model, self.config, self.output_dir)
 
     # ---- checkpointing ----------------------------------------------------------------------
-    def save_checkpoint(self, rolling: bool = False) -> str:
+    def save_checkpoint(self, rolling: bool = False, final: bool = False) -> str:
         extra = {
             "global_step": self.global_step,
             "epoch": self.epoch,
@@ -647,7 +672,7 @@ class Trainer:
             self._export_lora(final_path, lora_snapshot)
             self._export_pipeline(final_path)
             if getattr(self, "publishing", None) is not None:
-                self.publishing.on_checkpoint(final_path)
+                self.publishing.on_checkpoint(final_path, final=final)
 
         return self.checkpoint_manager.save(
             self.global_step, self._state, extra, rolling, on_complete=on_complete
@@ -967,11 +992,24 @@ class Trainer:
                             tracker.log({"eval_loss": value}, self.global_step)
 
                 if self.validation is not None and self.validation.would_validate(self.global_step):
-                    use_ema = bool(self.config.get("use_ema_for_validation")) and self._state.ema is not None
+                    # --ema_validation (reference): none | ema_only | comparison;
+                    # use_ema_for_validation=True is the ema_only shorthand
+                    ema_mode = str(self.config.get("ema_validation") or "comparison")
+                    has_ema = self._state.ema is not None
+                    use_ema = has_ema and (
+                        bool(self.config.get("use_ema_for_validation"))
+                        or ema_mode == "ema_only"
+                    )
                     self._sync_trained_text_encoder()
                     self.validation.run_validations(
                         self._state.variables(use_ema=use_ema), self.global_step
                     )
+                    if has_ema and ema_mode == "comparison" and not use_ema:
+                        # second pass with the EMA shadow for side-by-side files
+                        self.validation.run_validations(
+                            self._state.variables(use_ema=True), self.global_step,
+                            force=True, slug="_ema",
+                        )
 
                 self._consume_signals()
 
@@ -984,7 +1022,7 @@ class Trainer:
 
             # final checkpoint + validation (reference trainer.py:7274 final export)
             if self.global_step > start_step:
-                self.save_checkpoint()
+                self.save_checkpoint(final=True)
             validation_paths = []
             if self.validation is not None:
                 validation_paths = self.validation.run_validations(
@@ -1036,7 +1074,11 @@ class Trainer:
         out = dict(raw)
         for key, value in embeds.items():
             out[key] = np.broadcast_to(value, (batch_size,) + value.shape[1:]).copy()
-        out["slider_scale"] = np.asarray(1.0 if positive else -1.0, np.float32)
+        # ± adapter strengths (reference --slider_lora_target_strength /
+        # --slider_lora_negative_strength, trainer.py:6584-6603)
+        target = float(self.config.get("slider_lora_target_strength", 1.0) or 1.0)
+        negative = float(self.config.get("slider_lora_negative_strength", 1.0) or 1.0)
+        out["slider_scale"] = np.asarray(target if positive else -negative, np.float32)
         return out
 
     def _consume_signals(self) -> None:

@@ -23,6 +23,19 @@ from ..webhooks.events import validation_event
 
 logger = logging.getLogger(__name__)
 
+# default validation prompts used by --validation_prompt_library when no user
+# library file is configured (reference: simpletuner's built-in prompt library)
+BUILTIN_PROMPT_LIBRARY: Dict[str, str] = {
+    "woman": "a woman, hanging out on the beach",
+    "man": "a man playing guitar in a park",
+    "child": "a child flying a kite on a sunny day",
+    "animal": "a golden retriever running through a field",
+    "landscape": "an alpine lake at sunrise, mist over the water",
+    "architecture": "a futuristic city skyline at night, neon reflections",
+    "still_life": "a bowl of fruit on a wooden table, soft window light",
+    "abstract": "colorful abstract shapes, flowing gradients",
+}
+
 
 def build_scheduler(model, num_steps: int, image_seq_len: Optional[int] = None):
     """Per-family inference scheduler (reference validation.py:2778 setup_scheduler)."""
@@ -120,6 +133,10 @@ class Validation:
 
             with open(library) as handle:
                 self.prompts.extend(json.load(handle).values())
+        elif getattr(config, "validation_prompt_library", False):
+            # --validation_prompt_library without a user file: the built-in
+            # library (reference ships a default prompt set for this flag)
+            self.prompts.extend(BUILTIN_PROMPT_LIBRARY.values())
 
         self.num_steps = int(getattr(config, "validation_num_inference_steps", 20) or 20)
         raw_res = getattr(config, "validation_resolution", None) or getattr(config, "resolution", 512) or 512
@@ -144,6 +161,15 @@ class Validation:
         except Exception as exc:
             logger.warning("validation embed precompute failed (%s); disabling validation", exc)
             self.disabled = True
+
+    def _cfg_params(self, scheduler):
+        """(rescale, no-cfg t-threshold) for the guided denoise closures
+        (reference --validation_guidance_rescale /
+        --validation_no_cfg_until_timestep)."""
+        rescale = float(getattr(self.config, "validation_guidance_rescale", 0.0) or 0.0)
+        until = int(getattr(self.config, "validation_no_cfg_until_timestep", 0) or 0)
+        no_cfg_t = scheduler.timestep(min(until, scheduler.num_steps - 1)) if until > 0 else None
+        return rescale, no_cfg_t
 
     def _wants_cfg(self) -> bool:
         """True CFG (two forward passes) for families without guidance embeds."""
@@ -195,8 +221,10 @@ class Validation:
         size = self.resolution // factor
         return (batch_size, size, size, channels)
 
-    def run_validations(self, variables, step: int, force: bool = False) -> List[str]:
-        """Render every prompt; returns saved file paths."""
+    def run_validations(self, variables, step: int, force: bool = False,
+                        slug: str = "") -> List[str]:
+        """Render every prompt; returns saved file paths.  ``slug`` suffixes
+        filenames (e.g. "_ema" for the EMA comparison pass)."""
         if not self.would_validate(step, force):
             return []
         method = (
@@ -212,8 +240,8 @@ class Validation:
                 "simpletuner-local or external-script"
             )
         paths: List[str] = []
-        for slug, run_variables in self._adapter_runs(variables):
-            paths.extend(self._run_one_pass(run_variables, step, slug))
+        for adapter_slug, run_variables in self._adapter_runs(variables):
+            paths.extend(self._run_one_pass(run_variables, step, slug + adapter_slug))
         return paths
 
     def _run_external_validation(self, step: int) -> bool:
@@ -365,6 +393,7 @@ class Validation:
 
         model = self.model
         decode = self.decode_fn
+        cfg_rescale, no_cfg_t = self._cfg_params(scheduler)
 
         def sample(variables, cond, uncond, noise):
             if uncond is not None:
@@ -374,8 +403,14 @@ class Validation:
                 uncond_fn = model.denoise_fn(variables, uncond)
 
                 def denoise(latents, t):
+                    scale = guidance_scale
+                    if no_cfg_t is not None:
+                        # CFG off for the first N steps (t descends during
+                        # sampling; reference --validation_no_cfg_until_timestep)
+                        scale = jnp.where(t > no_cfg_t, 1.0, guidance_scale)
                     return classifier_free_guidance(
-                        cond_fn(latents, t), uncond_fn(latents, t), guidance_scale
+                        cond_fn(latents, t), uncond_fn(latents, t), scale,
+                        rescale=cfg_rescale,
                     )
             else:
                 denoise = model.denoise_fn(variables, cond)
@@ -394,7 +429,13 @@ class Validation:
         images = []
         is_audio = getattr(self.model, "MODALITY", "image") == "audio"
         batched = self._render_batch(variables) if self._parallel_eligible() else None
+        num_images = max(1, int(getattr(self.config, "num_validation_images", 1) or 1))
         for index, (prompt, embeds) in enumerate(zip(self.prompts, self._embeds)):
+            # extra per-prompt variants (reference --num_validation_images):
+            # distinct noise via a disjoint fold_in index space
+            for variant in range(1, num_images):
+                extra = self._render(variables, embeds, index + 7919 * variant)
+                self._save_variant(extra, step, index, variant, slug)
             image = batched[index] if batched is not None else self._render(variables, embeds, index)
             is_video = image.ndim == 4
             ext = "wav" if is_audio else ("mp4" if is_video else "png")
@@ -429,6 +470,22 @@ class Validation:
             except Exception as exc:
                 logger.debug("tracker image log failed: %s", exc)
         return paths
+
+    def _save_variant(self, image: np.ndarray, step: int, index: int,
+                      variant: int, slug: str = "") -> None:
+        is_audio = getattr(self.model, "MODALITY", "image") == "audio"
+        is_video = image.ndim == 4
+        ext = "wav" if is_audio else ("mp4" if is_video else "png")
+        filename = os.path.join(
+            self.output_dir, "validation", f"step_{step}_{index}_v{variant}{slug}.{ext}")
+        os.makedirs(os.path.dirname(filename), exist_ok=True)
+        if is_audio:
+            self._save_wav(image, filename, int(getattr(
+                self.config, "validation_audio_sample_rate", 44100) or 44100))
+        elif is_video:
+            self._save_video(image, filename)
+        else:
+            self._save_png(image, filename)
 
     def _render(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
         supports = getattr(self.model, "supports_multistage_validation", None)
@@ -520,6 +577,8 @@ class Validation:
             tae_decode = self._tae_decode
             preview_interval = self.preview_interval
 
+            cfg_rescale, no_cfg_t = self._cfg_params(scheduler)
+
             def sample(variables, cond, uncond, noise, init_latents=None):
                 if uncond is not None:
                     from ..schedulers import classifier_free_guidance
@@ -528,8 +587,12 @@ class Validation:
                     uncond_fn = model.denoise_fn(variables, uncond)
 
                     def denoise(latents, t):
+                        scale = guidance_scale
+                        if no_cfg_t is not None:
+                            scale = jnp.where(t > no_cfg_t, 1.0, guidance_scale)
                         return classifier_free_guidance(
-                            cond_fn(latents, t), uncond_fn(latents, t), guidance_scale
+                            cond_fn(latents, t), uncond_fn(latents, t), scale,
+                            rescale=cfg_rescale,
                         )
                 else:
                     denoise = model.denoise_fn(variables, cond)
