@@ -467,6 +467,17 @@ class Trainer:
     def init_trainable_peft_adapter(self) -> None:
         if self.model.lora_rank > 0 and "lora" not in self.variables:
             raise ValueError("model_type=lora but the module produced no lora collection")
+        init_lora = self.config.get("init_lora")
+        if init_lora and self.model.lora_rank > 0:
+            # --init_lora: warm-start the adapter from an existing LoRA file
+            # (diffusers or ComfyUI layout; reference trainer init_lora path)
+            import jax.numpy as _jnp
+
+            from .lora import load_lora_safetensors
+
+            loaded = load_lora_safetensors(self.model, str(init_lora), self.variables["lora"])
+            self.variables["lora"] = jax.tree_util.tree_map(_jnp.asarray, loaded)
+            logger.info("warm-started LoRA adapter from %s", init_lora)
 
     def init_ema_model(self) -> None:
         self.ema_config = None
