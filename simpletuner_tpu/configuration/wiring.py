@@ -122,7 +122,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "lora_init_type": "only the default gaussian-A/zero-B init exists",
     "init_lora": "",  # wired (trainer warm-start); kept for audit clarity
     "init_lokr_norm": "LoKr norm-preserving init not implemented",
-    "use_dora": "DoRA decomposition not implemented",
+    "use_dora": "",  # wired (lora_algo="dora" in LoRADense); kept for audit clarity
     "singlora_ramp_up_steps": "SingLoRA u(t) ramp rides the LR schedule",
     "peft_lora_target_modules": "use the per-family DEFAULT_LORA_TARGET",
     "slider_lora_target": "slider trains the whole adapter; no submodule pick",

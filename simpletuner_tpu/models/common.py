@@ -622,6 +622,9 @@ class ModelFoundation:
             (getattr(self.config, "peft_lora_mode", None) or "standard").lower() == "singlora"
         ):
             return "singlora"
+        if getattr(self.config, "use_dora", False):
+            # PEFT --use_dora: weight-decomposed LoRA (magnitude + direction)
+            return "dora"
         return "lora"
 
     def huggingface_path(self) -> Optional[str]:

@@ -89,6 +89,11 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
+        # DoRA needs the dense kernel for the direction norm, so it bypasses
+        # the int8-MXU fast paths (dequant still happens inside remat scope)
+        dora = self.lora_algo == "dora" and self.lora_rank > 0
+        kernel_dense = None
+        y = None
         if not self.is_initializing() and self.has_variable("qscales", "kernel_packed"):
             # int4 frozen base (training/quantization.py): the kernel rides the
             # qscales collection as packed nibbles ((in/2, out) uint8) because
@@ -97,7 +102,7 @@ class LoRADense(nn.Module):
             # HBM holds 0.5 byte/param plus one transient bf16 kernel
             packed = self.get_variable("qscales", "kernel_packed")
             scale = self.get_variable("qscales", "kernel_scale")
-            if _QUANTIZED_MATMUL != "off":
+            if _QUANTIZED_MATMUL != "off" and not dora:
                 # nibbles unpack to int8 in [-7, 7] and ride the same s8
                 # MXU contraction as the int8 base
                 from ..training.quantization import (
@@ -112,44 +117,83 @@ class LoRADense(nn.Module):
             else:
                 from ..training.quantization import unpack_int4
 
-                kernel = unpack_int4(packed, scale, self.dtype)
-                y = jnp.dot(x.astype(self.dtype), kernel)
-            if self.use_bias:
-                bias = self.param(
-                    "bias", nn.initializers.zeros, (self.features,), self.param_dtype
-                )
-                y = y + bias.astype(self.dtype)
-            return self._apply_adapter(x, y, in_features)
-        kernel = self.param(
-            "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
-        )
-        if kernel.dtype in (jnp.int8, jnp.dtype(jnp.float8_e4m3fn)):
-            # quantized frozen base (training/quantization.py use-site layout):
-            # per-output-channel scales ride the ``qscales`` collection and the
-            # dequant happens HERE — inside the block's remat scope — so HBM
-            # only ever holds the int8 copy plus one transient bf16 kernel
-            scale = self.variable(
-                "qscales", "kernel_scale", lambda: jnp.ones((self.features,), jnp.float32)
-            ).value
-            if kernel.dtype == jnp.int8 and _QUANTIZED_MATMUL != "off":
-                # int8 MXU path: dynamic per-token activation quantization,
-                # s8 x s8 -> s32 contraction (2x bf16 peak on v5e);
-                # "full" runs the dx backward in int8 too
-                from ..training.quantization import int8_dynamic_dot
-
-                y = int8_dynamic_dot(
-                    x.astype(self.dtype), kernel, scale,
-                    _QUANTIZED_MATMUL == "full",
-                )
-            else:
-                kernel = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
-                y = jnp.dot(x.astype(self.dtype), kernel)
+                kernel_dense = unpack_int4(packed, scale, self.dtype)
         else:
-            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            kernel = self.param(
+                "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
+            )
+            if kernel.dtype in (jnp.int8, jnp.dtype(jnp.float8_e4m3fn)):
+                # quantized frozen base (training/quantization.py use-site layout):
+                # per-output-channel scales ride the ``qscales`` collection and the
+                # dequant happens HERE — inside the block's remat scope — so HBM
+                # only ever holds the int8 copy plus one transient bf16 kernel
+                scale = self.variable(
+                    "qscales", "kernel_scale", lambda: jnp.ones((self.features,), jnp.float32)
+                ).value
+                if kernel.dtype == jnp.int8 and _QUANTIZED_MATMUL != "off" and not dora:
+                    # int8 MXU path: dynamic per-token activation quantization,
+                    # s8 x s8 -> s32 contraction (2x bf16 peak on v5e);
+                    # "full" runs the dx backward in int8 too
+                    from ..training.quantization import int8_dynamic_dot
+
+                    y = int8_dynamic_dot(
+                        x.astype(self.dtype), kernel, scale,
+                        _QUANTIZED_MATMUL == "full",
+                    )
+                else:
+                    kernel_dense = (kernel.astype(jnp.float32) * scale[None, :]).astype(self.dtype)
+            else:
+                kernel_dense = kernel.astype(self.dtype)
+        if y is None:
+            if dora:
+                # magnitude applies pre-bias; DoRA replaces base + adapter
+                y = self._dora_output(x, kernel_dense, in_features)
+            else:
+                y = jnp.dot(x.astype(self.dtype), kernel_dense)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
+        if dora:
+            return y
         return self._apply_adapter(x, y, in_features)
+
+    def _dora_output(self, x: jax.Array, kernel: jax.Array, in_features: int) -> jax.Array:
+        """DoRA (Liu et al. 2024; PEFT use_dora=True): W' = m ⊙ (W+ΔW)/‖W+ΔW‖_c
+        with the column norm detached (PEFT layer.py _get_weight_norm().detach())
+        and m initialized to ‖W₀‖_c so W' = W₀ at step 0."""
+        rank = self.lora_rank
+        alpha = self.lora_alpha if self.lora_alpha is not None else float(rank)
+        scale = alpha / rank
+        lora_a = self.variable(
+            "lora",
+            "lora_A",
+            lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, (in_features, rank), self.param_dtype),
+            self.make_rng("params") if self.is_initializing() else None,
+        )
+        lora_b = self.variable(
+            "lora",
+            "lora_B",
+            lambda rng: jnp.zeros((rank, self.features), self.param_dtype),
+            None,
+        )
+        k32 = kernel.astype(jnp.float32)
+        magnitude = self.variable(
+            "lora",
+            "dora_m",
+            lambda rng: jnp.linalg.norm(k32, axis=0),
+            None,
+        )
+        a32 = lora_a.value.astype(jnp.float32)
+        b32 = lora_b.value.astype(jnp.float32)
+        norm = jnp.linalg.norm(k32 + scale * (a32 @ b32), axis=0)
+        norm = jax.lax.stop_gradient(jnp.maximum(norm, 1e-9))
+        mag_scale = (magnitude.value.astype(jnp.float32) / norm).astype(self.dtype)
+        base = jnp.dot(x.astype(self.dtype), kernel)
+        delta = scale * jnp.dot(
+            jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype)),
+            lora_b.value.astype(self.dtype),
+        )
+        return (base + delta) * mag_scale
 
     def _apply_adapter(self, x: jax.Array, y: jax.Array, in_features: int) -> jax.Array:
         if self.lora_rank <= 0:

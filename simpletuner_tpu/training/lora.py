@@ -26,10 +26,13 @@ def flatten_lora(lora_params: Dict[str, Any]) -> Dict[str, Dict[str, np.ndarray]
     def walk(node, path):
         if isinstance(node, dict):
             if "lora_A" in node and "lora_B" in node:
-                out["/".join(path)] = {
+                entry = {
                     "lora_A": np.asarray(node["lora_A"], np.float32),
                     "lora_B": np.asarray(node["lora_B"], np.float32),
                 }
+                if "dora_m" in node:  # DoRA magnitude vector rides along
+                    entry["dora_m"] = np.asarray(node["dora_m"], np.float32)
+                out["/".join(path)] = entry
                 return
             if "lokr_w1" in node and "lokr_w2" in node:
                 out["/".join(path)] = {
@@ -726,11 +729,18 @@ def lora_state_dict(
             continue
         a = leaves["lora_A"]  # (in, r)
         b = leaves["lora_B"]  # (r, out)
+        dora_m = leaves.get("dora_m")  # (out,) DoRA magnitude (PEFT use_dora)
         if isinstance(target, list):  # fused projection: shared A, sliced B
             for name, start, end in target:
                 _emit(tensors, prefix + name, a, b[:, start:end], alpha, format)
+                if dora_m is not None:
+                    tensors[f"{prefix}{name}.lora_magnitude_vector.weight"] = (
+                        np.ascontiguousarray(dora_m[start:end]))
         else:
             _emit(tensors, prefix + target, a, b, alpha, format)
+            if dora_m is not None:
+                tensors[f"{prefix}{target}.lora_magnitude_vector.weight"] = (
+                    np.ascontiguousarray(dora_m))
     return tensors
 
 
@@ -858,6 +868,13 @@ def load_lora_safetensors(model, path: str, template: Dict[str, Any]) -> Dict[st
                     b[offset: offset + r, start:end] = b_part.T
                     offset += r
             out[path_key] = {"lora_A": a.astype(np.float32), "lora_B": b.astype(np.float32)}
+            if "dora_m" in leaves:
+                m = np.array(leaves["dora_m"], np.float32, copy=True)
+                for name, start, end in target:
+                    m_key = f"{prefix}{name}.lora_magnitude_vector.weight"
+                    if m_key in normalized:
+                        m[start:end] = normalized[m_key]
+                out[path_key]["dora_m"] = m
         else:
             a_key = f"{prefix}{target}.lora_A.weight"
             b_key = f"{prefix}{target}.lora_B.weight"
@@ -866,6 +883,13 @@ def load_lora_safetensors(model, path: str, template: Dict[str, Any]) -> Dict[st
                     "lora_A": normalized[a_key].T.astype(np.float32),
                     "lora_B": normalized[b_key].T.astype(np.float32),
                 }
+                if "dora_m" in leaves:
+                    m_key = f"{prefix}{target}.lora_magnitude_vector.weight"
+                    out[path_key]["dora_m"] = (
+                        normalized[m_key].astype(np.float32)
+                        if m_key in normalized
+                        else np.asarray(leaves["dora_m"], np.float32)
+                    )
             else:
                 missing.append(path_key)
                 out[path_key] = leaves

@@ -63,9 +63,9 @@ def test_unimplemented_field_warns(caplog):
         TrainingConfig({
             "model_family": "flux", "optimizer": "adamw",
             "learning_rate": 1e-4, "max_train_steps": 1,
-            "use_dora": True,
+            "refiner_training": True,
         })
-    assert any("use_dora" in rec.message and "NO effect" in rec.message
+    assert any("refiner_training" in rec.message and "NO effect" in rec.message
                for rec in caplog.records), "unwired field set without a warning"
 
 
