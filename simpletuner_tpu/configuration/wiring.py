@@ -144,7 +144,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "custom_text_encoder_intermediary_layers": "hidden-state taps not implemented",
     "save_text_encoder": "TE exports automatically when train_text_encoder",
     "tokenizer_max_length": "",  # wired (trainer spec override); kept for audit clarity
-    "prodigy_steps": "prodigy runs its own schedule; step cap not implemented",
+    "prodigy_steps": "",  # wired (optimizers._prodigy d-freeze); kept for audit clarity
     "lr_scale": "scale learning_rate directly",
     "lr_scale_sqrt": "scale learning_rate directly",
     "ignore_final_epochs": "epoch bookkeeping has no final-epoch trim",
@@ -212,9 +212,6 @@ UNIMPLEMENTED: Dict[str, str] = {
     "sdxl_validation_stage1_model": "refiner validation not implemented",
     "sdxl_validation_stage2_model": "refiner validation not implemented",
     "validation_adapter_config": "adapter sweeps cover strength only",
-    "validation_adapter_name": "adapter sweeps cover strength only",
-    "validation_adapter_path": "external adapter loading not implemented",
-    "validation_adapter_strength": "use validation_lora_scale",
     "validation_lycoris_strength": "use validation_lora_scale",
     "validation_guidance_skip_layers": "skip-layer guidance not implemented",
     "validation_guidance_skip_layers_start": "skip-layer guidance not implemented",

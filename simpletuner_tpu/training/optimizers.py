@@ -298,10 +298,28 @@ def _adamax(lr, config, overrides):
 
 @_register("prodigy", "prodigy-sf")
 def _prodigy(lr, config, overrides):
-    return optax.contrib.prodigy(
+    base = optax.contrib.prodigy(
         learning_rate=1.0 if lr is None else lr,
         weight_decay=overrides.get("weight_decay", _weight_decay(config, 0.0)),
     )
+    steps = int(getattr(config, "prodigy_steps", 0) or 0)
+    if not steps:
+        return base
+
+    # --prodigy_steps (reference optimizer_param prodigy config): freeze the
+    # d-adaptation estimate after N steps so the discovered LR stops growing
+    def update_fn(grads, state, params=None):
+        updates, new_state = base.update(grads, state, params)
+        frozen = state.count >= steps
+        new_state = new_state._replace(
+            estim_lr=jnp.where(frozen, state.estim_lr, new_state.estim_lr),
+            numerator_weighted=jnp.where(
+                frozen, state.numerator_weighted, new_state.numerator_weighted
+            ),
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(base.init, update_fn)
 
 
 @_register("schedulefree-adamw", "adamw-schedulefree", "optimi-adamw-schedulefree", "schedule_free_adamw")

@@ -294,6 +294,16 @@ class Validation:
         specs = getattr(self.config, "validation_adapters", None) or []
         if isinstance(specs, (str, dict)):
             specs = [specs]
+        specs = list(specs)
+        single = getattr(self.config, "validation_adapter_path", None)
+        if single:
+            # reference --validation_adapter_path/_strength/_name: one extra
+            # adapter without the full sweep-list syntax
+            specs.append({
+                "path": str(single),
+                "strength": float(getattr(self.config, "validation_adapter_strength", 1.0) or 1.0),
+                "label": getattr(self.config, "validation_adapter_name", None),
+            })
         mode = (getattr(self.config, "validation_adapter_mode", None) or "comparison").lower()
         if specs and mode == "adapter_only":
             runs = []

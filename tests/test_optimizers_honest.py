@@ -138,3 +138,35 @@ def test_no_silent_aliasing_of_quantized_names():
     dq = [l.dtype for l in jax.tree_util.tree_leaves(sq) if hasattr(l, "dtype")]
     df = [l.dtype for l in jax.tree_util.tree_leaves(sf) if hasattr(l, "dtype")]
     assert any(d == jnp.int8 for d in dq) and not any(d == jnp.int8 for d in df)
+
+def test_prodigy_steps_freezes_d_estimate():
+    """--prodigy_steps: the d-adaptation estimate stops growing after N steps
+    (reference prodigy config knob)."""
+    import jax.numpy as jnp
+    import optax
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.training.optimizers import get_optimizer
+
+    def run(steps):
+        cfg = TrainingConfig({
+            "model_family": "flux", "optimizer": "prodigy", "learning_rate": 1.0,
+            "max_train_steps": 8, "max_grad_norm": 0.0, "prodigy_steps": steps,
+        })
+        tx = get_optimizer(cfg, 1.0)
+        params = {"w": jnp.ones((8,))}
+        state = tx.init(params)
+        ds = []
+        for _ in range(8):
+            grads = {"w": jnp.full((8,), 1.0, jnp.float32)}  # aligned -> d grows
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            inner = state[-1] if isinstance(state, tuple) else state
+            ds.append(float(inner.estim_lr))
+        return ds
+
+    free = run(0)
+    capped = run(3)
+    assert free[-1] > free[0], "prodigy d never grew in the control run"
+    assert all(abs(d - capped[2]) < 1e-15 for d in capped[3:]), (
+        f"d kept moving after prodigy_steps: {capped}")
