@@ -118,7 +118,7 @@ NOOP_ON_TPU: Dict[str, str] = {
 
 # capability gaps: accepted for config compatibility, warn loudly when set
 UNIMPLEMENTED: Dict[str, str] = {
-    "lora_dropout": "adapter-branch dropout not implemented",
+    "lora_dropout": "",  # wired (LoRADense branch dropout); kept for audit clarity
     "lora_init_type": "only the default gaussian-A/zero-B init exists",
     "init_lora": "",  # wired (trainer warm-start); kept for audit clarity
     "init_lokr_norm": "LoKr norm-preserving init not implemented",

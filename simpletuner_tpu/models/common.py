@@ -83,9 +83,10 @@ class ModelFoundation:
         # int8 MXU matmul mode is static at trace time; every surface that
         # builds a model (trainer, bench, inference) routes its config here
         from ..training.quantization import resolve_quantized_matmul
-        from .layers import set_quantized_matmul
+        from .layers import set_lora_dropout, set_quantized_matmul
 
         set_quantized_matmul(resolve_quantized_matmul(config))
+        set_lora_dropout(float(getattr(config, "lora_dropout", 0.0) or 0.0))
 
     # ---- acceleration presets ---------------------------------------------------------
     @classmethod
@@ -482,7 +483,12 @@ class ModelFoundation:
                         value = sub["qk_max"]
                         aux[f"qk_clip/{mod_name}"] = value[0] if isinstance(value, tuple) else value
         else:
-            pred = self.model_predict(variables, prepared)
+            rngs = None
+            if float(getattr(self.config, "lora_dropout", 0.0) or 0.0) > 0:
+                # adapter-branch dropout (PEFT lora_dropout): train-path only —
+                # validation/inference predicts without a dropout rng
+                rngs = {"dropout": jax.random.fold_in(rng, 0xD0)}
+            pred = self.model_predict(variables, prepared, rngs=rngs)
             loss = self.compute_loss(pred, prepared)
         if twinflow.enabled:
             twin_loss, twin_logs = twinflow_losses(

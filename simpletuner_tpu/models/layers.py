@@ -36,6 +36,16 @@ def set_quantized_matmul(mode: str) -> None:
     _QUANTIZED_MATMUL = mode or "off"
 
 
+# adapter-branch dropout probability (PEFT lora_dropout); static at trace
+# time, applied only when a "dropout" rng is provided (train path)
+_LORA_DROPOUT: float = 0.0
+
+
+def set_lora_dropout(p: float) -> None:
+    global _LORA_DROPOUT
+    _LORA_DROPOUT = float(p or 0.0)
+
+
 def set_tlora_mask(mask: Optional[jax.Array]) -> None:
     global _TLORA_MASK
     _TLORA_MASK = mask
@@ -225,7 +235,14 @@ class LoRADense(nn.Module):
             None,
         )
         scale = alpha / rank
-        h = jnp.dot(x.astype(self.dtype), lora_a.value.astype(self.dtype))
+        x_in = x
+        if _LORA_DROPOUT > 0 and self.has_rng("dropout"):
+            # PEFT lora_dropout: dropout on the adapter-branch INPUT only;
+            # the frozen base path stays exact
+            keep = 1.0 - _LORA_DROPOUT
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+            x_in = x * mask.astype(x.dtype) / keep
+        h = jnp.dot(x_in.astype(self.dtype), lora_a.value.astype(self.dtype))
         if self.lora_algo == "tlora" and _TLORA_MASK is not None:
             # T-LoRA per-sample rank gating (reference helpers/training/
             # lycoris.py:13 apply_tlora_timestep_mask): mask shape (B, rank)

@@ -146,3 +146,41 @@ class TestPriorRegularization:
 
         cfg = DatasetConfig.from_dict({"id": "reg", "is_regularization_data": True})
         assert cfg.is_regularisation_data
+
+
+def test_lora_dropout_trains_and_inference_deterministic():
+    """--lora_dropout: adapter-branch dropout active only with a dropout rng
+    (train path); inference predictions stay deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+    from simpletuner_tpu.models.layers import set_lora_dropout
+
+    cfg = TrainingConfig({
+        "model_family": "flux", "model_type": "lora", "lora_rank": 4,
+        "lora_dropout": 0.5, "optimizer": "adamw", "learning_rate": 1e-3,
+        "max_train_steps": 2, "mixed_precision": "fp32",
+    })
+    model = Flux(cfg, arch=FluxConfig.tiny())
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    # make lora_B nonzero so the adapter branch (and its dropout) shows up
+    variables["lora"] = jax.tree_util.tree_map(
+        lambda l: l + 0.05, variables["lora"])
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+
+    with_rng_a = np.asarray(model.model_predict(
+        variables, prepared, rngs={"dropout": jax.random.PRNGKey(7)}))
+    with_rng_b = np.asarray(model.model_predict(
+        variables, prepared, rngs={"dropout": jax.random.PRNGKey(8)}))
+    without = np.asarray(model.model_predict(variables, prepared))
+    without2 = np.asarray(model.model_predict(variables, prepared))
+
+    assert not np.allclose(with_rng_a, with_rng_b), "dropout rng had no effect"
+    np.testing.assert_array_equal(without, without2)
+    assert not np.allclose(with_rng_a, without)
+    set_lora_dropout(0.0)
