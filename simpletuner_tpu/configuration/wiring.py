@@ -164,12 +164,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "twinflow_target_step_count": "TwinFlow RCGM aux losses not implemented",
     "scheduled_sampling_max_step_offset": "only max_steps/prob knobs are wired",
     "scheduled_sampling_order": "only max_steps/prob knobs are wired",
-    "scheduled_sampling_prob_end": "only max_steps/prob knobs are wired",
-    "scheduled_sampling_prob_start": "only max_steps/prob knobs are wired",
-    "scheduled_sampling_ramp_shape": "only max_steps/prob knobs are wired",
-    "scheduled_sampling_ramp_steps": "only max_steps/prob knobs are wired",
     "scheduled_sampling_sampler": "rollouts use the family's native scheduler",
-    "scheduled_sampling_start_step": "only max_steps/prob knobs are wired",
     "scheduled_sampling_strategy": "only max_steps/prob knobs are wired",
     "lyrics_embedder_lr": "ACE-Step lyric sidecar optimizer not implemented",
     "lyrics_embedder_lr_scheduler": "lyric sidecar optimizer not implemented",

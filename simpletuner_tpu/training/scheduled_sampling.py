@@ -33,10 +33,20 @@ class ScheduledSamplingConfig:
     reflexflow_alpha: float = 1.0
     reflexflow_beta1: float = 10.0  # ADR scale
     reflexflow_beta2: float = 1.0  # global loss scale
+    # probability ramp (reference plan.py scheduled_sampling_prob_start/_end,
+    # _ramp_steps, _ramp_shape, _start_step): rollout probability grows from
+    # prob_start to prob_end over ramp_steps after start_step
+    prob_start: Optional[float] = None
+    prob_end: Optional[float] = None
+    ramp_steps: int = 0
+    ramp_shape: str = "linear"  # linear | cosine
+    start_step: int = 0
 
     @classmethod
     def from_config(cls, config: Any) -> "ScheduledSamplingConfig":
         reflex = config.get("scheduled_sampling_reflexflow", None)
+        prob_start = config.get("scheduled_sampling_prob_start")
+        prob_end = config.get("scheduled_sampling_prob_end")
         return cls(
             max_steps=int(config.get("scheduled_sampling_max_steps", 0) or 0),
             probability=float(config.get("scheduled_sampling_probability", 0.5) or 0.5),
@@ -45,7 +55,33 @@ class ScheduledSamplingConfig:
             reflexflow_alpha=float(config.get("scheduled_sampling_reflexflow_alpha", 1.0) or 0.0),
             reflexflow_beta1=float(config.get("scheduled_sampling_reflexflow_beta1", 10.0) or 0.0),
             reflexflow_beta2=float(config.get("scheduled_sampling_reflexflow_beta2", 1.0) or 1.0),
+            prob_start=None if prob_start is None else float(prob_start),
+            prob_end=None if prob_end is None else float(prob_end),
+            ramp_steps=int(config.get("scheduled_sampling_ramp_steps", 0) or 0),
+            ramp_shape=str(config.get("scheduled_sampling_ramp_shape", "linear") or "linear"),
+            start_step=int(config.get("scheduled_sampling_start_step", 0) or 0),
         )
+
+    def probability_at(self, global_step) -> jax.Array:
+        """Rollout probability at a (traced) global step.  The ramp engages
+        only when ramp_steps or start_step is configured — otherwise the flat
+        ``scheduled_sampling_probability`` applies (the registry always
+        supplies prob_start/prob_end defaults, so their presence alone cannot
+        be the trigger)."""
+        if self.ramp_steps <= 0 and self.start_step <= 0:
+            return jnp.float32(self.probability)
+        start = self.probability if self.prob_start is None else self.prob_start
+        end = self.probability if self.prob_end is None else self.prob_end
+        step = jnp.asarray(global_step, jnp.float32) - float(self.start_step)
+        if self.ramp_steps > 0:
+            frac = jnp.clip(step / float(self.ramp_steps), 0.0, 1.0)
+        else:
+            frac = (step >= 0).astype(jnp.float32)
+        if self.ramp_shape == "cosine":
+            frac = 0.5 * (1.0 - jnp.cos(jnp.pi * frac))
+        prob = start + (end - start) * frac
+        # before start_step: no rollouts at all
+        return jnp.where(step < 0, 0.0, prob)
 
 
 def apply_scheduled_sampling(
@@ -65,7 +101,8 @@ def apply_scheduled_sampling(
 
     rng_k, rng_p, rng_noise = jax.random.split(rng, 3)
     k = jax.random.randint(rng_k, (batch,), 0, ss_config.max_steps + 1)
-    use = jax.random.uniform(rng_p, (batch,)) < ss_config.probability
+    probability = ss_config.probability_at(prepared.get("global_step", 0))
+    use = jax.random.uniform(rng_p, (batch,)) < probability
     k = jnp.where(use, k, 0)
 
     # start higher: σ_start = min(σ + k·Δ, 1); x_start re-noised to σ_start

@@ -128,6 +128,9 @@ def build_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(trainable, micro_batch, micro_rng):
+            # step-dependent schedules inside the loss (scheduled-sampling
+            # probability ramps) read the optimizer step from the batch
+            micro_batch = {**micro_batch, "global_step": state.step}
             # slider LoRA: ± adapter polarity per batch (reference
             # trainer.py:6584-6603 slider strength alternation); LoRA output is
             # linear in B, so scaling lora_B flips/scales the whole adapter

@@ -128,3 +128,40 @@ class TestTwinFlow:
         model = make_model(twinflow_enabled=True, twinflow_adversarial_enabled=True)
         with pytest.raises(NotImplementedError):
             TwinFlowSettings.from_config(model.config)
+
+def test_probability_ramp():
+    """prob_start->prob_end over ramp_steps after start_step (linear+cosine)."""
+    import numpy as np
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.training.scheduled_sampling import ScheduledSamplingConfig
+
+    cfg = ScheduledSamplingConfig.from_config(TrainingConfig({
+        "model_family": "flux", "optimizer": "adamw", "learning_rate": 1e-4,
+        "max_train_steps": 10, "scheduled_sampling_max_steps": 2,
+        "scheduled_sampling_prob_start": 0.0, "scheduled_sampling_prob_end": 0.8,
+        "scheduled_sampling_ramp_steps": 100, "scheduled_sampling_start_step": 50,
+    }))
+    assert float(cfg.probability_at(0)) == 0.0    # before start_step
+    assert float(cfg.probability_at(50)) == 0.0   # ramp begins
+    np.testing.assert_allclose(float(cfg.probability_at(100)), 0.4, atol=1e-6)
+    np.testing.assert_allclose(float(cfg.probability_at(150)), 0.8, atol=1e-6)
+    np.testing.assert_allclose(float(cfg.probability_at(1000)), 0.8, atol=1e-6)
+
+    cos = ScheduledSamplingConfig.from_config(TrainingConfig({
+        "model_family": "flux", "optimizer": "adamw", "learning_rate": 1e-4,
+        "max_train_steps": 10, "scheduled_sampling_max_steps": 2,
+        "scheduled_sampling_prob_start": 0.0, "scheduled_sampling_prob_end": 1.0,
+        "scheduled_sampling_ramp_steps": 100, "scheduled_sampling_ramp_shape": "cosine",
+    }))
+    np.testing.assert_allclose(float(cos.probability_at(50)), 0.5, atol=1e-6)
+    assert float(cos.probability_at(25)) < 0.25  # cosine starts slow
+
+    # fixed probability stays untouched when no ramp fields are set
+    plain = ScheduledSamplingConfig.from_config(TrainingConfig({
+        "model_family": "flux", "optimizer": "adamw", "learning_rate": 1e-4,
+        "max_train_steps": 10, "scheduled_sampling_max_steps": 2,
+        "scheduled_sampling_probability": 0.3,
+    }))
+    np.testing.assert_allclose(float(plain.probability_at(0)), 0.3)
+    np.testing.assert_allclose(float(plain.probability_at(999)), 0.3)
