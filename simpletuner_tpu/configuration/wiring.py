@@ -133,11 +133,11 @@ UNIMPLEMENTED: Dict[str, str] = {
     "refiner_training_strength": "SDXL refiner stage training not implemented",
     "refiner_training_invert_schedule": "SDXL refiner training not implemented",
     "sdxl_refiner_uses_full_range": "SDXL refiner training not implemented",
-    "text_encoder_precision": "text encoders run bf16/fp32; no TE quantization",
+    "text_encoder_precision": "",  # wired (trainer TE bf16/fp16 cast); kept for audit clarity
     "quantize_via": "quantization placement is automatic (host for imports)",
-    "freeze_encoder_before": "partial TE layer freezing not implemented",
-    "freeze_encoder_after": "partial TE layer freezing not implemented",
-    "freeze_encoder_strategy": "partial TE layer freezing not implemented",
+    "freeze_encoder_before": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity
+    "freeze_encoder_after": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity
+    "freeze_encoder_strategy": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity
     "layer_freeze_strategy": "per-layer freeze masks not implemented",
     "fully_unload_text_encoder": "TEs unload after caching by default",
     "text_encoder_limit": "all configured TEs load",

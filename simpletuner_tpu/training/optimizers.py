@@ -528,6 +528,41 @@ def optimizer_names() -> Tuple[str, ...]:
     return tuple(sorted(_OPTIMIZERS))
 
 
+def _te_freeze_predicate(config: Any, strategy: str):
+    """Layer-freeze mask for text-encoder training (reference
+    --freeze_encoder_strategy before|after|between with --freeze_encoder_before
+    /_after layer indices): frozen leaves get optax.set_to_zero updates."""
+    import re as _re
+
+    before = int(config.get("freeze_encoder_before", 0) or 0)
+    after = int(config.get("freeze_encoder_after", 10**9) or 10**9)
+
+    def frozen(path) -> bool:
+        if strategy == "none":
+            return False
+        idx = None
+        keys = [getattr(k, "key", str(k)) for k in path]
+        for i, key in enumerate(keys):
+            if key == "layers" and i + 1 < len(keys) and _re.fullmatch(r"\d+", str(keys[i + 1])):
+                idx = int(keys[i + 1])
+                break
+        if idx is None:
+            # embeddings / final norm etc. freeze only with "before" (they sit
+            # upstream of the first block) — reference freezes embeddings too
+            return strategy == "before" and before > 0
+        if strategy == "before":
+            return idx < before
+        if strategy == "after":
+            return idx > after
+        if strategy == "between":
+            return before <= idx <= after
+        raise ValueError(
+            f"unknown freeze_encoder_strategy {strategy!r}; known: none, before, after, between"
+        )
+
+    return frozen
+
+
 def get_optimizer(
     config: Any,
     learning_rate: optax.ScalarOrSchedule,
@@ -546,18 +581,25 @@ def get_optimizer(
     tx = _OPTIMIZERS[name](learning_rate, config, overrides)
 
     te_lr = config.get("text_encoder_lr")
-    if config.get("train_text_encoder") and te_lr:
-        tx_te = _OPTIMIZERS[name](float(te_lr), config, overrides)
+    freeze_strategy = (config.get("freeze_encoder_strategy") or "none").lower()
+    if config.get("train_text_encoder") and (te_lr or freeze_strategy != "none"):
+        tx_te = _OPTIMIZERS[name](float(te_lr), config, overrides) if te_lr else tx
+        frozen_fn = _te_freeze_predicate(config, freeze_strategy)
 
         def label_tree(params):
-            return {
-                key: jax.tree_util.tree_map(
-                    lambda _: "te" if key == "te_params" else "model", sub
+            def label(sub, key):
+                if key != "te_params":
+                    return jax.tree_util.tree_map(lambda _: "model", sub)
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "te_frozen" if frozen_fn(path) else "te", sub
                 )
-                for key, sub in params.items()
-            }
 
-        tx = optax.multi_transform({"model": tx, "te": tx_te}, label_tree)
+            return {key: label(sub, key) for key, sub in params.items()}
+
+        tx = optax.multi_transform(
+            {"model": tx, "te": tx_te, "te_frozen": optax.set_to_zero()},
+            label_tree,
+        )
 
     chain = []
     max_grad_norm = config.get("max_grad_norm", 1.0)

@@ -181,13 +181,27 @@ class Trainer:
             import dataclasses as _dc
 
             specs = tuple(_dc.replace(s, max_length=int(max_len)) for s in specs)
-        self.model.attach_text_encoders(
-            load_text_encoders(
-                specs,
-                pretrained_path=te_path,
-                tiny=tiny,
-            )
+        encoders = load_text_encoders(
+            specs,
+            pretrained_path=te_path,
+            tiny=tiny,
         )
+        te_precision = (self.config.get("text_encoder_precision") or "").lower()
+        if te_precision in ("bf16", "bfloat16", "fp16", "float16"):
+            # --text_encoder_precision: halve host/encode memory; frozen TEs
+            # tolerate bf16 (training TEs keep fp32 masters in the train state)
+            target = jnp.bfloat16 if te_precision.startswith("b") else jnp.float16
+            for encoder in encoders:
+                encoder.model.params = jax.tree_util.tree_map(
+                    lambda p: p.astype(target) if hasattr(p, "astype") else p,
+                    encoder.model.params,
+                )
+        elif te_precision and te_precision not in ("no_change", "fp32", "float32"):
+            raise ValueError(
+                f"text_encoder_precision {te_precision!r} unsupported on TPU; "
+                "use bf16, fp16, or no_change"
+            )
+        self.model.attach_text_encoders(encoders)
         self._init_vae(tiny)
         self._stage("init_preprocessing_models", "completed")
 

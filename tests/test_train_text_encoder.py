@@ -126,3 +126,43 @@ def test_text_encoder_lr_applied_separately():
     assert unet_delta > 1e-5
     assert te_delta < unet_delta * 1e-2, (
         f"te moved {te_delta} vs unet {unet_delta}; text_encoder_lr not applied")
+
+
+def test_freeze_encoder_strategy_masks_layers():
+    """freeze_encoder_strategy=before: layers < N (and embeddings) get zero
+    updates while later layers and the unet train."""
+    cfg = _cfg(freeze_encoder_strategy="before", freeze_encoder_before=1,
+               text_encoder_lr=1e-3)
+    model = _build(cfg)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    batch.pop("text_embeds", None)
+    batch.update(model.tokenize_captions(["x"]))
+    rng = np.random.default_rng(2)
+    batch["latents"] = jnp.asarray(rng.normal(0, 1, batch["latents"].shape), jnp.float32)
+    variables = model.init_params(jax.random.PRNGKey(0), dict(
+        batch, text_embeds=jnp.zeros(
+            (1, model.text_encoders[0].spec.max_length,
+             model.text_encoders[0].model.config.hidden_size), jnp.float32)))
+    schedule = get_lr_schedule(cfg, 2)
+    tx = get_optimizer(cfg, schedule)
+    te_init = model.text_encoders[0].model.params
+    state = create_train_state(model, variables, tx, text_encoder_params=te_init)
+    step = jax.jit(build_train_step(model, tx, schedule))
+    state, _ = step(state, batch, jax.random.PRNGKey(9))
+
+    def delta_for(subpath_fragment):
+        vals = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(state.trainable["te_params"]):
+            if subpath_fragment in jax.tree_util.keystr(path):
+                ref = te_init
+                for k in path:
+                    ref = ref[getattr(k, "key", k)]
+                vals.append(float(jnp.max(jnp.abs(leaf - ref))))
+        return max(vals) if vals else 0.0
+
+    frozen_delta = delta_for("layers']['0")
+    live_delta = delta_for("layers']['1")
+    embed_delta = delta_for("embeddings")
+    assert frozen_delta == 0.0, f"layer 0 moved: {frozen_delta}"
+    assert embed_delta == 0.0, f"embeddings moved: {embed_delta}"
+    assert live_delta > 0.0, "layer 1 did not train"
