@@ -158,8 +158,8 @@ UNIMPLEMENTED: Dict[str, str] = {
     "flux_attention_masked_training": "attention-mask training not implemented",
     "input_perturbation_steps": "input perturbation applies for the whole run",
     "diff2flow_loss": "diff2flow target bridging is wired; the extra loss isn't",
-    "use_soft_min_snr": "soft-min-SNR rides snr_gamma + soft_min_snr_sigma_data",
-    "soft_min_snr_sigma_data": "wired through losses when soft-min-SNR is on",
+    "use_soft_min_snr": "",  # wired (losses.compute_soft_min_snr)
+    "soft_min_snr_sigma_data": "",  # wired (losses.compute_soft_min_snr)
     "masked_loss_probability": "",  # wired (collate gate); kept for audit clarity
     "twinflow_target_step_count": "TwinFlow RCGM aux losses not implemented",
     "scheduled_sampling_max_step_offset": "only max_steps/prob knobs are wired",

@@ -235,6 +235,8 @@ class ModelFoundation:
             huber_c=getattr(c, "huber_c", 0.1) or 0.1,
             snr_gamma=getattr(c, "snr_gamma", None),
             soft_min_snr_gamma=getattr(c, "soft_min_snr_gamma", None),
+            use_soft_min_snr=bool(getattr(c, "use_soft_min_snr", False)),
+            soft_min_snr_sigma_data=float(getattr(c, "soft_min_snr_sigma_data", 1.0) or 1.0),
             prediction_type=self.prediction_type,
         )
 

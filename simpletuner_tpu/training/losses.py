@@ -151,6 +151,17 @@ def compute_snr(timesteps: jax.Array, alphas_cumprod: jax.Array) -> jax.Array:
     return ac / jnp.maximum(1.0 - ac, 1e-12)
 
 
+def compute_soft_min_snr(
+    timesteps: jax.Array, alphas_cumprod: jax.Array, sigma_data: float = 1.0
+) -> jax.Array:
+    """Soft-min SNR (reference min_snr_gamma.py:35 use_soft_min):
+    snr = (σ·σ_d)² / (σ² + σ_d²)² with σ = sqrt(1 - ᾱ_t)."""
+    ac = alphas_cumprod[timesteps]
+    sigma_sq = jnp.maximum(1.0 - ac, 1e-12)
+    sd_sq = float(sigma_data) ** 2
+    return (sigma_sq * sd_sq) / jnp.square(sigma_sq + sd_sq)
+
+
 @dataclasses.dataclass(frozen=True)
 class TimestepSamplingConfig:
     num_train_timesteps: int = 1000
@@ -201,6 +212,10 @@ class LossConfig:
     huber_c: float = 0.1
     snr_gamma: Optional[float] = None
     soft_min_snr_gamma: Optional[float] = None
+    # reference --use_soft_min_snr/--soft_min_snr_sigma_data: substitute the
+    # soft-min SNR curve into the min-SNR-gamma weighting
+    use_soft_min_snr: bool = False
+    soft_min_snr_sigma_data: float = 1.0
     prediction_type: str = "flow_matching"  # epsilon | v_prediction | flow_matching | sample
 
 
@@ -269,7 +284,12 @@ def diffusion_loss(
     if config.snr_gamma is not None and config.prediction_type in ("epsilon", "v_prediction"):
         if timesteps is None or alphas_cumprod is None:
             raise ValueError("snr weighting requires timesteps and alphas_cumprod")
-        snr = compute_snr(timesteps, alphas_cumprod)
+        if config.use_soft_min_snr:
+            snr = compute_soft_min_snr(
+                timesteps, alphas_cumprod, config.soft_min_snr_sigma_data
+            )
+        else:
+            snr = compute_snr(timesteps, alphas_cumprod)
         if config.prediction_type == "v_prediction":
             snr_weight = jnp.minimum(snr, config.snr_gamma) / jnp.maximum(snr + 1.0, 1e-8)
         else:

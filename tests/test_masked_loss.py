@@ -121,3 +121,44 @@ def test_collate_supplies_loss_mask(masked_dataset, tmp_path_factory):
     }
     loss, _ = model.loss_fn(variables, jax.random.PRNGKey(1), device_batch)
     assert np.isfinite(float(loss))
+
+def test_use_soft_min_snr_substitutes_snr_curve():
+    """use_soft_min_snr swaps the SNR curve inside min-SNR-gamma weighting
+    (reference min_snr_gamma.py:35): weights differ from plain min-SNR and
+    match the analytic soft formula."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpletuner_tpu.training.losses import (
+        DDPMScheduleConfig,
+        LossConfig,
+        diffusion_loss,
+        compute_snr,
+        compute_soft_min_snr,
+        make_alphas_cumprod,
+    )
+
+    ac = make_alphas_cumprod(DDPMScheduleConfig())
+    t = jnp.asarray([10, 500, 990])
+    soft = np.asarray(compute_soft_min_snr(t, ac, sigma_data=0.5))
+    ac_np = np.asarray(ac)[np.asarray(t)]
+    sigma_sq = 1.0 - ac_np
+    want = sigma_sq * 0.25 / (sigma_sq + 0.25) ** 2
+    np.testing.assert_allclose(soft, want, rtol=1e-5)
+
+    pred = jnp.ones((3, 4, 4, 4))
+    target = jnp.zeros((3, 4, 4, 4))
+    plain = diffusion_loss(
+        pred, target,
+        LossConfig(snr_gamma=5.0, prediction_type="epsilon"),
+        timesteps=t, alphas_cumprod=ac)
+    softw = diffusion_loss(
+        pred, target,
+        LossConfig(snr_gamma=5.0, prediction_type="epsilon",
+                   use_soft_min_snr=True, soft_min_snr_sigma_data=0.5),
+        timesteps=t, alphas_cumprod=ac)
+    assert float(plain) != float(softw)
+    # analytic check of the soft-weighted mean
+    snr_soft = want
+    w = np.minimum(snr_soft, 5.0) / np.maximum(snr_soft, 1e-8)
+    np.testing.assert_allclose(float(softw), float(np.mean(1.0 * w)), rtol=1e-4)
