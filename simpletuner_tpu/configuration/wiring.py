@@ -129,10 +129,10 @@ UNIMPLEMENTED: Dict[str, str] = {
     "flux_lora_target": "use lora_target_modules",
     "acestep_lora_target": "use lora_target_modules",
     "gradient_checkpointing_interval": "use gradient_checkpointing_policy or _skip_last",
-    "refiner_training": "SDXL refiner stage training not implemented",
-    "refiner_training_strength": "SDXL refiner stage training not implemented",
-    "refiner_training_invert_schedule": "SDXL refiner training not implemented",
-    "sdxl_refiner_uses_full_range": "SDXL refiner training not implemented",
+    "refiner_training": "",  # wired (timestep window in timestep_sampling_config)
+    "refiner_training_strength": "",  # wired (timestep window)
+    "refiner_training_invert_schedule": "",  # wired (timestep window)
+    "sdxl_refiner_uses_full_range": "",  # wired (timestep window gate)
     "text_encoder_precision": "",  # wired (trainer TE bf16/fp16 cast); kept for audit clarity
     "quantize_via": "quantization placement is automatic (host for imports)",
     "freeze_encoder_before": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity

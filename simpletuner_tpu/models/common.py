@@ -219,7 +219,24 @@ class ModelFoundation:
 
     def timestep_sampling_config(self) -> TimestepSamplingConfig:
         c = self.config
+        range_begin, range_end = 0, 0
+        if getattr(c, "refiner_training", False) and not getattr(
+            c, "sdxl_refiner_uses_full_range", False
+        ):
+            # reference custom_schedule.py:18-31 refiner window: normal =
+            # the low-noise segment [0, strength·T); inverted (PixArt
+            # stage-2 style) = the high-noise segment [strength·T, T)
+            steps = 1000
+            strength = float(getattr(c, "refiner_training_strength", 0.2) or 0.2)
+            if not 0.0 < strength < 1.0:
+                raise ValueError("refiner_training_strength must be in (0, 1)")
+            if getattr(c, "refiner_training_invert_schedule", False):
+                range_begin, range_end = int(strength * steps), steps
+            else:
+                range_begin, range_end = 0, int(strength * steps)
         return TimestepSamplingConfig(
+            range_begin=range_begin,
+            range_end=range_end,
             bias_strategy=getattr(c, "timestep_bias_strategy", "none") or "none",
             bias_multiplier=getattr(c, "timestep_bias_multiplier", 1.0) or 1.0,
             bias_begin=getattr(c, "timestep_bias_begin", 0) or 0,

@@ -170,6 +170,12 @@ class TimestepSamplingConfig:
     bias_begin: int = 0
     bias_end: int = 1000
     bias_portion: float = 0.25
+    # HARD sampling window (reference segmented_timestep_selection refiner
+    # range, custom_schedule.py:18-31): timesteps outside [begin, end) are
+    # never drawn — refiner training restricts to the low-noise segment,
+    # inverted schedules (PixArt stage-2) to the high-noise segment
+    range_begin: int = 0
+    range_end: int = 0  # 0 = no restriction
 
 
 def timestep_weights(config: TimestepSamplingConfig) -> jnp.ndarray:
@@ -177,8 +183,13 @@ def timestep_weights(config: TimestepSamplingConfig) -> jnp.ndarray:
     reference helpers/training/min_snr_gamma.py / segmented_timestep_selection)."""
     steps = config.num_train_timesteps
     weights = jnp.ones((steps,))
+    if config.range_end > config.range_begin:
+        idx = jnp.arange(steps)
+        weights = jnp.where(
+            (idx >= config.range_begin) & (idx < config.range_end), weights, 0.0
+        )
     if config.bias_strategy == "none" or config.bias_multiplier == 1.0:
-        return weights / steps
+        return weights / jnp.sum(weights)
     num_biased = int(config.bias_portion * steps)
     if config.bias_strategy == "earlier":
         mask = jnp.arange(steps) < num_biased

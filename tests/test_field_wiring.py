@@ -63,9 +63,9 @@ def test_unimplemented_field_warns(caplog):
         TrainingConfig({
             "model_family": "flux", "optimizer": "adamw",
             "learning_rate": 1e-4, "max_train_steps": 1,
-            "refiner_training": True,
+            "lyrics_embedder_train": True,
         })
-    assert any("refiner_training" in rec.message and "NO effect" in rec.message
+    assert any("lyrics_embedder_train" in rec.message and "NO effect" in rec.message
                for rec in caplog.records), "unwired field set without a warning"
 
 

@@ -162,3 +162,37 @@ def test_use_soft_min_snr_substitutes_snr_curve():
     snr_soft = want
     w = np.minimum(snr_soft, 5.0) / np.maximum(snr_soft, 1e-8)
     np.testing.assert_allclose(float(softw), float(np.mean(1.0 * w)), rtol=1e-4)
+
+
+def test_refiner_training_timestep_window():
+    """refiner_training restricts sampled timesteps to the low-noise segment;
+    invert_schedule flips to the high-noise segment (reference
+    custom_schedule.py:18-31 segmented refiner range)."""
+    import jax
+    import numpy as np
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.registry import get_model_family
+    from simpletuner_tpu.training.losses import sample_timesteps
+
+    def draws(**over):
+        cfg = TrainingConfig({
+            "model_family": "sd1x", "model_type": "full", "model_arch_preset": "tiny",
+            "optimizer": "adamw", "learning_rate": 1e-4, "max_train_steps": 1, **over,
+        })
+        model = get_model_family(cfg)
+        t = sample_timesteps(jax.random.PRNGKey(0), 512, model.timestep_sampling_config())
+        return np.asarray(t)
+
+    normal = draws(refiner_training=True, refiner_training_strength=0.2)
+    assert normal.max() < 200 and normal.min() >= 0
+
+    inverted = draws(refiner_training=True, refiner_training_strength=0.2,
+                     refiner_training_invert_schedule=True)
+    assert inverted.min() >= 200
+
+    full = draws(refiner_training=True, sdxl_refiner_uses_full_range=True)
+    assert full.max() >= 800  # unrestricted
+
+    plain = draws()
+    assert plain.max() >= 800 and plain.min() < 200
