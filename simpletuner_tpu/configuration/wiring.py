@@ -166,10 +166,10 @@ UNIMPLEMENTED: Dict[str, str] = {
     "scheduled_sampling_order": "only max_steps/prob knobs are wired",
     "scheduled_sampling_sampler": "rollouts use the family's native scheduler",
     "scheduled_sampling_strategy": "only max_steps/prob knobs are wired",
-    "lyrics_embedder_lr": "ACE-Step lyric sidecar optimizer not implemented",
-    "lyrics_embedder_lr_scheduler": "lyric sidecar optimizer not implemented",
-    "lyrics_embedder_optimizer": "lyric sidecar optimizer not implemented",
-    "lyrics_embedder_train": "lyric sidecar optimizer not implemented",
+    "lyrics_embedder_lr": "",  # wired (sidecar optimizer),
+    "lyrics_embedder_lr_scheduler": "sidecar uses a constant lr (main schedule otherwise)",
+    "lyrics_embedder_optimizer": "",  # wired (sidecar optimizer),
+    "lyrics_embedder_train": "",  # wired (ace_step sidecar_param_keys),
     "hidream_use_load_balancing_loss": "MoE gate aux loss is always on for hidream",
     "hidream_load_balancing_loss_weight": "gate aux weight is fixed",
     "controlnet_custom_config": "controlnet arch comes from controlnet_depth",

@@ -40,6 +40,14 @@ class ACEStep(ModelFoundation):
     )
     DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj")
 
+    def sidecar_param_keys(self):
+        """--lyrics_embedder_train (reference trainer.py:3292): the conformer
+        lyric encoder + its projection train full-rank next to the frozen base
+        with their own optimizer/lr (lyrics_embedder_lr/_optimizer)."""
+        if getattr(self.config, "lyrics_embedder_train", False):
+            return ("lyric_encoder", "lyric_proj")
+        return ()
+
     def __init__(self, config: Any, arch: Optional[ACEStepConfig] = None):
         super().__init__(config)
         if arch is not None:

@@ -588,6 +588,12 @@ class ModelFoundation:
     def check_user_config(self) -> None:
         """Family-specific config validation; raise ValueError on bad combos."""
 
+    def sidecar_param_keys(self) -> Tuple[str, ...]:
+        """Top-level param subtrees that train full-rank next to a frozen
+        base (reference init_lyrics_embedder_training, trainer.py:3292).
+        Families opt in (ACE-Step lyric encoder)."""
+        return ()
+
     def uses_audio_tokens(self) -> bool:
         """True for autoregressive codec-token families (reference
         heartmula/model.py:108): the data plane then loads pre-tokenised

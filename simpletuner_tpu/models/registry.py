@@ -110,4 +110,9 @@ def get_model_family(config: Any):
                 "(text-encoder LoRA is not implemented; the reference "
                 "recommends TE training for full SD 1.x/2.x fine-tunes only)"
             )
+    if getattr(config, "lyrics_embedder_train", False) and not model.sidecar_param_keys():
+        raise ValueError(
+            f"lyrics_embedder_train is not supported for model_family="
+            f"{model.NAME!r} (ACE-Step only)"
+        )
     return model

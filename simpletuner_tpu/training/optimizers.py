@@ -580,26 +580,43 @@ def get_optimizer(
     overrides = parse_optimizer_config(config.get("optimizer_config"))
     tx = _OPTIMIZERS[name](learning_rate, config, overrides)
 
+    # sidecar optimizer groups (text encoder / lyric embedder) ride an
+    # optax.multi_transform keyed by top-level trainable collection
+    transforms: Dict[str, optax.GradientTransformation] = {"model": tx}
     te_lr = config.get("text_encoder_lr")
     freeze_strategy = (config.get("freeze_encoder_strategy") or "none").lower()
+    frozen_fn = None
     if config.get("train_text_encoder") and (te_lr or freeze_strategy != "none"):
-        tx_te = _OPTIMIZERS[name](float(te_lr), config, overrides) if te_lr else tx
+        transforms["te"] = _OPTIMIZERS[name](float(te_lr), config, overrides) if te_lr else tx
+        transforms["te_frozen"] = optax.set_to_zero()
         frozen_fn = _te_freeze_predicate(config, freeze_strategy)
+    if config.get("lyrics_embedder_train"):
+        # reference --lyrics_embedder_optimizer/_lr (trainer.py:3292 sidecar)
+        lyr_name = (config.get("lyrics_embedder_optimizer") or name).lower()
+        if lyr_name not in _OPTIMIZERS:
+            raise ValueError(
+                f"unknown lyrics_embedder_optimizer {lyr_name!r}; known: {optimizer_names()}"
+            )
+        lyr_lr = config.get("lyrics_embedder_lr")
+        transforms["lyrics"] = _OPTIMIZERS[lyr_name](
+            float(lyr_lr) if lyr_lr else learning_rate, config, overrides
+        )
+    if len(transforms) > 1:
 
         def label_tree(params):
-            def label(sub, key):
-                if key != "te_params":
-                    return jax.tree_util.tree_map(lambda _: "model", sub)
-                return jax.tree_util.tree_map_with_path(
-                    lambda path, _: "te_frozen" if frozen_fn(path) else "te", sub
-                )
+            out = {}
+            for key, sub in params.items():
+                if key == "te_params" and "te" in transforms:
+                    out[key] = jax.tree_util.tree_map_with_path(
+                        lambda path, _: "te_frozen" if frozen_fn(path) else "te", sub
+                    )
+                elif key == "lyrics_params" and "lyrics" in transforms:
+                    out[key] = jax.tree_util.tree_map(lambda _: "lyrics", sub)
+                else:
+                    out[key] = jax.tree_util.tree_map(lambda _: "model", sub)
+            return out
 
-            return {key: label(sub, key) for key, sub in params.items()}
-
-        tx = optax.multi_transform(
-            {"model": tx, "te": tx_te, "te_frozen": optax.set_to_zero()},
-            label_tree,
-        )
+        tx = optax.multi_transform(transforms, label_tree)
 
     chain = []
     max_grad_norm = config.get("max_grad_norm", 1.0)

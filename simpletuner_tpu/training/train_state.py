@@ -35,7 +35,18 @@ class TrainState(struct.PyTreeNode):
             # ema may cover a subset of trainable (e.g. it excludes the DMD
             # critic adapter); overlay shadowed collections, keep the rest
             trainable.update(self.ema)
-        return {**dequantize_params(self.frozen), **trainable}
+        return merge_variables(dequantize_params(self.frozen), trainable)
+
+
+def merge_variables(frozen: Dict[str, Any], trainable: Dict[str, Any]) -> Dict[str, Any]:
+    """Flat-merge collections; sidecar param subtrees (``lyrics_params`` —
+    full-rank modules trained alongside a frozen base, reference
+    trainer.py:3292 init_lyrics_embedder_training) fold back into ``params``."""
+    variables = {**frozen, **trainable}
+    sidecar = variables.pop("lyrics_params", None)
+    if sidecar is not None:
+        variables["params"] = {**variables.get("params", {}), **sidecar}
+    return variables
 
 
 def create_train_state(
@@ -78,6 +89,22 @@ def create_train_state(
         # --train_text_encoder: the TE joins the optimizer (reference
         # trainer.py:3394); captions encode in-step via model.apply_text_encoder
         trainable["te_params"] = text_encoder_params
+    sidecar_keys = tuple(getattr(model, "sidecar_param_keys", lambda: ())())
+    if sidecar_keys and "params" in frozen:
+        # sidecar full-rank modules train next to a frozen base (reference
+        # init_lyrics_embedder_training, trainer.py:3292): their subtrees move
+        # from frozen params into trainable["lyrics_params"] and fold back at
+        # apply time (merge_variables)
+        params = dict(frozen["params"])
+        sidecar = {}
+        for key in sidecar_keys:
+            if key not in params:
+                raise ValueError(
+                    f"sidecar module {key!r} not found in {model.NAME} params"
+                )
+            sidecar[key] = params.pop(key)
+        frozen = {**frozen, "params": params}
+        trainable["lyrics_params"] = sidecar
     if quantize_mode:
         if not train_lora:
             raise ValueError("base_model_precision quantization requires model_type=lora (frozen base)")
@@ -97,9 +124,12 @@ def create_train_state(
         else:
             frozen = quantize_params(frozen, quantize_mode)
     # EMA shadows only the deliverable adapters — the DMD critic is a throwaway
-    # adversary (reference keeps EMA on the generator only) and the text
-    # encoder follows the reference's EMA scope (unet/transformer only)
-    ema_target = {k: v for k, v in trainable.items() if k not in ("critic_lora", "te_params")}
+    # adversary (reference keeps EMA on the generator only); text-encoder and
+    # lyric-sidecar params follow the reference's EMA scope (main model only)
+    ema_target = {
+        k: v for k, v in trainable.items()
+        if k not in ("critic_lora", "te_params", "lyrics_params")
+    }
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         frozen=frozen,
@@ -145,7 +175,7 @@ def build_train_step(
                 )
             # frozen is apply-ready: quantized kernels dequantize at their use
             # site inside each block (LoRADense + qscales collection)
-            variables = {**state.frozen, **trainable}
+            variables = merge_variables(state.frozen, trainable)
             if distiller is None:
                 loss, aux = model.loss_fn(variables, micro_rng, micro_batch)
             else:

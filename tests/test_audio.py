@@ -141,3 +141,59 @@ class TestAudioTrainerE2E:
         trainer = Trainer(config=config)
         trainer.run()
         assert trainer.global_step == 2
+
+def test_lyrics_embedder_sidecar_trains():
+    """--lyrics_embedder_train: the conformer lyric encoder + projection move
+    from the frozen base into a sidecar optimizer group at lyrics_embedder_lr
+    while the LoRA adapter trains normally (reference trainer.py:3292)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.registry import get_model_family
+    from simpletuner_tpu.training.optimizers import get_optimizer
+    from simpletuner_tpu.training.schedules import get_lr_schedule
+    from simpletuner_tpu.training.train_state import build_train_step, create_train_state
+
+    cfg = TrainingConfig({
+        "model_family": "ace_step", "model_type": "lora", "lora_rank": 2,
+        "model_arch_preset": "tiny", "optimizer": "adamw", "learning_rate": 1e-3,
+        "lyrics_embedder_train": True, "lyrics_embedder_lr": 1e-3,
+        "max_train_steps": 2, "mixed_precision": "fp32",
+    })
+    model = get_model_family(cfg)
+    batch = model.example_batch(batch_size=1)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    rng = np.random.default_rng(0)
+    batch["latents"] = jnp.asarray(rng.normal(0, 1, batch["latents"].shape), jnp.float32)
+    schedule = get_lr_schedule(cfg, 2)
+    tx = get_optimizer(cfg, schedule)
+    state = create_train_state(model, variables, tx)
+    assert "lyrics_params" in state.trainable
+    assert set(state.trainable["lyrics_params"]) == {"lyric_encoder", "lyric_proj"}
+    assert "lyric_encoder" not in state.frozen["params"]
+
+    step = jax.jit(build_train_step(model, tx, schedule))
+    before = jax.device_get(state.trainable["lyrics_params"])
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(state.trainable["lyrics_params"]),
+                        jax.tree_util.tree_leaves(before)))
+    assert moved > 0, "lyric encoder did not train"
+
+    # export/validation surfaces see the merged tree
+    merged = state.variables()
+    assert "lyric_encoder" in merged["params"]
+
+    # unsupported family fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="lyrics_embedder_train"):
+        get_model_family(TrainingConfig({
+            "model_family": "flux", "model_type": "lora", "lora_rank": 2,
+            "optimizer": "adamw", "learning_rate": 1e-4, "max_train_steps": 1,
+            "lyrics_embedder_train": True,
+        }))

@@ -63,9 +63,9 @@ def test_unimplemented_field_warns(caplog):
         TrainingConfig({
             "model_family": "flux", "optimizer": "adamw",
             "learning_rate": 1e-4, "max_train_steps": 1,
-            "lyrics_embedder_train": True,
+            "twinflow_target_step_count": 4,
         })
-    assert any("lyrics_embedder_train" in rec.message and "NO effect" in rec.message
+    assert any("twinflow_target_step_count" in rec.message and "NO effect" in rec.message
                for rec in caplog.records), "unwired field set without a warning"
 
 
