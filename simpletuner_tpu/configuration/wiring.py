@@ -152,8 +152,8 @@ UNIMPLEMENTED: Dict[str, str] = {
     "training_scheduler_timestep_spacing": "training samples timesteps uniformly",
     "inference_scheduler_timestep_spacing": "validation schedulers use trailing",
     "disable_segmented_timestep_sampling": "segmented sampling is opt-in already",
-    "flow_custom_timesteps": "custom flow timestep lists not implemented",
-    "flow_timesteps_mode": "custom flow timestep lists not implemented",
+    "flow_custom_timesteps": "",  # wired (losses.sample_flow_sigmas custom list)
+    "flow_timesteps_mode": "",  # wired (losses.sample_flow_sigmas custom list)
     "flux_fast_schedule": "fast-schedule sigma set not implemented",
     "flux_attention_masked_training": "attention-mask training not implemented",
     "input_perturbation_steps": "input perturbation applies for the whole run",

@@ -190,6 +190,8 @@ class ModelFoundation:
         return getattr(self.config, "prediction_type", None) or self.PREDICTION_TYPE
 
     def flow_schedule_config(self) -> FlowScheduleConfig:
+        from ..training.losses import parse_flow_custom_timesteps
+
         c = self.config
         return FlowScheduleConfig(
             sigmoid_scale=getattr(c, "flow_sigmoid_scale", 1.0) or 1.0,
@@ -199,6 +201,12 @@ class ModelFoundation:
             use_beta_schedule=bool(getattr(c, "flow_use_beta_schedule", False)),
             beta_alpha=getattr(c, "flow_beta_schedule_alpha", 2.0) or 2.0,
             beta_beta=getattr(c, "flow_beta_schedule_beta", 2.0) or 2.0,
+            custom_sigmas=parse_flow_custom_timesteps(
+                getattr(c, "flow_custom_timesteps", None)
+            ),
+            custom_mode=str(
+                getattr(c, "flow_timesteps_mode", "fixed-list") or "fixed-list"
+            ).replace("_", "-"),
         )
 
     # per-family DDPM betas (reference loads each model's hub scheduler config,
@@ -313,7 +321,10 @@ class ModelFoundation:
             if override_sigmas is not None:
                 sigmas = override_sigmas.astype(jnp.float32)
             else:
-                sigmas = sample_flow_sigmas(rng_t, batch_size, self.flow_schedule_config(), seq_len)
+                sigmas = sample_flow_sigmas(
+                    rng_t, batch_size, self.flow_schedule_config(), seq_len,
+                    global_step=batch.get("global_step"),
+                )
             prepared["sigmas"] = sigmas
             prepared["timesteps"] = sigmas  # flow models take σ∈(0,1) as the timestep
             prepared["noisy_latents"] = flow_interpolate(latents.astype(jnp.float32), input_noise, sigmas)

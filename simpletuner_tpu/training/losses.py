@@ -32,6 +32,37 @@ class FlowScheduleConfig:
     use_beta_schedule: bool = False
     beta_alpha: float = 2.0
     beta_beta: float = 2.0
+    # reference --flow_custom_timesteps/--flow_timesteps_mode
+    # (common.py:4525,4637): an explicit sigma list; values > 1 are parsed as
+    # timesteps/1000.  fixed-list samples randomly from the list; round-robin
+    # cycles deterministically by (global step, batch index, process)
+    custom_sigmas: Optional[Tuple[float, ...]] = None
+    custom_mode: str = "fixed-list"  # fixed-list | round-robin
+
+
+def parse_flow_custom_timesteps(raw) -> Optional[Tuple[float, ...]]:
+    """Comma/semicolon string, JSON list, or sequence -> sigma tuple in (0,1]."""
+    if raw in (None, "", "None"):
+        return None
+    value = raw
+    if isinstance(value, str):
+        import json as _json
+
+        stripped = value.strip()
+        try:
+            value = _json.loads(stripped)
+        except Exception:
+            value = [seg for seg in stripped.replace(";", ",").split(",") if seg.strip()]
+    try:
+        floats = [float(v) for v in value]
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"unparseable flow_custom_timesteps {raw!r}") from exc
+    floats = [v for v in floats if math.isfinite(v)]
+    if not floats:
+        return None
+    if max(floats) > 1.0:  # timesteps in [0, 1000] -> sigmas
+        floats = [min(max(v, 0.0), 1000.0) / 1000.0 for v in floats]
+    return tuple(min(max(v, 0.0), 1.0) for v in floats)
 
 
 def calculate_dynamic_shift_mu(
@@ -64,12 +95,28 @@ def sample_flow_sigmas(
     batch_size: int,
     config: FlowScheduleConfig = FlowScheduleConfig(),
     seq_len: Optional[jax.Array] = None,
+    global_step: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sample per-example flow-matching sigmas in (0, 1).
 
-    Default is the logit-normal ("sigmoid") density; alternatives: uniform and
-    beta.  Optional static or resolution-dynamic schedule shift.
+    Default is the logit-normal ("sigmoid") density; alternatives: uniform,
+    beta, and an explicit custom sigma list.  Optional static or
+    resolution-dynamic schedule shift (not applied to custom lists — they are
+    already the final sigmas, reference common.py:4637).
     """
+    if config.custom_sigmas:
+        table = jnp.asarray(config.custom_sigmas, jnp.float32)
+        if config.custom_mode == "round-robin":
+            step = jnp.asarray(0 if global_step is None else global_step, jnp.int32)
+            base = step * batch_size + jax.process_index() * batch_size
+            idx = (base + jnp.arange(batch_size)) % table.shape[0]
+            return table[idx]
+        if config.custom_mode != "fixed-list":
+            raise ValueError(
+                "flow_timesteps_mode must be 'fixed-list' or 'round-robin', "
+                f"got {config.custom_mode!r}"
+            )
+        return jax.random.choice(rng, table, (batch_size,))
     if config.use_uniform_schedule:
         sigmas = jax.random.uniform(rng, (batch_size,), minval=1e-5, maxval=1.0 - 1e-5)
     elif config.use_beta_schedule:

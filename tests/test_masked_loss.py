@@ -196,3 +196,38 @@ def test_refiner_training_timestep_window():
 
     plain = draws()
     assert plain.max() >= 800 and plain.min() < 200
+
+
+def test_flow_custom_timesteps_fixed_and_round_robin():
+    """flow_custom_timesteps: explicit sigma list (timesteps >1 normalize);
+    fixed-list draws from the list, round-robin cycles by step (reference
+    common.py:4525,4637)."""
+    import jax
+    import numpy as np
+
+    from simpletuner_tpu.training.losses import (
+        FlowScheduleConfig,
+        parse_flow_custom_timesteps,
+        sample_flow_sigmas,
+    )
+
+    assert parse_flow_custom_timesteps("250, 500;750") == (0.25, 0.5, 0.75)
+    assert parse_flow_custom_timesteps([0.1, 0.9]) == (0.1, 0.9)
+    assert parse_flow_custom_timesteps("") is None
+
+    cfg = FlowScheduleConfig(custom_sigmas=(0.25, 0.5, 0.75))
+    draws = np.asarray(sample_flow_sigmas(jax.random.PRNGKey(0), 64, cfg))
+    assert set(np.round(draws, 4)) <= {0.25, 0.5, 0.75}
+    assert len(set(np.round(draws, 4))) > 1
+
+    rr = FlowScheduleConfig(custom_sigmas=(0.25, 0.5, 0.75), custom_mode="round-robin")
+    step0 = np.asarray(sample_flow_sigmas(jax.random.PRNGKey(0), 2, rr, global_step=0))
+    step1 = np.asarray(sample_flow_sigmas(jax.random.PRNGKey(0), 2, rr, global_step=1))
+    np.testing.assert_allclose(step0, [0.25, 0.5])
+    np.testing.assert_allclose(step1, [0.75, 0.25])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="flow_timesteps_mode"):
+        sample_flow_sigmas(jax.random.PRNGKey(0), 2,
+                           FlowScheduleConfig(custom_sigmas=(0.5,), custom_mode="nope"))
