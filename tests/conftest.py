@@ -25,16 +25,29 @@ jax.config.update("jax_platforms", "cpu")
 def _cpu_fingerprint() -> str:
     import hashlib
 
+    # the key must cover everything that changes XLA:CPU AOT codegen: host CPU
+    # flags, the jaxlib version, and XLA_FLAGS.  Observed failure mode when it
+    # doesn't: cpu_aot_loader loads an entry compiled under a different
+    # target-feature profile (e.g. ±prefer-no-scatter) and the process ABORTS
+    # (SIGABRT mid-run) or silently computes wrong math.
+    parts = [jax.__version__, os.environ.get("XLA_FLAGS", "")]
+    try:
+        import jaxlib
+
+        parts.append(getattr(jaxlib, "__version__", ""))
+    except Exception:  # pragma: no cover
+        pass
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+                    parts.append(line)
+                    break
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+        parts.append(platform.processor())
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 _cache_dir = os.environ.get(
