@@ -208,10 +208,10 @@ UNIMPLEMENTED: Dict[str, str] = {
     "sdxl_validation_stage2_model": "refiner validation not implemented",
     "validation_adapter_config": "adapter sweeps cover strength only",
     "validation_lycoris_strength": "use validation_lora_scale",
-    "validation_guidance_skip_layers": "skip-layer guidance not implemented",
-    "validation_guidance_skip_layers_start": "skip-layer guidance not implemented",
-    "validation_guidance_skip_layers_stop": "skip-layer guidance not implemented",
-    "validation_guidance_skip_scale": "skip-layer guidance not implemented",
+    "validation_guidance_skip_layers": "",  # wired (validation SLG for sd3)
+    "validation_guidance_skip_layers_start": "",  # wired (validation SLG for sd3)
+    "validation_guidance_skip_layers_stop": "",  # wired (validation SLG for sd3)
+    "validation_guidance_skip_scale": "",  # wired (validation SLG for sd3)
     "validation_negative_prompt_2": "one negative prompt per render",
     "validation_disable_unconditional": "uncond render is already opt-in",
     "validation_randomize": "validation seeds are deterministic by design",

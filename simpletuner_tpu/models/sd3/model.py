@@ -83,6 +83,22 @@ class SD3(ModelFoundation):
         main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
         return self.module.apply(main_vars, **inputs, rngs=rngs)
 
+    def denoise_fn_skip_layers(self, variables, conditioning: Dict[str, jax.Array],
+                               skip_layers) -> Any:
+        """f(latents, t) with transformer blocks dropped — the perturbed
+        forward for SD3.5 skip-layer guidance (diffusers skip_guidance_layers)."""
+        skip = tuple(int(i) for i in skip_layers)
+        main_vars = {k: v for k, v in variables.items() if k != "controlnet"}
+
+        def fn(latents: jax.Array, t: jax.Array) -> jax.Array:
+            prepared = dict(conditioning)
+            prepared["noisy_latents"] = latents
+            prepared["timesteps"] = jnp.broadcast_to(t, (latents.shape[0],))
+            inputs = self.get_model_inputs(prepared)
+            return self.module.apply(main_vars, **inputs, skip_layers=skip)
+
+        return fn
+
     # ---- controlnet (reference helpers/models/sd3 ControlNet; mirrors flux) ------------
     def controlnet_module(self):
         if not hasattr(self, "_controlnet_module"):

@@ -166,6 +166,7 @@ class SD3Transformer(nn.Module):
         context: jax.Array,  # (B, T, context_dim)
         pooled: jax.Array,  # (B, pooled_dim)
         controlnet_block_residuals: Optional[Tuple[jax.Array, ...]] = None,
+        skip_layers: Optional[Tuple[int, ...]] = None,  # SLG (SD3.5): static block skip list
     ) -> jax.Array:
         cfg = self.config
         dim = cfg.hidden_size
@@ -207,6 +208,10 @@ class SD3Transformer(nn.Module):
 
         block_cls = nn.remat(MMDiTBlock) if self.remat else MMDiTBlock
         for layer in range(cfg.depth):
+            if skip_layers is not None and layer in skip_layers:
+                # skip-layer guidance (diffusers SD3.5 skip_guidance_layers):
+                # the perturbed forward drops these blocks entirely
+                continue
             x, txt = block_cls(
                 cfg,
                 context_pre_only=(layer == cfg.depth - 1),

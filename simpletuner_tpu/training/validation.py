@@ -171,6 +171,29 @@ class Validation:
         no_cfg_t = scheduler.timestep(min(until, scheduler.num_steps - 1)) if until > 0 else None
         return rescale, no_cfg_t
 
+    def _slg_params(self, scheduler):
+        """Skip-layer guidance window (reference validation.py:4469 SD3.5
+        skip_guidance_layers): (layers, scale, t_enter, t_exit) or None.
+        The window is a step-index fraction [start, stop); t descends during
+        sampling so step i >= start·N maps to t <= timestep(start·N)."""
+        layers = getattr(self.config, "validation_guidance_skip_layers", None)
+        if not layers:
+            return None
+        if isinstance(layers, (int, float, str)):
+            layers = [int(float(layers))]
+        if not hasattr(self.model, "denoise_fn_skip_layers"):
+            raise ValueError(
+                f"validation_guidance_skip_layers is not supported for "
+                f"model_family={self.model.NAME!r} (sd3 only)"
+            )
+        start = float(getattr(self.config, "validation_guidance_skip_layers_start", 0.01) or 0.01)
+        stop = float(getattr(self.config, "validation_guidance_skip_layers_stop", 0.2) or 0.2)
+        scale = float(getattr(self.config, "validation_guidance_skip_scale", 2.8) or 2.8)
+        n = scheduler.num_steps
+        t_enter = scheduler.timestep(min(int(start * n), n - 1))
+        t_exit = scheduler.timestep(min(int(stop * n), n - 1))
+        return tuple(int(i) for i in layers), scale, t_enter, t_exit
+
     def _wants_cfg(self) -> bool:
         """True CFG (two forward passes) for families without guidance embeds."""
         guidance = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
@@ -332,6 +355,9 @@ class Validation:
         if not bool(getattr(self.config, "validation_parallel", False)):
             return False
         if len(self.prompts) < 2 or self.img2img:
+            return False
+        if getattr(self.config, "validation_guidance_skip_layers", None):
+            logger.info("validation_parallel disabled: skip-layer guidance is per-prompt")
             return False
         if bool(getattr(self.config, "validation_preview", False)):
             logger.info("validation_parallel disabled: preview streaming is per-prompt")
@@ -588,6 +614,7 @@ class Validation:
             preview_interval = self.preview_interval
 
             cfg_rescale, no_cfg_t = self._cfg_params(scheduler)
+            slg = self._slg_params(scheduler)
 
             def sample(variables, cond, uncond, noise, init_latents=None):
                 if uncond is not None:
@@ -595,15 +622,29 @@ class Validation:
 
                     cond_fn = model.denoise_fn(variables, cond)
                     uncond_fn = model.denoise_fn(variables, uncond)
+                    skip_fn = (
+                        model.denoise_fn_skip_layers(variables, cond, slg[0])
+                        if slg is not None else None
+                    )
 
                     def denoise(latents, t):
                         scale = guidance_scale
                         if no_cfg_t is not None:
                             scale = jnp.where(t > no_cfg_t, 1.0, guidance_scale)
-                        return classifier_free_guidance(
-                            cond_fn(latents, t), uncond_fn(latents, t), scale,
+                        cond_pred = cond_fn(latents, t)
+                        guided = classifier_free_guidance(
+                            cond_pred, uncond_fn(latents, t), scale,
                             rescale=cfg_rescale,
                         )
+                        if skip_fn is not None:
+                            # SLG: add skip_scale·(cond − cond_skipped) inside
+                            # the [start, stop) step window (t descends)
+                            _, slg_scale, t_enter, t_exit = slg
+                            window = ((t <= t_enter) & (t > t_exit)).astype(guided.dtype)
+                            guided = guided + window * slg_scale * (
+                                cond_pred - skip_fn(latents, t)
+                            )
+                        return guided
                 else:
                     denoise = model.denoise_fn(variables, cond)
                 result = sample_loop(

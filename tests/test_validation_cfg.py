@@ -228,3 +228,67 @@ def test_external_script_validation(tmp_path):
     assert paths == []
     content = marker.read_text().strip()
     assert content.startswith("5 ") and content.endswith("checkpoint-5")
+
+def test_skip_layer_guidance_sd3(tmp_path):
+    """SD3.5 skip-layer guidance (reference validation.py:4469): the skipped
+    forward differs from the full one, SLG renders change the output inside
+    the window, and unsupported families fail loudly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.sd3.model import SD3
+    from simpletuner_tpu.models.sd3.transformer import SD3Config
+    from simpletuner_tpu.training.validation import Validation
+
+    arch = SD3Config.tiny()
+    cfg = TrainingConfig({
+        "model_family": "sd3", "model_type": "lora", "lora_rank": 2,
+        "optimizer": "adamw", "learning_rate": 1e-4, "max_train_steps": 1,
+        "validation_prompt": "x", "validation_num_inference_steps": 4,
+        "validation_resolution": 32, "validation_guidance": 3.0,
+        "validation_guidance_skip_layers": [1],
+        "validation_guidance_skip_layers_start": 0.0,
+        "validation_guidance_skip_layers_stop": 1.0,
+        "validation_guidance_skip_scale": 2.8,
+        "output_dir": str(tmp_path),
+    })
+    model = SD3(cfg, arch=arch)
+    batch = model.example_batch(batch_size=1, resolution=32)
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    # freshly-initialized AdaLN gates are zero (blocks contribute nothing);
+    # perturb so skipping a block is observable
+    variables["params"] = jax.tree_util.tree_map(
+        lambda p: p + 0.03, variables["params"])
+
+    # skipped forward differs from the full forward
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    cond = model.inference_conditioning({k: v for k, v in batch.items() if k != "latents"}
+                                        | {"latents": batch["latents"]})
+    full = model.denoise_fn(variables, cond)(batch["latents"], jnp.float32(0.5))
+    skipped = model.denoise_fn_skip_layers(variables, cond, (1,))(
+        batch["latents"], jnp.float32(0.5))
+    assert not np.allclose(np.asarray(full), np.asarray(skipped))
+
+    # unsupported family raises at validation setup
+    flux_cfg = TrainingConfig({
+        "model_family": "flux", "model_type": "lora", "lora_rank": 2,
+        "optimizer": "adamw", "learning_rate": 1e-4, "max_train_steps": 1,
+        "validation_prompt": "x", "validation_guidance_skip_layers": [1],
+        "output_dir": str(tmp_path),
+    })
+    from simpletuner_tpu.models.flux.model import Flux
+    from simpletuner_tpu.models.flux.transformer import FluxConfig
+
+    flux = Flux(flux_cfg, arch=FluxConfig.tiny())
+    v = Validation(flux, flux_cfg, output_dir=str(tmp_path))
+
+    class FakeSched:
+        num_steps = 4
+        def timestep(self, i):
+            return jnp.float32(1.0 - i / 4)
+
+    with pytest.raises(ValueError, match="skip_layers"):
+        v._slg_params(FakeSched())
