@@ -182,9 +182,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "ideogram_schedule_mu": "family uses the shared flow schedule knobs",
     "ideogram_schedule_std": "family uses the shared flow schedule knobs",
     "ideogram_validation": "ideogram uses the standard validation path",
-    "sana_complex_human_instruction": "CHI prompt prefixing not implemented",
-    "sd3_clip_uncond_behaviour": "uncond embeds are zeroed",
-    "sd3_t5_uncond_behaviour": "uncond embeds are zeroed",
+    "sana_complex_human_instruction": "",  # wired (sana CHI template in encode_text)
+    "sd3_clip_uncond_behaviour": "",  # wired (sd3 encode_text zeroing)
+    "sd3_t5_uncond_behaviour": "",  # wired (sd3 encode_text zeroing)
     "krea2_reference_latents": "krea2 reference conditioning not implemented",
     "ltx2_intrinsic_conditioning": "LTX2 intrinsics not implemented",
     "ltx2_validation_spatial_upsampler_filename": "upsampler loads from flavour",

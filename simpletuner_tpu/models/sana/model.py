@@ -83,8 +83,21 @@ class Sana(ModelFoundation):
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return {"text_embeds": batch["text_embeds"]}
 
+    # Sana complex-human-instruction template (reference sana pipeline CHI:
+    # a fixed instruction block prepended to the user prompt before Gemma)
+    CHI_TEMPLATE = (
+        "Given a user prompt, generate an 'Enhanced prompt' that provides "
+        "detailed visual descriptions suitable for image generation. Here are "
+        "examples of how to transform or refine prompts: User Prompt: A cat "
+        "sleeping -> Enhanced: A small, fluffy white cat curled up in a round "
+        "shape, sleeping peacefully on a warm sunny windowsill. User Prompt: "
+        "{prompt} -> Enhanced:"
+    )
+
     def encode_text(self, prompts):
         (gemma,) = self.text_encoders
+        if getattr(self.config, "sana_complex_human_instruction", False):
+            prompts = [self.CHI_TEMPLATE.format(prompt=p) for p in prompts]
         out = gemma.encode(prompts)
         return [
             {

@@ -144,11 +144,34 @@ class SD3(ModelFoundation):
     # ---- host-side text encoding -----------------------------------------------------------
     def encode_text(self, prompts):
         """CLIP-L ++ CLIP-G (channel concat, zero-padded to context_dim) stacked
-        with T5 sequence (reference sd3 triple-encoder prompt embedding)."""
+        with T5 sequence (reference sd3 triple-encoder prompt embedding).
+
+        --sd3_clip_uncond_behaviour / --sd3_t5_uncond_behaviour: empty prompts
+        (the CFG negative) either encode "" normally ("empty_prompt") or zero
+        their segment ("zero", the reference default for sd3)."""
         clip_l, clip_g, t5 = self.text_encoders
         out_l = clip_l.encode(prompts)
         out_g = clip_g.encode(prompts)
         out_t5 = t5.encode(prompts)
+        clip_zero = (getattr(self.config, "sd3_clip_uncond_behaviour", "empty_prompt")
+                     or "empty_prompt") == "zero"
+        t5_zero = (getattr(self.config, "sd3_t5_uncond_behaviour", None)
+                   or getattr(self.config, "sd3_clip_uncond_behaviour", "empty_prompt")
+                   or "empty_prompt") == "zero"
+        empty = [not str(p).strip() for p in prompts]
+        if clip_zero:
+            for key in ("last_hidden_state", "pooled"):
+                for out in (out_l, out_g):
+                    if key in out:
+                        out[key] = np.array(out[key], copy=True)
+                        for i, is_empty in enumerate(empty):
+                            if is_empty:
+                                out[key][i] = 0.0
+        if t5_zero:
+            out_t5["last_hidden_state"] = np.array(out_t5["last_hidden_state"], copy=True)
+            for i, is_empty in enumerate(empty):
+                if is_empty:
+                    out_t5["last_hidden_state"][i] = 0.0
         context_dim = self.arch.context_dim
         results = []
         for i in range(len(prompts)):

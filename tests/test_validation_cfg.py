@@ -292,3 +292,54 @@ def test_skip_layer_guidance_sd3(tmp_path):
 
     with pytest.raises(ValueError, match="skip_layers"):
         v._slg_params(FakeSched())
+
+
+def test_sd3_uncond_zero_behaviour():
+    """sd3_clip/t5_uncond_behaviour=zero zeroes the empty-prompt embeds
+    (reference sd3 uncond handling) while real prompts stay intact."""
+    import numpy as np
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.registry import get_model_family
+    from simpletuner_tpu.models.text_encoders import load_text_encoders
+
+    def embeds(**over):
+        cfg = TrainingConfig({
+            "model_family": "sd3", "model_type": "lora", "lora_rank": 2,
+            "model_arch_preset": "tiny", "optimizer": "adamw",
+            "learning_rate": 1e-4, "max_train_steps": 1, **over,
+        })
+        model = get_model_family(cfg)
+        model.attach_text_encoders(
+            load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, None, tiny=True))
+        return model.encode_text(["a cat", ""])
+
+    default = embeds()
+    assert np.abs(default[1]["text_embeds"]).max() > 0  # "" encodes normally
+
+    zeroed = embeds(sd3_clip_uncond_behaviour="zero", sd3_t5_uncond_behaviour="zero")
+    assert np.abs(zeroed[1]["text_embeds"]).max() == 0
+    assert np.abs(zeroed[1]["pooled_embeds"]).max() == 0
+    assert np.abs(zeroed[0]["text_embeds"]).max() > 0  # real prompt untouched
+
+
+def test_sana_complex_human_instruction_changes_embeds():
+    import numpy as np
+
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.registry import get_model_family
+    from simpletuner_tpu.models.text_encoders import load_text_encoders
+
+    def one(chi):
+        cfg = TrainingConfig({
+            "model_family": "sana", "model_type": "lora", "lora_rank": 2,
+            "model_arch_preset": "tiny", "optimizer": "adamw",
+            "learning_rate": 1e-4, "max_train_steps": 1,
+            "sana_complex_human_instruction": chi,
+        })
+        model = get_model_family(cfg)
+        model.attach_text_encoders(
+            load_text_encoders(model.TEXT_ENCODER_CONFIGURATION, None, tiny=True))
+        return model.encode_text(["a cat"])[0]["text_embeds"]
+
+    assert not np.allclose(one(False), one(True))
