@@ -237,7 +237,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "model_card_safe_for_work": "cards carry no NSFW flag",
     "model_card_private": "use hub_private",
     "data_aesthetic_score": "aesthetic-score conditioning not implemented",
-    "data_backend_sampling": "weighted iterator uses per-dataset probability",
+    "data_backend_sampling": "",  # wired (MultiDatasetIterator._weight)
     "allow_dataset_oversubscription": "repeats control oversampling",
     "aspect_bucket_disable_rebuild": "bucket indices rebuild only when stale",
     "aspect_bucket_worker_count": "bucket scan parallelism is automatic",

@@ -395,6 +395,17 @@ class MultiDatasetIterator:
     def _weight(self, bundle: DatasetBundle) -> float:
         if bundle.config.dataset_weight is not None:
             return float(bundle.config.dataset_weight)
+        # --data_backend_sampling (reference get_backend_weight,
+        # factory.py:4973): "uniform" ignores dataset size; "auto-weighting"
+        # scales selection by sample count so large datasets are not starved
+        mode = str(getattr(self.model.config, "data_backend_sampling", "uniform")
+                   or "uniform").replace("_", "-")
+        if mode == "auto-weighting" and bundle.config.probability is None:
+            try:
+                size = float(len(bundle.sampler))
+            except TypeError:
+                size = 1.0
+            return max(size, 1.0)
         return float(bundle.config.probability or 1.0)
 
     def _active_bundles(self, step: int) -> List[DatasetBundle]:

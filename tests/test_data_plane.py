@@ -280,3 +280,44 @@ def test_vae_cache_consistency_repair(tiny_pipeline):
     assert result["encoded"] >= 1 and result["orphans_removed"] == 1
     final = cache.scan_cache_consistency()
     assert final["missing"] == [] and final["orphans"] == []
+
+
+def test_data_backend_sampling_auto_weighting():
+    """data_backend_sampling=auto-weighting biases dataset selection by size
+    (reference get_backend_weight, factory.py:4973)."""
+    from simpletuner_tpu.data.dataset import MultiDatasetIterator
+
+    class FakeSampler:
+        def __init__(self, n):
+            self.n = n
+        def __len__(self):
+            return self.n
+
+    class FakeConfig:
+        dataset_weight = None
+        probability = None
+
+    class FakeBundle:
+        def __init__(self, n):
+            self.sampler = FakeSampler(n)
+            self.config = FakeConfig()
+            self.id = f"b{n}"
+
+    class FakeModelConfig:
+        data_backend_sampling = "auto-weighting"
+
+    class FakeModel:
+        config = FakeModelConfig()
+
+    it = MultiDatasetIterator.__new__(MultiDatasetIterator)
+    it.model = FakeModel()
+    big, small = FakeBundle(90), FakeBundle(10)
+    assert it._weight(big) == 90.0 and it._weight(small) == 10.0
+
+    FakeModelConfig.data_backend_sampling = "uniform"
+    assert it._weight(big) == 1.0 and it._weight(small) == 1.0
+
+    # explicit probability always wins
+    small.config.probability = 3.0
+    FakeModelConfig.data_backend_sampling = "auto-weighting"
+    assert it._weight(small) == 3.0
