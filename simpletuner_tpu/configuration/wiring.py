@@ -216,7 +216,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "validation_disable_unconditional": "uncond render is already opt-in",
     "validation_randomize": "validation seeds are deterministic by design",
     "validation_seed_source": "validation seeds are deterministic by design",
-    "validation_on_startup": "benchmark renders cover the base model",
+    "validation_on_startup": "",  # wired (trainer.train pre-loop render)
     "validation_multigpu": "parallel validation shards automatically",
     "validation_input": "img2img validation uses the eval dataset",
     "validation_stitch_input_location": "stitch layout is fixed left-right",

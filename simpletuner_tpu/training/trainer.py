@@ -940,6 +940,17 @@ class Trainer:
 
         train_rng = jax.random.fold_in(self.rng, 0xBEEF)
         start_step = self.global_step
+        if (
+            self.validation is not None
+            and self.config.get("validation_on_startup")
+            and start_step == 0
+        ):
+            # --validation_on_startup (reference): render once with the
+            # untrained/loaded weights before step 1
+            self._sync_trained_text_encoder()
+            self.validation.run_validations(
+                self._state.variables(), self.global_step, force=True
+            )
         fetcher = None
         if self.config.get("dataloader_prefetch"):
             from ..data.batch_fetcher import BatchFetcher
