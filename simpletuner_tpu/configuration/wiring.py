@@ -128,7 +128,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "slider_lora_target": "slider trains the whole adapter; no submodule pick",
     "flux_lora_target": "use lora_target_modules",
     "acestep_lora_target": "use lora_target_modules",
-    "gradient_checkpointing_interval": "use gradient_checkpointing_policy or _skip_last",
+    "gradient_checkpointing_interval": "",  # wired (flux remat_interval segmented remat)
     "refiner_training": "",  # wired (timestep window in timestep_sampling_config)
     "refiner_training_strength": "",  # wired (timestep window)
     "refiner_training_invert_schedule": "",  # wired (timestep window)
@@ -154,9 +154,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "disable_segmented_timestep_sampling": "segmented sampling is opt-in already",
     "flow_custom_timesteps": "",  # wired (losses.sample_flow_sigmas custom list)
     "flow_timesteps_mode": "",  # wired (losses.sample_flow_sigmas custom list)
-    "flux_fast_schedule": "fast-schedule sigma set not implemented",
+    "flux_fast_schedule": "",  # wired (losses fast_schedule 4-level sigma table)
     "flux_attention_masked_training": "attention-mask training not implemented",
-    "input_perturbation_steps": "input perturbation applies for the whole run",
+    "input_perturbation_steps": "",  # wired (linear perturbation decay in prepare_batch)
     "diff2flow_loss": "diff2flow target bridging is wired; the extra loss isn't",
     "use_soft_min_snr": "",  # wired (losses.compute_soft_min_snr)
     "soft_min_snr_sigma_data": "",  # wired (losses.compute_soft_min_snr)

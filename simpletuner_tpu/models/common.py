@@ -193,6 +193,12 @@ class ModelFoundation:
         from ..training.losses import parse_flow_custom_timesteps
 
         c = self.config
+        fast = bool(getattr(c, "flux_fast_schedule", False))
+        if fast and self.NAME not in ("flux", "chroma"):
+            raise ValueError(
+                "--flux_fast_schedule is a flux/chroma schnell schedule; "
+                f"family {self.NAME!r} does not support it"
+            )
         return FlowScheduleConfig(
             sigmoid_scale=getattr(c, "flow_sigmoid_scale", 1.0) or 1.0,
             schedule_shift=getattr(c, "flow_schedule_shift", None),
@@ -207,6 +213,7 @@ class ModelFoundation:
             custom_mode=str(
                 getattr(c, "flow_timesteps_mode", "fixed-list") or "fixed-list"
             ).replace("_", "-"),
+            fast_schedule=fast,
         )
 
     # per-family DDPM betas (reference loads each model's hub scheduler config,
@@ -313,7 +320,14 @@ class ModelFoundation:
         input_noise = noise
         if perturbation > 0:
             rng_pert = jax.random.fold_in(rng, 0x1F)
-            input_noise = noise + perturbation * jax.random.normal(
+            strength = jnp.asarray(perturbation, jnp.float32)
+            # --input_perturbation_steps (reference common.py:5443-5448):
+            # linear decay to zero over the first N steps, off afterwards
+            pert_steps = int(getattr(self.config, "input_perturbation_steps", 0) or 0)
+            if pert_steps > 0:
+                step = jnp.asarray(batch.get("global_step", 0), jnp.float32)
+                strength = strength * jnp.clip(1.0 - step / pert_steps, 0.0, 1.0)
+            input_noise = noise + strength * jax.random.normal(
                 rng_pert, latents.shape, jnp.float32
             )
         if self.is_flow:

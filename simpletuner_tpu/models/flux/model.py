@@ -105,6 +105,7 @@ class Flux(ModelFoundation):
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
             remat_policy=getattr(self.config, "gradient_checkpointing_policy", None) or "full",
             remat_skip_last=int(getattr(self.config, "gradient_checkpointing_skip_last", 0) or 0),
+            remat_interval=int(getattr(self.config, "gradient_checkpointing_interval", 0) or 1),
             tread_routes=routes,
             flowmap_gate=flowmap_gate,
             flowmap_deltatime_type=flowmap_deltatime,

@@ -239,6 +239,10 @@ class FluxTransformer(nn.Module):
     # base, small batch) buying back recompute on K blocks raises MFU without
     # touching peak memory much (their bwd runs first, freeing early)
     remat_skip_last: int = 0
+    # segmented remat (reference --gradient_checkpointing_interval,
+    # safety_check.py:143-268): only every Nth block is rematted; the blocks
+    # in between keep their activations.  interval<=1 remats every block.
+    remat_interval: int = 1
     # TREAD routes over single-stream layers: tuple of
     # {"selection_ratio": r, "start_layer": i, "end_layer": j} (reference
     # helpers/training/tread.py + flux tread_init; active only when a
@@ -339,8 +343,12 @@ class FluxTransformer(nn.Module):
                 double_cls = nn.remat(DoubleStreamBlock, policy=policy)
             single_cls = nn.remat(SingleStreamBlock, policy=policy)
 
+        remat_interval = max(1, int(self.remat_interval))
         for layer in range(cfg.depth_double):
-            img_tok, txt_tok = double_cls(
+            layer_double_cls = (
+                double_cls if layer % remat_interval == 0 else DoubleStreamBlock
+            )
+            img_tok, txt_tok = layer_double_cls(
                 cfg, name=f"double_{layer}", qk_clip=self.qk_clip, **common, **lora
             )(img_tok, txt_tok, cond, rope, segment_ids,
               cond_txt if tokenwise else None)
@@ -397,7 +405,11 @@ class FluxTransformer(nn.Module):
                     sin = jnp.take_along_axis(saved[2][1], keep_idx[..., None], axis=1)
             layer_cls = (
                 SingleStreamBlock
-                if self.remat and layer >= cfg.depth_single - int(self.remat_skip_last)
+                if self.remat
+                and (
+                    layer >= cfg.depth_single - int(self.remat_skip_last)
+                    or layer % remat_interval != 0
+                )
                 else single_cls
             )
             stream = layer_cls(

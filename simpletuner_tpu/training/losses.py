@@ -38,6 +38,11 @@ class FlowScheduleConfig:
     # cycles deterministically by (global step, batch index, process)
     custom_sigmas: Optional[Tuple[float, ...]] = None
     custom_mode: str = "fixed-list"  # fixed-list | round-robin
+    # reference --flux_fast_schedule (flux/__init__.py:11-20): the schnell
+    # 4-step schedule from the SD3-Turbo paper — the 1000-step sigma table is
+    # quantized to [1.0, 0.3, 0.2, 0.1] by quartile, so training sigmas are
+    # drawn uniformly from those four levels
+    fast_schedule: bool = False
 
 
 def parse_flow_custom_timesteps(raw) -> Optional[Tuple[float, ...]]:
@@ -104,6 +109,11 @@ def sample_flow_sigmas(
     resolution-dynamic schedule shift (not applied to custom lists — they are
     already the final sigmas, reference common.py:4637).
     """
+    if config.fast_schedule:
+        # uniform draw over the quantized 4-level schnell schedule; shifts do
+        # not apply (the table already IS the final sigma set)
+        table = jnp.asarray([1.0, 0.3, 0.2, 0.1], jnp.float32)
+        return jax.random.choice(rng, table, (batch_size,))
     if config.custom_sigmas:
         table = jnp.asarray(config.custom_sigmas, jnp.float32)
         if config.custom_mode == "round-robin":

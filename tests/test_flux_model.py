@@ -139,3 +139,42 @@ def test_remat_skip_last_is_numerically_invariant():
     assert np.isclose(l0, l2, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+def test_remat_interval_is_numerically_invariant():
+    """Segmented remat (gradient_checkpointing_interval, reference
+    safety_check.py:143-268) changes memory/FLOPs only — losses and LoRA
+    grads must match the every-block-remat stack."""
+
+    def build(interval):
+        cfg = TrainingConfig(
+            {
+                "model_family": "flux",
+                "model_type": "lora",
+                "lora_rank": 4,
+                "model_arch_preset": "tiny",
+                "gradient_checkpointing": True,
+                "gradient_checkpointing_interval": interval,
+                "max_train_steps": 10,
+            }
+        )
+        return Flux(cfg, arch=FluxConfig.tiny())
+
+    results = []
+    for interval in (0, 2):
+        model = build(interval)
+        batch = model.example_batch(batch_size=2, resolution=64)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+
+        def loss_fn(lora):
+            pred = model.model_predict({**variables, "lora": lora}, prepared)
+            target = prepared["noise"] - prepared["latents"]
+            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["lora"])
+        results.append((float(loss), grads))
+
+    (l0, g0), (l2, g2) = results
+    assert np.isclose(l0, l2, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)

@@ -231,3 +231,44 @@ def test_flow_custom_timesteps_fixed_and_round_robin():
     with pytest.raises(ValueError, match="flow_timesteps_mode"):
         sample_flow_sigmas(jax.random.PRNGKey(0), 2,
                            FlowScheduleConfig(custom_sigmas=(0.5,), custom_mode="nope"))
+
+
+def test_flux_fast_schedule_quantized_sigmas():
+    """flux_fast_schedule: training sigmas draw uniformly from the schnell
+    4-level table [1.0, 0.3, 0.2, 0.1] (SD3-Turbo schedule, reference
+    flux/__init__.py:11-20); shifts/modes do not perturb the table."""
+    from simpletuner_tpu.training.losses import FlowScheduleConfig, sample_flow_sigmas
+
+    cfg = FlowScheduleConfig(fast_schedule=True, schedule_shift=3.0, sigmoid_scale=2.0)
+    draws = np.asarray(sample_flow_sigmas(jax.random.PRNGKey(0), 256, cfg))
+    levels = {float(v) for v in np.round(draws.astype(np.float64), 4)}
+    assert levels <= {1.0, 0.3, 0.2, 0.1}
+    assert len(levels) == 4  # 256 draws hit every level
+
+    # only flux/chroma accept the flag; other flow families fail loudly
+    from simpletuner_tpu.models.registry import ModelRegistry
+
+    sd3_cfg = TrainingConfig(
+        {
+            "model_family": "sd3",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "flux_fast_schedule": True,
+            "max_train_steps": 10,
+        }
+    )
+    sd3 = ModelRegistry.create("sd3", sd3_cfg)
+    with pytest.raises(ValueError, match="flux_fast_schedule"):
+        sd3.flow_schedule_config()
+
+    flux_cfg = TrainingConfig(
+        {
+            "model_family": "flux",
+            "model_type": "lora",
+            "model_arch_preset": "tiny",
+            "flux_fast_schedule": True,
+            "max_train_steps": 10,
+        }
+    )
+    flux = Flux(flux_cfg, arch=FluxConfig.tiny())
+    assert flux.flow_schedule_config().fast_schedule is True

@@ -189,3 +189,23 @@ def test_noise_offset_and_input_perturbation():
     step = jax.jit(step_fn)
     _, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert jnp.isfinite(metrics["loss"])
+def test_input_perturbation_steps_decay():
+    """--input_perturbation_steps: the extra input noise decays linearly to
+    zero over the first N steps and is off afterwards (reference
+    common.py:5443-5448)."""
+    model, state, step_fn, batch = _tiny_setup(
+        input_perturbation=0.5, input_perturbation_steps=10
+    )
+
+    def input_gap(step):
+        prepared = model.prepare_batch(
+            jax.random.PRNGKey(0), dict(batch, global_step=jnp.asarray(step))
+        )
+        s = prepared["sigmas"].reshape(-1, 1, 1, 1)
+        clean = (1 - s) * prepared["latents"] + s * prepared["noise"]
+        return float(jnp.abs(prepared["noisy_latents"] - clean).max())
+
+    g0, g5, g20 = input_gap(0), input_gap(5), input_gap(20)
+    assert g0 > 0
+    assert np.isclose(g5, g0 / 2, rtol=1e-4)  # linear: half strength at N/2
+    assert g20 == 0.0  # past the window: clean interpolation exactly
