@@ -138,7 +138,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "freeze_encoder_before": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity
     "freeze_encoder_after": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity
     "freeze_encoder_strategy": "",  # wired (optimizers._te_freeze_predicate); kept for audit clarity
-    "layer_freeze_strategy": "per-layer freeze masks not implemented",
+    "layer_freeze_strategy": "",  # wired (bitfit bias-only optimizer mask)
     "fully_unload_text_encoder": "TEs unload after caching by default",
     "text_encoder_limit": "all configured TEs load",
     "custom_text_encoder_intermediary_layers": "hidden-state taps not implemented",

@@ -583,6 +583,18 @@ def get_optimizer(
     # sidecar optimizer groups (text encoder / lyric embedder) ride an
     # optax.multi_transform keyed by top-level trainable collection
     transforms: Dict[str, optax.GradientTransformation] = {"model": tx}
+    # BitFit (reference --layer_freeze_strategy=bitfit, model_freeze.py:82
+    # apply_bitfit_freezing): full fine-tune trains ONLY bias leaves; LoRA
+    # adapters have no bias and arrive pre-frozen, so bitfit no-ops there
+    # exactly like the reference
+    freeze_layers = (config.get("layer_freeze_strategy") or "none").lower()
+    if freeze_layers not in ("none", "bitfit"):
+        raise ValueError(
+            f"unknown layer_freeze_strategy {freeze_layers!r}; known: none, bitfit"
+        )
+    bitfit = freeze_layers == "bitfit" and config.get("model_type", "lora") == "full"
+    if bitfit:
+        transforms["bitfit_frozen"] = optax.set_to_zero()
     te_lr = config.get("text_encoder_lr")
     freeze_strategy = (config.get("freeze_encoder_strategy") or "none").lower()
     frozen_fn = None
@@ -612,6 +624,13 @@ def get_optimizer(
                     )
                 elif key == "lyrics_params" and "lyrics" in transforms:
                     out[key] = jax.tree_util.tree_map(lambda _: "lyrics", sub)
+                elif bitfit:
+                    out[key] = jax.tree_util.tree_map_with_path(
+                        lambda path, _: "model"
+                        if getattr(path[-1], "key", str(path[-1])) == "bias"
+                        else "bitfit_frozen",
+                        sub,
+                    )
                 else:
                     out[key] = jax.tree_util.tree_map(lambda _: "model", sub)
             return out

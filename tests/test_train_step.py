@@ -209,3 +209,29 @@ def test_input_perturbation_steps_decay():
     assert g0 > 0
     assert np.isclose(g5, g0 / 2, rtol=1e-4)  # linear: half strength at N/2
     assert g20 == 0.0  # past the window: clean interpolation exactly
+
+def test_bitfit_trains_biases_only():
+    """layer_freeze_strategy=bitfit (reference model_freeze.py:82): full
+    fine-tune updates ONLY bias leaves; everything else stays frozen."""
+    model, state, step_fn, batch = _tiny_setup(
+        model_type="full", layer_freeze_strategy="bitfit"
+    )
+    before = state.trainable
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(metrics["loss"])
+
+    moved_bias, moved_other = 0, 0
+    flat_before = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_after = jax.tree_util.tree_flatten_with_path(new_state.trainable)[0]
+    for (path, a), (_, b) in zip(flat_before, flat_after):
+        name = getattr(path[-1], "key", str(path[-1]))
+        changed = bool(jnp.any(a != b))
+        if name == "bias":
+            moved_bias += changed
+        else:
+            moved_other += changed
+    assert moved_bias > 0  # biases train
+    assert moved_other == 0  # weights frozen
+
+    with pytest.raises(ValueError, match="layer_freeze_strategy"):
+        _tiny_setup(model_type="full", layer_freeze_strategy="nope")
