@@ -188,9 +188,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "krea2_reference_latents": "krea2 reference conditioning not implemented",
     "ltx2_intrinsic_conditioning": "LTX2 intrinsics not implemented",
     "ltx2_validation_spatial_upsampler_filename": "upsampler loads from flavour",
-    "ltx_i2v_prob": "LTX i2v conditioning probability not implemented",
-    "ltx_partial_noise_fraction": "LTX partial-noise training not implemented",
-    "ltx_protect_first_frame": "LTX first-frame protection not implemented",
+    "ltx_i2v_prob": "",  # wired (LTXVideo.prepare_batch partial first-frame protection)
+    "ltx_partial_noise_fraction": "",  # wired (LTXVideo.prepare_batch)
+    "ltx_protect_first_frame": "",  # wired (LTXVideo.prepare_batch sigma-0 frame 0)
     "ltx_train_mode": "LTX trains the standard flow objective",
     "wan_force_2_1_time_embedding": "wan flavours pick the time embedding",
     "wan_validation_load_other_stage": "single-stage wan validation only",

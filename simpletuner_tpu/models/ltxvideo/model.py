@@ -67,6 +67,48 @@ class LTXVideo(Wan):
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
         )
 
+    def prepare_batch(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Generic flow prep + LTX i2v first-frame protection (reference
+        ltxvideo/model.py:194 apply_i2v_augmentation + ltxvideo/__init__.py:65
+        apply_first_frame_protection):
+
+        * ``ltx_protect_first_frame``: frame 0 always trains at sigma 0 — the
+          model sees the clean conditioning frame.
+        * ``ltx_i2v_prob`` (with ``ltx_partial_noise_fraction``): with
+          probability p per sample, frame 0's sigma AND noise scale down by a
+          random fraction in [0, partial_noise_fraction).
+
+        Per-frame sigmas ride ``timesteps`` as (B, T) into the transformer's
+        per-frame conditioning path.
+        """
+        prepared = super().prepare_batch(rng, batch)
+        protect = bool(getattr(self.config, "ltx_protect_first_frame", False))
+        prob = float(getattr(self.config, "ltx_i2v_prob", 0.0) or 0.0)
+        latents = prepared["latents"]
+        if not (protect or prob > 0) or latents.ndim != 5 or latents.shape[1] <= 1:
+            return prepared
+        frac = float(getattr(self.config, "ltx_partial_noise_fraction", 0.05) or 0.05)
+        b, t = latents.shape[:2]
+        frame_sig = jnp.broadcast_to(prepared["sigmas"][:, None], (b, t))
+        mask0 = jnp.zeros((b, t), jnp.float32).at[:, 0].set(1.0)
+        noise = prepared["noise"]
+        if protect:
+            alpha = 1.0 - mask0  # frame-0 sigma -> 0; noise untouched
+        else:
+            rng_gate, rng_frac = jax.random.split(jax.random.fold_in(rng, 0x17))
+            gate = (jax.random.uniform(rng_gate, (b, 1)) < prob).astype(jnp.float32)
+            rn = jax.random.uniform(rng_frac, (b, 1)) * frac
+            alpha = 1.0 - mask0 * gate * rn
+            noise = noise * alpha[:, :, None, None, None]
+        frame_sig = frame_sig * alpha
+        s5 = frame_sig[:, :, None, None, None]
+        lat32 = latents.astype(jnp.float32)
+        prepared["noise"] = noise
+        prepared["noisy_latents"] = (1.0 - s5) * lat32 + s5 * noise
+        prepared["target"] = noise - lat32
+        prepared["timesteps"] = frame_sig
+        return prepared
+
     def video_vae_config(self) -> VideoVAEConfig:
         if getattr(self.config, "model_arch_preset", None) == "tiny":
             return VideoVAEConfig(

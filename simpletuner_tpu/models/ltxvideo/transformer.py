@@ -128,10 +128,20 @@ class LTXBlock(nn.Module):
             (6, dim),
             self.param_dtype,
         )
-        mods = table[None].astype(jnp.float32) + t6.astype(jnp.float32)  # (B, 6, dim)
-        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
-            mods[:, i][:, None, :].astype(self.dtype) for i in range(6)
-        )
+        if t6.ndim == 4:
+            # per-frame conditioning (i2v first-frame protection, reference
+            # ltxvideo/__init__.py:65 apply_first_frame_protection): t6 is
+            # (B, frames, 6, dim); every token of a frame shares its mods
+            mods = table[None, None].astype(jnp.float32) + t6.astype(jnp.float32)
+            mods = jnp.repeat(mods, seq // mods.shape[1], axis=1)  # (B, seq, 6, dim)
+            shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+                mods[:, :, i].astype(self.dtype) for i in range(6)
+            )
+        else:
+            mods = table[None].astype(jnp.float32) + t6.astype(jnp.float32)  # (B, 6, dim)
+            shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+                mods[:, i][:, None, :].astype(self.dtype) for i in range(6)
+            )
 
         # --- self-attention (rope over flattened inner dim, across-head qk RMS) ---------
         x_n = RMSNorm(use_scale=False, **common)(x)
@@ -183,7 +193,7 @@ class LTXTransformer(nn.Module):
     def __call__(
         self,
         latents: jax.Array,  # (B, T, H, W, C)
-        timesteps: jax.Array,  # (B,) sigma in [0, 1]
+        timesteps: jax.Array,  # (B,) sigma in [0, 1], or (B, T) per-frame
         context: jax.Array,  # (B, L, text_dim)
     ) -> jax.Array:
         cfg = self.config
@@ -199,10 +209,17 @@ class LTXTransformer(nn.Module):
         txt = nn.gelu(txt, approximate=True)
         txt = LoRADense(dim, name="caption_in_2", **common, **lora)(txt)
 
+        per_frame = timesteps.ndim == 2
+        t_flat = timesteps.reshape(-1)  # (B,) or (B*T,)
         t_emb = MLPEmbedder(dim, name="time_in", **common)(
-            timestep_embedding(timesteps, 256).astype(self.dtype)
+            timestep_embedding(t_flat, 256).astype(self.dtype)
         )
-        t6 = LoRADense(6 * dim, name="time_proj", **common)(nn.silu(t_emb)).reshape(-1, 6, dim)
+        t6 = LoRADense(6 * dim, name="time_proj", **common)(nn.silu(t_emb))
+        if per_frame:
+            t6 = t6.reshape(batch, t, 6, dim)
+            t_emb = t_emb.reshape(batch, t, dim)
+        else:
+            t6 = t6.reshape(-1, 6, dim)
 
         cos, sin = ltx_rope(cfg, t, h, w)
         rope = (jnp.asarray(cos), jnp.asarray(sin))
@@ -218,9 +235,15 @@ class LTXTransformer(nn.Module):
             (2, dim),
             self.param_dtype,
         )
-        final = final_table[None].astype(jnp.float32) + t_emb[:, None, :].astype(jnp.float32)
-        shift = final[:, 0][:, None, :].astype(self.dtype)
-        scale = final[:, 1][:, None, :].astype(self.dtype)
+        if per_frame:
+            final = final_table[None, None].astype(jnp.float32) + t_emb[:, :, None, :].astype(jnp.float32)
+            final = jnp.repeat(final, h * w, axis=1)  # (B, seq, 2, dim)
+            shift = final[:, :, 0].astype(self.dtype)
+            scale = final[:, :, 1].astype(self.dtype)
+        else:
+            final = final_table[None].astype(jnp.float32) + t_emb[:, None, :].astype(jnp.float32)
+            shift = final[:, 0][:, None, :].astype(self.dtype)
+            scale = final[:, 1][:, None, :].astype(self.dtype)
         x = LayerNorm(use_scale=False, use_bias=False, **common)(x)
         x = x * (1 + scale) + shift
         x = LoRADense(cfg.out_channels, name="final_proj", **common)(x)

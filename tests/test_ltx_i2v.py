@@ -92,3 +92,51 @@ def test_hunyuanvideo_forward_and_step():
     step = jax.jit(build_train_step(model, tx, schedule), donate_argnums=(0,))
     state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+def _ltx_tiny(**extra):
+    cfg = TrainingConfig(
+        {"model_family": "ltxvideo", "model_type": "lora", "model_arch_preset": "tiny",
+         "lora_rank": 4, "optimizer": "adamw", "learning_rate": 1e-3,
+         "max_train_steps": 10, **extra}
+    )
+    return LTXVideo(cfg)
+
+
+def test_ltx_protect_first_frame():
+    """ltx_protect_first_frame: frame 0 trains at sigma 0 — the model input's
+    first frame IS the clean latent (reference ltxvideo/__init__.py:65)."""
+    model = _ltx_tiny(ltx_protect_first_frame=True)
+    batch = model.example_batch(batch_size=2, resolution=32)
+    batch = dict(batch, latents=jax.random.normal(jax.random.PRNGKey(7), batch["latents"].shape))
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    assert prepared["timesteps"].shape == batch["latents"].shape[:2]  # (B, T)
+    np.testing.assert_array_equal(np.asarray(prepared["timesteps"][:, 0]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(prepared["noisy_latents"][:, 0]),
+        np.asarray(batch["latents"][:, 0]), rtol=1e-6)
+    # later frames still noised at the sampled sigma
+    assert float(jnp.abs(prepared["noisy_latents"][:, 1] - batch["latents"][:, 1]).max()) > 0
+
+    # per-frame timesteps ride through the transformer
+    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    pred = jax.jit(lambda v, p: model.model_predict(v, p))(variables, prepared)
+    assert pred.shape == batch["latents"].shape
+
+
+def test_ltx_partial_first_frame_noise():
+    """ltx_i2v_prob=1 + partial_noise_fraction: frame 0's sigma and noise
+    scale down by a random fraction < partial_noise_fraction."""
+    model = _ltx_tiny(ltx_i2v_prob=1.0, ltx_partial_noise_fraction=0.05)
+    batch = model.example_batch(batch_size=4, resolution=32)
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+    t = np.asarray(prepared["timesteps"])
+    assert t.shape == batch["latents"].shape[:2]
+    # frame 0 reduced but by less than the 5% cap; other frames untouched
+    assert (t[:, 0] < t[:, 1]).all()
+    assert (t[:, 0] >= t[:, 1] * 0.95 - 1e-6).all()
+    np.testing.assert_allclose(t[:, 1], t[:, 2])
+
+    # probability 0 -> scalar path, byte-identical to the plain prep
+    off = _ltx_tiny(ltx_i2v_prob=0.0)
+    plain = off.prepare_batch(jax.random.PRNGKey(1), batch)
+    assert plain["timesteps"].ndim == 1
