@@ -124,10 +124,10 @@ UNIMPLEMENTED: Dict[str, str] = {
     "init_lokr_norm": "LoKr norm-preserving init not implemented",
     "use_dora": "",  # wired (lora_algo="dora" in LoRADense); kept for audit clarity
     "singlora_ramp_up_steps": "SingLoRA u(t) ramp rides the LR schedule",
-    "peft_lora_target_modules": "use the per-family DEFAULT_LORA_TARGET",
-    "slider_lora_target": "slider trains the whole adapter; no submodule pick",
-    "flux_lora_target": "use lora_target_modules",
-    "acestep_lora_target": "use lora_target_modules",
+    "peft_lora_target_modules": "",  # wired (ModelFoundation.lora_target_modules)
+    "slider_lora_target": "",  # wired (SLIDER_LORA_TARGET predicate)
+    "flux_lora_target": "",  # wired (Flux.family_lora_targets presets)
+    "acestep_lora_target": "",  # wired (AceStep.family_lora_targets presets)
     "gradient_checkpointing_interval": "",  # wired (flux remat_interval segmented remat)
     "refiner_training": "",  # wired (timestep window in timestep_sampling_config)
     "refiner_training_strength": "",  # wired (timestep window)

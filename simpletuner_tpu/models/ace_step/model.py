@@ -40,6 +40,31 @@ class ACEStep(ModelFoundation):
     )
     DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj")
 
+    # --acestep_lora_target presets (reference ace_step/model.py:278-303).
+    # The reference's Lite-LA ``linear_q/k/v`` projections are fused into
+    # to_q/k/v in this implementation, so those names are kept for config
+    # compatibility but match the same fused modules.
+    LORA_TARGET_PRESETS = {
+        "attn_qkv": ["to_q", "to_k", "to_v", "to_out.0"],
+        "attn_qkv+linear_qkv": [
+            "linear_q", "linear_k", "linear_v",
+            "to_q", "to_k", "to_v", "to_out.0",
+        ],
+        "attn_qkv+linear_qkv+speech_embedder": [
+            "speaker_embedder", "linear_q", "linear_k", "linear_v",
+            "to_q", "to_k", "to_v", "to_out.0",
+        ],
+    }
+
+    def family_lora_targets(self):
+        preset = getattr(self.config, "acestep_lora_target", None) or "attn_qkv+linear_qkv"
+        if preset not in self.LORA_TARGET_PRESETS:
+            raise ValueError(
+                f"unknown acestep_lora_target {preset!r}; available: "
+                f"{sorted(self.LORA_TARGET_PRESETS)}"
+            )
+        return self.LORA_TARGET_PRESETS[preset]
+
     def sidecar_param_keys(self):
         """--lyrics_embedder_train (reference trainer.py:3292): the conformer
         lyric encoder + its projection train full-rank next to the frozen base

@@ -68,6 +68,13 @@ class ModelFoundation:
     TEXT_ENCODER_CONFIGURATION: Sequence[TextEncoderSpec] = ()
     # key-path prefixes (regexes over flattened param paths) targeted by LoRA
     DEFAULT_LORA_TARGET: Sequence[str] = ("to_q", "to_k", "to_v", "to_out")
+    # --slider_lora_target: attention-only adapter for concept-slider training
+    # (reference helpers/models/common.py:470 DEFAULT_SLIDER_LORA_TARGET and
+    # per-family SLIDER_LORA_TARGET overrides, e.g. flux/model.py:65)
+    SLIDER_LORA_TARGET: Sequence[str] = (
+        "to_q", "to_k", "to_v", "to_out.0",
+        "add_q_proj", "add_k_proj", "add_v_proj", "to_add_out",
+    )
     VAE_SCALING_FACTOR: float = 1.0
     VAE_SHIFT_FACTOR: float = 0.0
     # --train_text_encoder (reference field_registry sections/training.py:723,
@@ -87,6 +94,96 @@ class ModelFoundation:
 
         set_quantized_matmul(resolve_quantized_matmul(config))
         set_lora_dropout(float(getattr(config, "lora_dropout", 0.0) or 0.0))
+        from .layers import set_lora_init_style, set_lora_target
+
+        set_lora_target(self._build_lora_target_predicate())
+        set_lora_init_style(getattr(config, "lora_init_type", None) or "default")
+
+    # ---- per-module LoRA target selection ---------------------------------------------
+    def family_lora_targets(self) -> Optional[Sequence[str]]:
+        """Family preset hook (reference get_lora_target_layers,
+        helpers/models/common.py:918): return a list of diffusers module-name
+        patterns (PEFT suffix-match semantics) or None to adapt every
+        LoRADense.  Overridden by flux (--flux_lora_target presets) and
+        ace_step (--acestep_lora_target)."""
+        return None
+
+    def lora_target_modules(self) -> Optional[Sequence[str]]:
+        """Resolve the target-module surface in reference priority order:
+        manual --lora_target_modules / --peft_lora_target_modules >
+        --slider_lora_target > family preset > None (adapt everything)."""
+        cfg = self.config
+        manual = (
+            getattr(cfg, "lora_target_modules", None)
+            or getattr(cfg, "peft_lora_target_modules", None)
+        )
+        if manual:
+            if isinstance(manual, str):
+                import json
+                import os
+
+                text = manual.strip()
+                if os.path.isfile(text):  # JSON-file form of the reference field
+                    with open(text) as handle:
+                        manual = json.load(handle)
+                elif text.startswith("["):
+                    manual = json.loads(text)
+                else:
+                    manual = [t.strip() for t in text.split(",") if t.strip()]
+            if not isinstance(manual, (list, tuple)) or not all(
+                isinstance(t, str) for t in manual
+            ):
+                raise ValueError(
+                    "lora_target_modules must be a list of module name strings "
+                    f"(got {manual!r})"
+                )
+            return list(manual)
+        if getattr(cfg, "slider_lora_target", False):
+            return list(self.SLIDER_LORA_TARGET)
+        return self.family_lora_targets()
+
+    def _build_lora_target_predicate(self):
+        """Compile the resolved target list into a path predicate for
+        ``layers.set_lora_target``.  Each LoRADense's "/"-joined flax path is
+        translated to its diffusers module name through the family LoRA key
+        map (training/lora.py) so reference target lists work verbatim; the
+        raw flax path (slashes -> dots) matches too.  PEFT semantics: a module
+        matches when its name equals a target or ends with "." + target.
+        Fused projections (e.g. flux single-block linear1 = q|k|v|mlp) adapt
+        whole when ANY of their split names match."""
+        targets = self.lora_target_modules()
+        if targets is None:
+            return None
+        patterns = [t.replace("/", ".") for t in targets]
+        cache: Dict[str, bool] = {}
+        state: Dict[str, Any] = {"key_map": None}
+
+        def _match(name: str) -> bool:
+            return any(name == p or name.endswith("." + p) for p in patterns)
+
+        def predicate(path: str) -> bool:
+            hit = cache.get(path)
+            if hit is not None:
+                return hit
+            if state["key_map"] is None:
+                # lazy: the arch config may not exist until the module builds
+                from ..training.lora import _key_map_for
+
+                try:
+                    state["key_map"] = _key_map_for(self)
+                except Exception:
+                    state["key_map"] = {}
+            names = [path.replace("/", ".")]
+            mapped = state["key_map"].get(path)
+            if isinstance(mapped, str):
+                names.append(mapped)
+            elif isinstance(mapped, list):
+                names.extend(entry[0] for entry in mapped)
+            ok = any(_match(n) for n in names)
+            cache[path] = ok
+            return ok
+
+        return predicate
 
     # ---- acceleration presets ---------------------------------------------------------
     @classmethod

@@ -38,8 +38,65 @@ class Flux(ModelFoundation):
         TextEncoderSpec(name="t5-xxl", family="t5-xxl", subfolder="text_encoder_2", max_length=512),
     )
     DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj", "linear1", "linear2")
+    SLIDER_LORA_TARGET = ("to_k", "to_q", "to_v", "to_out.0", "to_qkv")
     VAE_SCALING_FACTOR = 0.3611
     VAE_SHIFT_FACTOR = 0.1159
+
+    # --flux_lora_target presets (reference flux/model.py:1105-1233); names are
+    # diffusers module paths, matched through the flux LoRA key map with PEFT
+    # suffix semantics.  Single-block q/k/v/proj_mlp ride ONE fused linear1
+    # here, so any matching split name adapts the whole fused projection.
+    LORA_TARGET_PRESETS = {
+        "all": [
+            "to_k", "to_q", "to_v", "to_qkv", "add_qkv_proj",
+            "add_k_proj", "add_q_proj", "add_v_proj", "to_out.0", "to_add_out",
+        ],
+        "context": [
+            "add_k_proj", "add_q_proj", "add_v_proj", "add_qkv_proj", "to_add_out",
+        ],
+        "context+ffs": [
+            "add_k_proj", "add_q_proj", "add_v_proj", "add_qkv_proj",
+            "to_add_out", "ff_context.net.0.proj", "ff_context.net.2",
+        ],
+        "all+ffs": [
+            "to_k", "to_q", "to_v", "to_qkv", "add_qkv_proj",
+            "add_k_proj", "add_q_proj", "add_v_proj", "to_out.0", "to_add_out",
+            "ff.net.0.proj", "ff.net.2", "ff_context.net.0.proj",
+            "ff_context.net.2", "proj_mlp", "proj_out",
+        ],
+        "all+ffs+embedder": [
+            "x_embedder",
+            "to_k", "to_q", "to_v", "to_qkv", "add_qkv_proj",
+            "add_k_proj", "add_q_proj", "add_v_proj", "to_out.0", "to_add_out",
+            "ff.net.0.proj", "ff.net.2", "ff_context.net.0.proj",
+            "ff_context.net.2", "proj_mlp", "proj_out",
+        ],
+        "ai-toolkit": [
+            "to_q", "to_k", "to_qkv", "add_qkv_proj", "to_v",
+            "add_q_proj", "add_k_proj", "add_v_proj", "to_out.0", "to_add_out",
+            "ff.net.0.proj", "ff.net.2", "ff_context.net.0.proj",
+            "ff_context.net.2", "norm.linear", "norm1.linear",
+            "norm1_context.linear", "proj_mlp", "proj_out",
+        ],
+        "tiny": ["single_transformer_blocks.7.proj_out",
+                 "single_transformer_blocks.20.proj_out"],
+        "nano": ["single_transformer_blocks.7.proj_out"],
+    }
+
+    def family_lora_targets(self):
+        preset = getattr(self.config, "flux_lora_target", None) or "all"
+        if preset == "controlnet":
+            raise NotImplementedError(
+                "flux_lora_target=controlnet (LoRA over ControlNet modules) is "
+                "not supported; use model_type=controlnet for full ControlNet "
+                "training"
+            )
+        if preset not in self.LORA_TARGET_PRESETS:
+            raise ValueError(
+                f"unknown flux_lora_target {preset!r}; available: "
+                f"{sorted(self.LORA_TARGET_PRESETS)}"
+            )
+        return self.LORA_TARGET_PRESETS[preset]
 
     @classmethod
     def get_acceleration_presets(cls):
@@ -102,6 +159,10 @@ class Flux(ModelFoundation):
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
             lora_algo=self.lora_algo,
+            lora_mod_layers=(
+                self.lora_rank > 0
+                and getattr(self.config, "flux_lora_target", None) == "ai-toolkit"
+            ),
             remat=bool(getattr(self.config, "gradient_checkpointing", False)),
             remat_policy=getattr(self.config, "gradient_checkpointing_policy", None) or "full",
             remat_skip_last=int(getattr(self.config, "gradient_checkpointing_skip_last", 0) or 0),

@@ -81,6 +81,8 @@ class DoubleStreamBlock(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
+    # adapt the modulation linears too (--flux_lora_target=ai-toolkit)
+    lora_mod_layers: bool = False
     # MuonClip QK-clip (reference helpers/training/optimizers/muon: per-head
     # max attention logits feed the optimizer's post-step q/k rescale) — costs
     # one extra fp32 QK^T, so it is opt-in for muon training only
@@ -91,13 +93,14 @@ class DoubleStreamBlock(nn.Module):
         cfg = self.config
         dim = cfg.hidden_size
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
+        mod_lora = lora if self.lora_mod_layers else {}
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         # vec may be tokenwise (B, S_img, dim) — LongCat-Image edit gives ref
         # tokens t=0 (reference longcat_image/model.py:684-706); the text
         # stream then modulates on the per-image mean (transformer.py:444-447)
-        img_mods = AdaLayerNormZero(6, name="img_mod", **common)(vec, dim)
-        txt_mods = AdaLayerNormZero(6, name="txt_mod", **common)(
+        img_mods = AdaLayerNormZero(6, name="img_mod", **common, **mod_lora)(vec, dim)
+        txt_mods = AdaLayerNormZero(6, name="txt_mod", **common, **mod_lora)(
             vec if vec_txt is None else vec_txt, dim)
 
         # --- joint attention ---------------------------------------------------------
@@ -165,6 +168,7 @@ class SingleStreamBlock(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
+    lora_mod_layers: bool = False
     qk_clip: bool = False
 
     @nn.compact
@@ -173,9 +177,10 @@ class SingleStreamBlock(nn.Module):
         dim = cfg.hidden_size
         mlp_dim = int(dim * cfg.mlp_ratio)
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, lora_algo=self.lora_algo)
+        mod_lora = lora if self.lora_mod_layers else {}
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        shift, scale, gate = AdaLayerNormZero(3, name="modulation", **common)(vec, dim)
+        shift, scale, gate = AdaLayerNormZero(3, name="modulation", **common, **mod_lora)(vec, dim)
         x_n = modulate(LayerNorm(use_scale=False, use_bias=False, **common)(x), shift, scale)
 
         fused = LoRADense(dim * 3 + mlp_dim, name="linear1", **common, **lora)(x_n)
@@ -227,6 +232,7 @@ class FluxTransformer(nn.Module):
     lora_rank: int = 0
     lora_alpha: Optional[float] = None
     lora_algo: str = "lora"
+    lora_mod_layers: bool = False
     remat: bool = False
     # MuonClip QK-clip plumbing: sow per-head max attention logits per block
     qk_clip: bool = False
@@ -349,7 +355,8 @@ class FluxTransformer(nn.Module):
                 double_cls if layer % remat_interval == 0 else DoubleStreamBlock
             )
             img_tok, txt_tok = layer_double_cls(
-                cfg, name=f"double_{layer}", qk_clip=self.qk_clip, **common, **lora
+                cfg, name=f"double_{layer}", qk_clip=self.qk_clip,
+                lora_mod_layers=self.lora_mod_layers, **common, **lora
             )(img_tok, txt_tok, cond, rope, segment_ids,
               cond_txt if tokenwise else None)
             # hidden-state tap (CREPA/LayerSync plumbing; no-op unless the
@@ -413,7 +420,8 @@ class FluxTransformer(nn.Module):
                 else single_cls
             )
             stream = layer_cls(
-                cfg, name=f"single_{layer}", qk_clip=self.qk_clip, **common, **lora
+                cfg, name=f"single_{layer}", qk_clip=self.qk_clip,
+                lora_mod_layers=self.lora_mod_layers, **common, **lora
             )(stream, cond_single, (cos, sin), None if saved is not None else segment_ids)
             if saved is None:
                 self.sow("intermediates", f"single_{layer}_hidden", stream[:, txt_len:])

@@ -40,6 +40,45 @@ def set_quantized_matmul(mode: str) -> None:
 # time, applied only when a "dropout" rng is provided (train path)
 _LORA_DROPOUT: float = 0.0
 
+# per-module LoRA target predicate (reference --lora_target_modules /
+# --flux_lora_target / --slider_lora_target, helpers/models/common.py:918
+# get_lora_target_layers): called with the "/"-joined flax module path of
+# each LoRADense at trace time; None adapts every LoRADense (the default).
+# Static at trace time — set from config before init AND before building the
+# jitted step (same trace-context-global pattern as _QUANTIZED_MATMUL).
+_LORA_TARGET: Optional[Callable[[str], bool]] = None
+
+
+def set_lora_target(fn: Optional[Callable[[str], bool]]) -> None:
+    global _LORA_TARGET
+    _LORA_TARGET = fn
+
+
+# --lora_init_type (reference cmd_args.py:1141 lora_initialisation_style →
+# PEFT init_lora_weights): "default" = Microsoft kaiming-uniform(a=√5) on A,
+# "gaussian" = N(0, 1/r).  pissa/olora/loftq are post-init transforms applied
+# by training/lora_init.py on top of either.  Static at trace time.
+_LORA_INIT_STYLE: str = "default"
+
+
+def set_lora_init_style(style: str) -> None:
+    global _LORA_INIT_STYLE
+    _LORA_INIT_STYLE = (style or "default").lower()
+
+
+def lora_a_initializer(rank: int) -> Callable:
+    if _LORA_INIT_STYLE == "gaussian":
+        return nn.initializers.normal(stddev=1.0 / rank)
+    # torch kaiming_uniform(a=√5) on a (r, in) weight == U(±1/√fan_in); flax
+    # variance_scaling uniform bound = √(3·scale/fan_in) → scale = 1/3
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def lora_path_enabled(path: Sequence[str]) -> bool:
+    if _LORA_TARGET is None:
+        return True
+    return bool(_LORA_TARGET("/".join(path)))
+
 
 def set_lora_dropout(p: float) -> None:
     global _LORA_DROPOUT
@@ -101,7 +140,7 @@ class LoRADense(nn.Module):
         in_features = x.shape[-1]
         # DoRA needs the dense kernel for the direction norm, so it bypasses
         # the int8-MXU fast paths (dequant still happens inside remat scope)
-        dora = self.lora_algo == "dora" and self.lora_rank > 0
+        dora = self.lora_algo == "dora" and self.lora_rank > 0 and lora_path_enabled(self.scope.path)
         kernel_dense = None
         y = None
         if not self.is_initializing() and self.has_variable("qscales", "kernel_packed"):
@@ -177,7 +216,7 @@ class LoRADense(nn.Module):
         lora_a = self.variable(
             "lora",
             "lora_A",
-            lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, (in_features, rank), self.param_dtype),
+            lambda rng: lora_a_initializer(rank)(rng, (in_features, rank), self.param_dtype),
             self.make_rng("params") if self.is_initializing() else None,
         )
         lora_b = self.variable(
@@ -206,7 +245,7 @@ class LoRADense(nn.Module):
         return (base + delta) * mag_scale
 
     def _apply_adapter(self, x: jax.Array, y: jax.Array, in_features: int) -> jax.Array:
-        if self.lora_rank <= 0:
+        if self.lora_rank <= 0 or not lora_path_enabled(self.scope.path):
             return y
         if self.lora_algo == "lokr":
             return y + self._lokr_delta(x, in_features)
@@ -225,7 +264,7 @@ class LoRADense(nn.Module):
         lora_a = self.variable(
             "lora",
             "lora_A",
-            lambda rng: nn.initializers.normal(stddev=1.0 / rank)(rng, (in_features, rank), self.param_dtype),
+            lambda rng: lora_a_initializer(rank)(rng, (in_features, rank), self.param_dtype),
             self.make_rng("params") if self.is_initializing() else None,
         )
         lora_b = self.variable(
@@ -522,6 +561,11 @@ class AdaLayerNormZero(nn.Module):
     num_outputs: int = 6  # 6 for attn+mlp, 3 for single-stream, 2 for final layer
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # modulation-linear adapters (flux --flux_lora_target=ai-toolkit targets
+    # norm.linear / norm1.linear / norm1_context.linear); rank 0 = off
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    lora_algo: str = "lora"
 
     @nn.compact
     def __call__(self, vec: jax.Array, dim: int) -> Sequence[jax.Array]:
@@ -531,6 +575,9 @@ class AdaLayerNormZero(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=nn.initializers.zeros,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_algo=self.lora_algo,
             name="lin",
         )(vec)
         return jnp.split(out, self.num_outputs, axis=-1)

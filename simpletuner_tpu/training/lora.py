@@ -92,6 +92,9 @@ def flux_key_map(arch) -> Dict[str, Any]:
         "img_mlp/proj_out": "ff.net.2",
         "txt_mlp/proj_in": "ff_context.net.0.proj",
         "txt_mlp/proj_out": "ff_context.net.2",
+        # modulation linears (ai-toolkit LoRA target surface)
+        "img_mod/lin": "norm1.linear",
+        "txt_mod/lin": "norm1_context.linear",
     }
     for layer in range(arch.depth_double):
         for ours, theirs in double.items():
@@ -106,6 +109,7 @@ def flux_key_map(arch) -> Dict[str, Any]:
             (f"{prefix}.proj_mlp", 3 * h, 3 * h + mlp_dim),
         ]
         mapping[f"single_{layer}/linear2"] = f"{prefix}.proj_out"
+        mapping[f"single_{layer}/modulation/lin"] = f"{prefix}.norm.linear"
     return mapping
 
 

@@ -168,6 +168,28 @@ def quantize_params(frozen: Dict[str, Any], mode: str = "int8") -> Dict[str, Any
     return out
 
 
+def quantize_dequantize(w, mode: str):
+    """Host-side quantize→dequantize roundtrip of a 2-D (in, out) kernel with
+    the SAME per-output-channel formulas as quantize_params — used by LoftQ
+    init (training/lora_init.py) to compute the quantization residual that the
+    adapter must absorb.  numpy in, numpy out; never traced."""
+    import numpy as np
+
+    w = np.asarray(w, dtype=np.float32)
+    absmax = np.max(np.abs(w), axis=0)
+    if mode == "int8":
+        s = np.maximum(absmax / 127.0, 1e-12)
+        return np.clip(np.round(w / s[None, :]), -127, 127) * s[None, :]
+    if mode == "int4":
+        s = np.maximum(absmax / 7.0, 1e-12)
+        return np.clip(np.round(w / s[None, :]), -7, 7) * s[None, :]
+    if mode == "fp8":
+        s = np.maximum(absmax / 448.0, 1e-12)
+        q = jnp.asarray(w / s[None, :]).astype(jnp.float8_e4m3fn)
+        return np.asarray(q.astype(jnp.float32)) * s[None, :]
+    raise ValueError(f"unknown quantization mode {mode!r}")
+
+
 def unpack_int4(packed: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """(in/2, out) uint8 nibbles + (out,) scales -> (in, out) dense kernel.
 
