@@ -10,7 +10,10 @@ north star of 40% MFU (BASELINE.json); vs_baseline = MFU / 0.40.
 
 Measured on one v5e chip: 75.6% MFU at 512px bs4 without remat (the default
 here); 71.7% at 1024px bs1 (3.0 samples/s/chip); 60.4% at 512px bs8 with
-single-stream-only remat; 55.6% at bs8 full remat.
+single-stream-only remat; 55.6% at bs8 full remat.  Flagship (11.9B, 1024px,
+int8 base, attn remat): 66.6% MFU with int8 MXU matmuls (quantized_matmul=full,
+the default) vs 53.3% with bf16 dequant matmuls; keeping activations on the
+last 4 single blocks (skip_last) OOMs 16G at this scale.
 Extra context (samples/sec, step time, config) goes to stderr.
 """
 
@@ -116,8 +119,12 @@ def flagship() -> dict:
             # (BENCH_SKIP_LAST sweep; 0 = remat everything)
             "gradient_checkpointing_skip_last": int(os.environ.get("BENCH_SKIP_LAST", 0)),
             # int8 MXU matmuls (off | forward | full): s8xs8->s32 contraction at
-            # 2x bf16 peak for the frozen base (BENCH_QMATMUL sweep)
-            "quantized_matmul": os.environ.get("BENCH_QMATMUL", "off"),
+            # 2x bf16 peak for the frozen base.  Measured on one v5e chip:
+            # off=53.3% MFU (2124ms) / forward=61.3% (1849ms) / full=66.6%
+            # (1700ms), loss curves tracking within int8 noise
+            # (tests/test_quantization.py::TestInt8MXUMatmul) -> full is the
+            # default; BENCH_QMATMUL overrides for sweeps
+            "quantized_matmul": os.environ.get("BENCH_QMATMUL", "full"),
             "base_model_precision": f"{quant}-quanto",
         }
     )

@@ -51,6 +51,10 @@ class DatasetConfig:
     crop_style: str = "random"
     crop_aspect: str = "square"
     crop_aspect_buckets: Optional[List[Any]] = None
+    # cap upscaling when selecting from crop_aspect_buckets (reference
+    # training_sample.py:251-265: keep buckets whose target size is within
+    # original * (1 + threshold))
+    max_upscale_threshold: Optional[float] = None
     # captions
     caption_strategy: str = "filename"
     instance_prompt: Optional[str] = None

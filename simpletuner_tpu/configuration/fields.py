@@ -354,10 +354,11 @@ _f(
 _f(
     "quantized_matmul",
     FieldType.STR,
-    "off",
-    choices=["off", "forward", "full"],
+    "auto",
+    choices=["off", "forward", "full", "auto"],
     help="Run int8-base matmuls on the int8 MXU path (2x bf16 peak): "
-         "forward = int8 fwd only, full = int8 fwd + int8 dx backward",
+         "forward = int8 fwd only, full = int8 fwd + int8 dx backward, "
+         "auto (default) = full for int8/int4 bases, off otherwise",
     section="precision",
 )
 _f("text_encoder_precision", FieldType.STR, None, section="precision")

@@ -170,8 +170,8 @@ UNIMPLEMENTED: Dict[str, str] = {
     "lyrics_embedder_lr_scheduler": "sidecar uses a constant lr (main schedule otherwise)",
     "lyrics_embedder_optimizer": "",  # wired (sidecar optimizer),
     "lyrics_embedder_train": "",  # wired (ace_step sidecar_param_keys),
-    "hidream_use_load_balancing_loss": "MoE gate aux loss is always on for hidream",
-    "hidream_load_balancing_loss_weight": "gate aux weight is fixed",
+    "hidream_use_load_balancing_loss": "",  # wired (HiDream.moe_aux_weight gate)
+    "hidream_load_balancing_loss_weight": "",  # wired (HiDream.moe_aux_weight)
     "controlnet_custom_config": "controlnet arch comes from controlnet_depth",
     "controlnet_model_name_or_path": "controlnet starts from the base transformer",
     "cosmos3_generator_component": "cosmos3 flavours pick components",
@@ -245,7 +245,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "image_processing_batch_size": "VAE encode batches by bucket",
     "enable_multiprocessing": "thread pools + jit saturate the host",
     "metadata_update_interval": "metadata persists at scan completion",
-    "max_upscale_threshold": "upscale guarding not implemented",
+    "max_upscale_threshold": "",  # wired (buckets.select_crop_aspect filter)
     "delete_invalid_checkpoints": "incomplete checkpoints are skipped, not deleted",
     "delete_nsfw_images": "NSFW scan filters without deleting",
     "delete_unwanted_images": "bucket pruning filters without deleting",
@@ -277,9 +277,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "debug_dataset_loader": "loop log level covers this",
     "print_filenames": "bucket report covers this",
     "print_sampler_statistics": "bucket report covers this",
-    "disk_low_action": "disk guard always stops before checkpoints",
-    "disk_low_script": "disk guard has no script hook",
-    "disk_low_threshold": "disk guard threshold is fixed at 1GB",
+    "disk_low_action": "",  # wired (DiskGuard stop|wait|script)
+    "disk_low_script": "",  # wired (DiskGuard cleanup hook)
+    "disk_low_threshold": "",  # wired (DiskGuard human-size threshold)
     "pretrained_gemma_model_name_or_path": "use pretrained_text_encoder_model_name_or_path",
     "pretrained_t5_model_name_or_path": "use pretrained_text_encoder_model_name_or_path",
     "qwen_text_encoder_model_name_or_path": "use pretrained_text_encoder_model_name_or_path",

@@ -29,6 +29,9 @@ class BucketConfig:
     crop_aspect: str = "square"  # square | preserve | closest | random
     crop_aspect_buckets: Optional[List[float]] = None
     square_padding: bool = False
+    # cap upscaling when selecting from crop_aspect_buckets (reference
+    # training_sample.py:251-265)
+    max_upscale_threshold: Optional[float] = None
 
     @property
     def target_area(self) -> float:
@@ -72,11 +75,64 @@ def target_size_for_aspect(aspect: float, config: BucketConfig) -> Tuple[int, in
     return width, height
 
 
-def bucket_key_for_size(width: int, height: int, config: BucketConfig) -> str:
+def _bucket_aspect_value(bucket) -> float:
+    """crop_aspect_buckets entries are floats or {aspect[_ratio], weight} dicts
+    (reference training_sample.py:243-248)."""
+    if isinstance(bucket, dict):
+        return float(bucket.get("aspect", bucket.get("aspect_ratio")))
+    return float(bucket)
+
+
+def select_crop_aspect(width: int, height: int, config: BucketConfig, seed_token: str = "") -> float:
+    """Pick an aspect from ``crop_aspect_buckets`` for one source image.
+
+    Reference semantics (training_sample.py:239-299):
+    * ``max_upscale_threshold`` trims candidates whose target size exceeds
+      original * (1 + threshold) on either edge;
+    * ``closest`` picks the candidate nearest the source aspect;
+    * ``random`` draws one (here deterministically per-file, keyed on the
+      path, so TPU bucket indices — and thus compiled shapes — are stable
+      across rebuilds and ranks).
+    Falls back to the source's own bucket aspect when every candidate is
+    filtered out.
+    """
+    source_aspect = width / height
+    candidates = []
+    for bucket in config.crop_aspect_buckets or []:
+        aspect = _bucket_aspect_value(bucket)
+        if config.max_upscale_threshold is not None:
+            target_w, target_h = target_size_for_aspect(aspect, config)
+            limit = 1.0 + float(config.max_upscale_threshold)
+            if target_w > width * limit or target_h > height * limit:
+                continue
+        candidates.append(aspect)
+    if not candidates:
+        return round_aspect(width, height, config.aspect_bucket_rounding)
+    if config.crop_aspect == "closest":
+        return min(candidates, key=lambda a: abs(a - source_aspect))
+    import hashlib
+    import random as _random
+
+    seed = int.from_bytes(hashlib.sha256(seed_token.encode()).digest()[:8], "little")
+    weights = None
+    if config.crop_aspect_buckets and isinstance(config.crop_aspect_buckets[0], dict):
+        by_aspect = {_bucket_aspect_value(b): b for b in config.crop_aspect_buckets}
+        weights = [float(by_aspect[a].get("weight", 1.0)) for a in candidates]
+    return _random.Random(seed).choices(candidates, weights=weights, k=1)[0]
+
+
+def bucket_key_for_size(width: int, height: int, config: BucketConfig, seed_token: str = "") -> str:
     """Bucket key for a source image of (width, height)."""
     if config.crop and config.crop_aspect == "square":
         return "1.0"
-    aspect = round_aspect(width, height, config.aspect_bucket_rounding)
+    if (
+        config.crop
+        and config.crop_aspect in ("closest", "random")
+        and config.crop_aspect_buckets
+    ):
+        aspect = select_crop_aspect(width, height, config, seed_token)
+    else:
+        aspect = round_aspect(width, height, config.aspect_bucket_rounding)
     target_w, target_h = target_size_for_aspect(aspect, config)
     # canonical key = aspect of the *target* so all members share exact dims
     return str(round(target_w / target_h, config.aspect_bucket_rounding))

@@ -78,6 +78,11 @@ def bucket_config_for(config: DatasetConfig, args) -> BucketConfig:
         crop_aspect=config.crop_aspect or "square",
         crop_aspect_buckets=config.crop_aspect_buckets,
         square_padding=bool(config.square_padding),
+        max_upscale_threshold=(
+            config.max_upscale_threshold
+            if config.max_upscale_threshold is not None
+            else args.get("max_upscale_threshold")
+        ),
     )
 
 

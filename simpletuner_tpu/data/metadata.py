@@ -95,7 +95,7 @@ class MetadataBackend:
             if not ok:
                 self.image_metadata[path] = {"skipped": reason}
                 continue
-            key = bucket_key_for_size(width, height, self.bucket_config)
+            key = bucket_key_for_size(width, height, self.bucket_config, seed_token=path)
             self.image_metadata[path] = {
                 "original_size": [width, height],
                 "bucket": key,
@@ -348,7 +348,7 @@ class ParquetMetadataBackend(MetadataBackend):
             if not ok:
                 self.image_metadata[name] = {"skipped": reason}
                 continue
-            key = bucket_key_for_size(width, height, self.bucket_config)
+            key = bucket_key_for_size(width, height, self.bucket_config, seed_token=name)
             self.image_metadata[name] = {"original_size": [width, height], "bucket": key, "row": row}
             self.aspect_ratio_bucket_indices.setdefault(key, []).append(name)
         return self.aspect_ratio_bucket_indices

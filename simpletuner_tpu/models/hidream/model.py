@@ -74,7 +74,17 @@ class HiDream(ModelFoundation):
             self.arch = HiDreamConfig.tiny()
         else:
             self.arch = HiDreamConfig()
-        self.moe_aux_weight = float(getattr(config, "moe_gate_loss_weight", 0.01) or 0.01)
+        # reference hidream/model.py:880: the gate aux term joins the loss only
+        # when --hidream_use_load_balancing_loss is set, scaled by
+        # --hidream_load_balancing_loss_weight (:325 aux_loss_alpha); the metric
+        # itself is always reported
+        if getattr(config, "hidream_use_load_balancing_loss", False):
+            weight = getattr(config, "hidream_load_balancing_loss_weight", None)
+            if weight is None:
+                weight = getattr(config, "moe_gate_loss_weight", 0.01) or 0.01
+            self.moe_aux_weight = float(weight)
+        else:
+            self.moe_aux_weight = 0.0
 
     @property
     def latent_channels(self) -> int:
@@ -140,7 +150,8 @@ class HiDream(ModelFoundation):
         aux: Dict[str, jax.Array] = {"timesteps": prepared["timesteps"]}
         if aux_terms:
             gate_loss = jnp.mean(jnp.stack(aux_terms))
-            loss = loss + self.moe_aux_weight * gate_loss
+            if self.moe_aux_weight > 0.0:
+                loss = loss + self.moe_aux_weight * gate_loss
             aux["moe_gate_loss"] = gate_loss
         return loss, aux
 

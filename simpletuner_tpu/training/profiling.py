@@ -76,26 +76,102 @@ def device_memory_report() -> Dict[str, Any]:
     return report
 
 
+def parse_size_threshold(threshold: Any) -> Optional[int]:
+    """Parse a human-readable size ('100G', '50M', '1T', plain bytes) to bytes.
+
+    Reference semantics: helpers/training/disk_space.py:37-75 (None/'' disables).
+    """
+    if threshold in (None, "", "None"):
+        return None
+    import re
+
+    text = str(threshold).strip().upper()
+    match = re.match(r"^(\d+(?:\.\d+)?)\s*([KMGT]?)B?$", text)
+    if not match:
+        raise ValueError(
+            f"Invalid disk_low_threshold format: {threshold!r}. "
+            "Expected '100G', '50M', '1T', '500K', or plain bytes."
+        )
+    multipliers = {"": 1, "K": 1024, "M": 1024 ** 2, "G": 1024 ** 3, "T": 1024 ** 4}
+    return int(float(match.group(1)) * multipliers[match.group(2)])
+
+
 class DiskGuard:
-    """Free-space thresholds with a STOP action before checkpoint writes
-    (reference helpers/training/disk_space.py + cmd_args.py:1422-1435)."""
+    """Free-space thresholds before checkpoint writes.
+
+    Reference helpers/training/disk_space.py: ``disk_low_threshold`` is a
+    human-readable size, ``disk_low_action`` ∈ {stop, wait, script}, with
+    ``disk_low_script`` run as a cleanup hook; re-checked after the script.
+    The legacy ``disk_space_threshold_gb``/``disk_space_action`` (warn|stop)
+    knobs from earlier rounds remain as a fallback path.
+    """
 
     def __init__(self, config: Any, output_dir: str):
         self.output_dir = output_dir
-        self.threshold_gb = float(config.get("disk_space_threshold_gb", 5.0) or 5.0)
-        self.action = (config.get("disk_space_action") or "warn").lower()  # warn | stop
+        self.threshold_bytes = parse_size_threshold(config.get("disk_low_threshold"))
+        self.action = (config.get("disk_low_action") or "stop").lower()
+        if self.action not in ("stop", "wait", "script"):
+            raise ValueError(
+                f"Unsupported disk_low_action {self.action!r}; expected stop, wait or script"
+            )
+        self.script = config.get("disk_low_script")
+        if self.action == "script" and self.threshold_bytes and not self.script:
+            raise ValueError("disk_low_action is 'script' but no disk_low_script configured")
+        self.wait_interval = float(config.get("disk_low_wait_interval", 30) or 30)
+        # legacy knobs (warn|stop on a GB float) used when no disk_low_threshold
+        self.legacy_threshold_gb = float(config.get("disk_space_threshold_gb", 5.0) or 5.0)
+        self.legacy_action = (config.get("disk_space_action") or "warn").lower()
+
+    def free_bytes(self) -> int:
+        path = self.output_dir
+        while not os.path.exists(path):
+            parent = os.path.dirname(path) or "/"
+            if parent == path:
+                break
+            path = parent
+        return shutil.disk_usage(path).free
 
     def free_gb(self) -> float:
-        usage = shutil.disk_usage(self.output_dir)
-        return usage.free / 1e9
+        return self.free_bytes() / 1e9
 
     def check_before_checkpoint(self) -> bool:
         """False → the caller must skip the checkpoint (or abort on 'stop')."""
-        free = self.free_gb()
-        if free >= self.threshold_gb:
+        if self.threshold_bytes is not None:
+            self._check_reference_mode()
             return True
-        message = f"low disk space: {free:.1f} GB free < {self.threshold_gb:.1f} GB threshold"
-        if self.action == "stop":
+        free = self.free_gb()
+        if free >= self.legacy_threshold_gb:
+            return True
+        message = f"low disk space: {free:.1f} GB free < {self.legacy_threshold_gb:.1f} GB threshold"
+        if self.legacy_action == "stop":
             raise RuntimeError(message + " (disk_space_action=stop)")
         logger.warning("%s; skipping checkpoint", message)
         return False
+
+    def _check_reference_mode(self) -> None:
+        import subprocess
+        import time
+
+        free = self.free_bytes()
+        if free >= self.threshold_bytes:
+            return
+        human = f"{free / 1024 ** 3:.1f}GB available, threshold {self.threshold_bytes / 1024 ** 3:.1f}GB"
+        if self.action == "stop":
+            raise RuntimeError(f"Disk space critically low: {human}. Training stopped.")
+        if self.action == "wait":
+            logger.warning("Disk space low (%s); waiting for space...", human)
+            while self.free_bytes() < self.threshold_bytes:
+                time.sleep(self.wait_interval)
+            logger.info("Disk space recovered; resuming")
+            return
+        # script: run cleanup hook, then re-check and stop if still low
+        logger.warning("Disk space low (%s); running cleanup script %s", human, self.script)
+        try:
+            subprocess.run([str(self.script)], check=True)
+        except (OSError, subprocess.CalledProcessError) as exc:
+            raise RuntimeError(f"disk_low_script failed: {exc}") from exc
+        free = self.free_bytes()
+        if free < self.threshold_bytes:
+            raise RuntimeError(
+                f"Disk space still low after cleanup script: {free / 1024 ** 3:.1f}GB free"
+            )

@@ -367,15 +367,22 @@ def _int8_dot_bwd(bwd_int8, residuals, dy):
 int8_dynamic_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
-QUANTIZED_MATMUL_MODES = ("off", "forward", "full")
+QUANTIZED_MATMUL_MODES = ("off", "forward", "full", "auto")
 
 
 def resolve_quantized_matmul(config: Any) -> str:
-    raw = getattr(config, "quantized_matmul", None) or "off"
+    raw = getattr(config, "quantized_matmul", None) or "auto"
     if isinstance(raw, bool):
         raw = "forward" if raw else "off"
     if raw not in QUANTIZED_MATMUL_MODES:
         raise ValueError(
             f"unknown quantized_matmul mode {raw!r}; known: {QUANTIZED_MATMUL_MODES}"
         )
+    if raw == "auto":
+        # default: ride the s8xs8->s32 MXU contraction whenever the base is an
+        # int-class quant (flagship bench: 66.6% vs 53.3% MFU at 12B/1024px
+        # with loss curves inside int8 noise); bf16/fp8 bases stay on the
+        # bf16 kernels
+        mode = resolve_precision(config)
+        return "full" if mode in ("int8", "int4") else "off"
     return raw

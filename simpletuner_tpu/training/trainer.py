@@ -935,6 +935,8 @@ class Trainer:
         self.disk_guard = DiskGuard(self.config, self.output_dir)
         checkpoint_interval = self.config.get("checkpointing_steps")
         rolling_interval = self.config.get("checkpointing_rolling_steps")
+        checkpoint_epoch_interval = self.config.get("checkpoint_epoch_interval")
+        validation_epoch_interval = self.config.get("validation_epoch_interval")
         log_interval = int(self.config.get("logging_steps", 1) or 1)
         webhook_interval = int(self.config.get("webhook_reporting_interval", 10) or 10)
 
@@ -962,11 +964,31 @@ class Trainer:
             )
         try:
             while self.global_step < self.max_train_steps and not self.should_abort:
+                epoch_before = self.epoch
                 if fetcher is not None:
                     raw, self.epoch = fetcher.next_batch()
                 else:
                     raw = self.data_plane.iterator.next_batch(step=self.global_step)
                     self.epoch = self.data_plane.iterator.epoch
+                if self.epoch > epoch_before:
+                    # epoch rollover hooks (reference --checkpoint_epoch_interval /
+                    # --validation_epoch_interval: fire every N completed epochs;
+                    # completed-epoch count == the iterator's new 0-based epoch)
+                    if (
+                        checkpoint_epoch_interval
+                        and self.epoch % int(checkpoint_epoch_interval) == 0
+                        and self.disk_guard.check_before_checkpoint()
+                    ):
+                        self.save_checkpoint()
+                    if (
+                        self.validation is not None
+                        and validation_epoch_interval
+                        and self.epoch % int(validation_epoch_interval) == 0
+                    ):
+                        self._sync_trained_text_encoder()
+                        self.validation.run_validations(
+                            self._state.variables(), self.global_step, force=True
+                        )
                 if getattr(self, "_slider_embeds", None) is not None:
                     raw = self._apply_slider_polarity(raw)
                 if getattr(self, "_ode_cache", None) is not None:

@@ -45,6 +45,71 @@ def test_bucket_square_crop():
     assert target_size_for_aspect(1.0, cfg) == (512, 512)
 
 
+class TestCropAspectBuckets:
+    """crop_aspect=closest|random over crop_aspect_buckets + the
+    max_upscale_threshold candidate filter (reference training_sample.py:239-299)."""
+
+    def test_closest_picks_nearest(self):
+        from simpletuner_tpu.data.buckets import select_crop_aspect
+
+        cfg = BucketConfig(
+            resolution=512, crop=True, crop_aspect="closest",
+            crop_aspect_buckets=[0.5, 1.0, 1.5],
+        )
+        assert select_crop_aspect(1600, 1000, cfg) == 1.5  # source aspect 1.6
+        assert select_crop_aspect(1000, 1900, cfg) == 0.5
+
+    def test_random_is_deterministic_per_file(self):
+        from simpletuner_tpu.data.buckets import select_crop_aspect
+
+        cfg = BucketConfig(
+            resolution=512, crop=True, crop_aspect="random",
+            crop_aspect_buckets=[0.75, 1.0, 1.33],
+        )
+        first = select_crop_aspect(1024, 1024, cfg, seed_token="a.png")
+        assert all(
+            select_crop_aspect(1024, 1024, cfg, seed_token="a.png") == first
+            for _ in range(5)
+        )
+        chosen = {select_crop_aspect(1024, 1024, cfg, seed_token=f"{i}.png") for i in range(40)}
+        assert len(chosen) > 1  # different files spread over buckets
+
+    def test_max_upscale_threshold_filters(self):
+        from simpletuner_tpu.data.buckets import select_crop_aspect, target_size_for_aspect
+
+        cfg = BucketConfig(
+            resolution=1024, crop=True, crop_aspect="closest",
+            crop_aspect_buckets=[0.5, 1.0, 2.0], max_upscale_threshold=0.1,
+        )
+        # a small 320x320 source: every 1024px-area bucket needs >1.1x upscale
+        # -> falls back to the source's own aspect
+        assert select_crop_aspect(320, 320, cfg) == 1.0  # rounded source aspect
+        # a large source keeps the normal closest pick
+        big = select_crop_aspect(2048, 1024, cfg)
+        assert big == 2.0
+        tw, th = target_size_for_aspect(big, cfg)
+        assert tw <= 2048 * 1.1 and th <= 1024 * 1.1
+
+    def test_bucket_key_uses_selected_aspect(self):
+        cfg = BucketConfig(
+            resolution=512, crop=True, crop_aspect="closest",
+            crop_aspect_buckets=[1.0],
+        )
+        # wide source forced into the square bucket
+        assert bucket_key_for_size(1600, 900, cfg, seed_token="x.png") == "1.0"
+
+    def test_weighted_random_dict_buckets(self):
+        from simpletuner_tpu.data.buckets import select_crop_aspect
+
+        cfg = BucketConfig(
+            resolution=512, crop=True, crop_aspect="random",
+            crop_aspect_buckets=[{"aspect": 1.0, "weight": 1.0}, {"aspect": 2.0, "weight": 0.0}],
+        )
+        assert all(
+            select_crop_aspect(1024, 1024, cfg, seed_token=f"{i}") == 1.0 for i in range(20)
+        )
+
+
 def _wh(image):
     """(w, h) for either a PIL image or the native path's uint8 ndarray."""
     if hasattr(image, "shape"):
