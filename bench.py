@@ -96,6 +96,7 @@ def flagship() -> dict:
     from simpletuner_tpu.models.flux.model import Flux
     from simpletuner_tpu.models.flux.transformer import FluxConfig
     from simpletuner_tpu.training.optimizers import get_optimizer
+    from simpletuner_tpu.training.quantization import resolve_quantized_matmul
     from simpletuner_tpu.training.schedules import get_lr_schedule
     from simpletuner_tpu.training.train_state import TrainState, build_train_step
 
@@ -257,7 +258,10 @@ def flagship() -> dict:
         "quant": quant,
         "remat": True,
         "skip_last": int(os.environ.get("BENCH_SKIP_LAST", 0)),
-        "quantized_matmul": os.environ.get("BENCH_QMATMUL", "off"),
+        # report the mode the run ACTUALLY used (resolved from the config the
+        # model was built with), not the env default — round-3 JSON said "off"
+        # for a quantized_matmul=full run
+        "quantized_matmul": resolve_quantized_matmul(cfg),
     }
 
 

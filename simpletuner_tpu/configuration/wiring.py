@@ -119,7 +119,7 @@ NOOP_ON_TPU: Dict[str, str] = {
 # capability gaps: accepted for config compatibility, warn loudly when set
 UNIMPLEMENTED: Dict[str, str] = {
     "lora_dropout": "",  # wired (LoRADense branch dropout); kept for audit clarity
-    "lora_init_type": "only the default gaussian-A/zero-B init exists",
+    "lora_init_type": "",  # wired (training/lora_init.py pissa/olora/loftq)
     "init_lora": "",  # wired (trainer warm-start); kept for audit clarity
     "init_lokr_norm": "LoKr norm-preserving init not implemented",
     "use_dora": "",  # wired (lora_algo="dora" in LoRADense); kept for audit clarity
@@ -161,7 +161,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "use_soft_min_snr": "",  # wired (losses.compute_soft_min_snr)
     "soft_min_snr_sigma_data": "",  # wired (losses.compute_soft_min_snr)
     "masked_loss_probability": "",  # wired (collate gate); kept for audit clarity
-    "twinflow_target_step_count": "TwinFlow RCGM aux losses not implemented",
+    "twinflow_target_step_count": "RCGM losses are wired; the validation step-count override is not",
     "scheduled_sampling_max_step_offset": "only max_steps/prob knobs are wired",
     "scheduled_sampling_order": "only max_steps/prob knobs are wired",
     "scheduled_sampling_sampler": "rollouts use the family's native scheduler",
@@ -291,9 +291,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "disable_assistant_lora": "omit the assistant adapter path to disable",
     "checkpointing_use_tempdir": "checkpoints are always tmp-dir + atomic rename",
     "checkpoints_rolling_total_limit": "",  # wired via checkpointing_rolling_total_limit alias
-    "checkpoint_epoch_interval": "epoch-interval checkpoints not implemented; use steps",
-    "validation_epoch_interval": "epoch-interval validation not implemented; use steps",
-    "ema_validation": "use use_ema_for_validation",
+    "checkpoint_epoch_interval": "",  # wired (trainer epoch rollover hooks)
+    "validation_epoch_interval": "",  # wired (trainer epoch rollover hooks)
+    "ema_validation": "",  # wired (trainer none|ema_only|comparison validation modes)
     "attention_mechanism": "",  # wired (trainer routes to ops/attention); kept for clarity
     "tensor_parallel_size": "",  # wired (fail-loud ValueError)
     "sla_config": "sparse-linear attention not implemented",

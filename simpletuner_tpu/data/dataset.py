@@ -330,14 +330,24 @@ def collate_batch(
     # image-embed conditioning (IP-adapter style / CREPA teacher features;
     # reference collate.py conditioning image embeds)
     if bundle.image_embed_cache is not None:
-        try:
-            with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                teacher = list(
-                    pool.map(lambda s: bundle.image_embed_cache.get(s["image_path"]), samples)
-                )
-            batch["teacher_embeds"] = np.stack(teacher).astype(np.float32)
-        except (KeyError, IOError):
-            pass
+        # fail loud on a missing entry: silently dropping teacher_embeds would
+        # let a CREPA/IP-adapter run train without its conditioning (the exact
+        # accept-and-degrade pattern banned elsewhere; reference errors at
+        # factory time)
+        def _fetch_teacher(sample):
+            try:
+                return bundle.image_embed_cache.get(sample["image_path"])
+            except (KeyError, IOError) as exc:
+                raise RuntimeError(
+                    "image-embed cache has no entry for "
+                    f"{sample['image_path']!r} (dataset {bundle.id!r}); "
+                    "re-run the image-embed caching pass — training without "
+                    "the conditioning would silently change the objective"
+                ) from exc
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            teacher = list(pool.map(_fetch_teacher, samples))
+        batch["teacher_embeds"] = np.stack(teacher).astype(np.float32)
 
     # size conditioning (SDXL/PixArt time-ids; reference collate.py)
     metas = [s.get("metadata", {}) for s in samples]

@@ -124,9 +124,11 @@ class PublishingManager:
             logger.warning("background publish failed: %s", exc)
 
     def wait(self, timeout: Optional[float] = None) -> None:
+        # submitted fns are wrapped by _guarded (which logs), so result() can
+        # only raise on timeout — surface that instead of swallowing it
         for future in self._pending:
             try:
                 future.result(timeout=timeout)
-            except Exception:
-                pass
+            except Exception as exc:
+                logger.warning("pending publish did not finish: %s", exc)
         self._pending.clear()

@@ -371,9 +371,13 @@ QUANTIZED_MATMUL_MODES = ("off", "forward", "full", "auto")
 
 
 def resolve_quantized_matmul(config: Any) -> str:
-    raw = getattr(config, "quantized_matmul", None) or "auto"
+    raw = getattr(config, "quantized_matmul", None)
+    # bool must be mapped BEFORE the falsy fallback: an explicit False means
+    # "off", not "use the auto default" (False or "auto" == "auto" would
+    # silently re-enable int8 matmuls the user disabled)
     if isinstance(raw, bool):
         raw = "forward" if raw else "off"
+    raw = raw or "auto"
     if raw not in QUANTIZED_MATMUL_MODES:
         raise ValueError(
             f"unknown quantized_matmul mode {raw!r}; known: {QUANTIZED_MATMUL_MODES}"

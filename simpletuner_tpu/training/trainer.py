@@ -677,11 +677,22 @@ class Trainer:
 
     # ---- checkpointing ----------------------------------------------------------------------
     def save_checkpoint(self, rolling: bool = False, final: bool = False) -> str:
+        # under dataloader_prefetch the live iterator cursor runs up to
+        # queue-depth batches ahead of the trained sequence; persist the state
+        # snapshot of the last batch the step loop actually consumed instead
+        # (ADVICE r3: resuming from the producer cursor skips prefetched
+        # batches that were never trained on)
+        data_plane_state = None
+        if self.data_plane is not None:
+            data_plane_state = (
+                getattr(self, "_consumed_iter_state", None)
+                or self.data_plane.save_state()
+            )
         extra = {
             "global_step": self.global_step,
             "epoch": self.epoch,
             "model_family": self.model.NAME,
-            "data_plane": self.data_plane.save_state() if self.data_plane else None,
+            "data_plane": data_plane_state,
         }
         step_at_save = self.global_step
         # snapshot the adapter now: an async finalize must not read state that
@@ -966,14 +977,32 @@ class Trainer:
             while self.global_step < self.max_train_steps and not self.should_abort:
                 epoch_before = self.epoch
                 if fetcher is not None:
-                    raw, self.epoch = fetcher.next_batch()
+                    raw, self.epoch, pending_iter_state = fetcher.next_batch()
                 else:
                     raw = self.data_plane.iterator.next_batch(step=self.global_step)
                     self.epoch = self.data_plane.iterator.epoch
-                if self.epoch > epoch_before:
+                    pending_iter_state = None  # live cursor == consumed state
+                epoch_rolled = self.epoch > epoch_before
+                if getattr(self, "_slider_embeds", None) is not None:
+                    raw = self._apply_slider_polarity(raw)
+                if getattr(self, "_ode_cache", None) is not None:
+                    raw = self._inject_ode_pairs(raw)
+                batch = self._device_batch(raw)
+                step_rng = jax.random.fold_in(train_rng, self.global_step)
+                self._state, metrics = self._run_step(batch, step_rng)
+                self.global_step += 1
+                # the fetched batch is now trained on: its post-draw iterator
+                # snapshot becomes the checkpointable cursor (ADVICE r3: epoch
+                # checkpoints fired pre-step dropped the already-fetched batch
+                # on resume)
+                self._consumed_iter_state = pending_iter_state
+                self.iteration_tracker.record_step()
+                if epoch_rolled:
                     # epoch rollover hooks (reference --checkpoint_epoch_interval /
                     # --validation_epoch_interval: fire every N completed epochs;
-                    # completed-epoch count == the iterator's new 0-based epoch)
+                    # completed-epoch count == the iterator's new 0-based epoch).
+                    # Fired AFTER the step so the checkpoint's sampler cursor
+                    # sits past a batch that was actually trained on.
                     if (
                         checkpoint_epoch_interval
                         and self.epoch % int(checkpoint_epoch_interval) == 0
@@ -989,15 +1018,6 @@ class Trainer:
                         self.validation.run_validations(
                             self._state.variables(), self.global_step, force=True
                         )
-                if getattr(self, "_slider_embeds", None) is not None:
-                    raw = self._apply_slider_polarity(raw)
-                if getattr(self, "_ode_cache", None) is not None:
-                    raw = self._inject_ode_pairs(raw)
-                batch = self._device_batch(raw)
-                step_rng = jax.random.fold_in(train_rng, self.global_step)
-                self._state, metrics = self._run_step(batch, step_rng)
-                self.global_step += 1
-                self.iteration_tracker.record_step()
 
                 if self.global_step % log_interval == 0:
                     host_metrics = {

@@ -45,6 +45,23 @@ def test_every_field_wired_or_classified():
     )
 
 
+def test_unimplemented_reasons_are_not_stale():
+    """Converse enforcement: a field carrying a non-empty UNIMPLEMENTED reason
+    must NOT be read anywhere in the package — otherwise the ledger emits a
+    false "has NO effect" warning for a knob that actually works (the round-3
+    checkpoint_epoch_interval drift). Wired fields keep a "" reason."""
+    corpus = _code_corpus()
+    stale = [
+        name
+        for name, reason in UNIMPLEMENTED.items()
+        if reason and name in corpus
+    ]
+    assert not stale, (
+        "fields listed UNIMPLEMENTED (non-empty reason) but referenced by name "
+        f"in package code — flip the ledger entry to '' (wired): {stale}"
+    )
+
+
 def test_no_field_in_both_tables():
     both = set(NOOP_ON_TPU) & set(UNIMPLEMENTED)
     assert not both, f"fields classified twice: {sorted(both)}"
