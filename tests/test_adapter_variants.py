@@ -164,13 +164,25 @@ def test_lora_dropout_trains_and_inference_deterministic():
         "model_family": "flux", "model_type": "lora", "lora_rank": 4,
         "lora_dropout": 0.5, "optimizer": "adamw", "learning_rate": 1e-3,
         "max_train_steps": 2, "mixed_precision": "fp32",
+        # a randomly-initialized flux has exact-zero adaLN-Zero gates, so
+        # adapters behind them (the default "all" preset = attention only)
+        # cannot reach the output; the embedder preset adapts the ungated
+        # x_embedder so the dropout effect is observable
+        "flux_lora_target": "all+ffs+embedder",
     })
     model = Flux(cfg, arch=FluxConfig.tiny())
     batch = model.example_batch(batch_size=1, resolution=32)
     variables = model.init_params(jax.random.PRNGKey(0), batch)
-    # make lora_B nonzero so the adapter branch (and its dropout) shows up
-    variables["lora"] = jax.tree_util.tree_map(
-        lambda l: l + 0.05, variables["lora"])
+    # make lora_B nonzero so the adapter branch (and its dropout) shows up.
+    # The perturbation must be RANDOM: a constant matrix B yields channel-
+    # uniform deltas, which the final LayerNorm annihilates exactly
+    leaves, treedef = jax.tree_util.tree_flatten(variables["lora"])
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    variables["lora"] = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    )
     prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
 
     with_rng_a = np.asarray(model.model_predict(
