@@ -228,9 +228,15 @@ class VAECache:
 
     def _flush(self, paths: List[str], arrays: List[np.ndarray], pool, writes) -> None:
         stacked = np.stack(arrays)  # (B, H, W, 3)
-        latents = np.asarray(self.encode_fn(stacked, len(paths)))
-        for path, latent in zip(paths, latents):
-            writes.append(pool.submit(self.save, path, latent))
+        latents = self.encode_fn(stacked, len(paths))
+        # the device fetch happens in the writer thread: encode_fn may return
+        # an async jax.Array, so the main loop immediately preps the next
+        # batch while XLA computes and the tunnel drains (reference
+        # vae.py:2037 overlaps encode with its write queue the same way)
+        for i, path in enumerate(paths):
+            writes.append(
+                pool.submit(lambda p, row: self.save(p, np.asarray(row)), path, latents[i])
+            )
 
     # ---- on-demand ---------------------------------------------------------------------------
     def get(self, filepath: str) -> np.ndarray:

@@ -253,7 +253,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "disable_multiline_split": "caption files read whole-file",
     "ignore_missing_files": "missing cache entries raise (fail loud)",
     "vae_cache_scan_behaviour": "cache consistency is checked at startup",
-    "vae_dtype": "VAE runs fp32 on host, latents cast per family",
+    "vae_dtype": "",  # wired (trainer._vae_dtype: bf16 default, fp16->bf16, fp32)
     "vae_enable_patch_conv": "XLA tiles convs; no manual patching",
     "vae_enable_slicing": "XLA manages VAE memory",
     "vae_enable_temporal_roll": "video VAE rolls are family-internal",

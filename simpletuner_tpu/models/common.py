@@ -79,8 +79,10 @@ class ModelFoundation:
     VAE_SHIFT_FACTOR: float = 0.0
     # --train_text_encoder (reference field_registry sections/training.py:723,
     # trainer.py:2711): families that wire per-step text encoding opt in;
-    # the reference recommends it for SD 1.x/2.x only
+    # LoRA-mode TE training (reference trainer.py:4307) covers the CLIP
+    # encoders; full-rank TE training additionally needs SUPPORTS_FULL below
     SUPPORTS_TEXT_ENCODER_TRAINING: bool = False
+    SUPPORTS_FULL_TEXT_ENCODER_TRAINING: bool = False
 
     def __init__(self, config: Any):
         self.config = config
@@ -256,7 +258,7 @@ class ModelFoundation:
             # the host encoder's current params for shape inference
             batch = {
                 **batch,
-                **self.apply_text_encoder(self.text_encoders[0].model.params, batch),
+                **self.apply_text_encoder(self.host_te_params(), batch),
             }
         prepared = self.prepare_batch(jax.random.PRNGKey(0), batch)
         inputs = self.get_model_inputs(prepared)
@@ -675,6 +677,23 @@ class ModelFoundation:
     def trains_text_encoder(self) -> bool:
         return bool(getattr(self.config, "train_text_encoder", False))
 
+    def trainable_text_encoder_indices(self) -> Sequence[int]:
+        """Positions of the encoders that join the optimizer: the CLIP-family
+        ones (reference trainer.py:3394-3396 prepares text_encoder_1/2 only —
+        "The third text encoder is not trained for SD3")."""
+        return [
+            i for i, spec in enumerate(self.TEXT_ENCODER_CONFIGURATION)
+            if str(spec.family).startswith("clip")
+        ]
+
+    def host_te_params(self) -> Dict[str, Any]:
+        """Current host-side params of the trainable encoders, keyed
+        ``te_{position}`` (the trainable-collection layout)."""
+        return {
+            f"te_{i}": self.text_encoders[i].model.params
+            for i in self.trainable_text_encoder_indices()
+        }
+
     def tokenize_captions(self, captions: Sequence[str]) -> Dict[str, Any]:
         """Captions -> fixed-shape token batch for in-step encoding
         (static max_length padding keeps XLA shapes stable)."""
@@ -690,13 +709,16 @@ class ModelFoundation:
     def apply_text_encoder(self, te_params: Any, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         """Run the (trainable) text encoder inside the jitted step.  The HF
         flax module is pure and differentiable — the same model object the
-        caching path uses, now applied with params from the train state."""
+        caching path uses, now applied with params from the train state.
+        ``te_params``: {"te_0": tree, ...} (a bare tree also accepted for the
+        single-encoder legacy layout)."""
         encoder = self.text_encoders[0]
+        params = te_params.get("te_0", te_params) if isinstance(te_params, dict) else te_params
         # the HF wrapper fills position_ids and routes params to module.apply
         out = encoder.model(
             input_ids=batch["te_input_ids"],
             attention_mask=batch["te_attention_mask"],
-            params=te_params,  # HF wrapper adds its own {"params": ...} layer
+            params=params,  # HF wrapper adds its own {"params": ...} layer
         )
         return {"text_embeds": out.last_hidden_state}
 

@@ -102,14 +102,18 @@ def get_model_family(config: Any):
         if not model.SUPPORTS_TEXT_ENCODER_TRAINING:
             raise ValueError(
                 f"train_text_encoder is not supported for model_family="
-                f"{model.NAME!r} (supported: sd1x, sd2x)"
+                f"{model.NAME!r} (supported: sd1x, sd2x, sdxl, sd3)"
             )
-        if getattr(config, "model_type", "lora") != "full":
+        model_type = getattr(config, "model_type", "lora")
+        if model_type == "full" and not model.SUPPORTS_FULL_TEXT_ENCODER_TRAINING:
             raise NotImplementedError(
-                "train_text_encoder currently requires model_type=full "
-                "(text-encoder LoRA is not implemented; the reference "
-                "recommends TE training for full SD 1.x/2.x fine-tunes only)"
+                f"train_text_encoder with model_type=full is not supported for "
+                f"{model.NAME!r} (supported: sd1x, sd2x, sdxl); use "
+                "model_type=lora for text-encoder LoRA (reference "
+                "trainer.py:4307)"
             )
+        if model_type == "controlnet":
+            raise ValueError("train_text_encoder is incompatible with model_type=controlnet")
     if getattr(config, "lyrics_embedder_train", False) and not model.sidecar_param_keys():
         raise ValueError(
             f"lyrics_embedder_train is not supported for model_family="

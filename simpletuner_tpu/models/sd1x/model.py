@@ -19,6 +19,7 @@ class SD1x(ModelFoundation):
     NAME = "sd1x"
     PREDICTION_TYPE = "epsilon"
     SUPPORTS_TEXT_ENCODER_TRAINING = True  # reference-recommended for SD 1.x/2.x
+    SUPPORTS_FULL_TEXT_ENCODER_TRAINING = True
     MODEL_TYPE = "unet"
     LATENT_CHANNEL_COUNT = 4
     DEFAULT_RESOLUTION = 512

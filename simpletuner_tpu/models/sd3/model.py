@@ -34,6 +34,9 @@ class SD3(ModelFoundation):
     DEFAULT_LORA_TARGET = ("attn_q", "attn_k", "attn_v", "attn_proj")
     VAE_SCALING_FACTOR = 1.5305
     VAE_SHIFT_FACTOR = 0.0609
+    # reference trains the two CLIPs under LoRA; "The third text encoder is
+    # not trained for SD3" (trainer.py:3396) — T5 encodes frozen at collate
+    SUPPORTS_TEXT_ENCODER_TRAINING = True
 
     def __init__(self, config: Any, arch: Optional[SD3Config] = None):
         super().__init__(config)
@@ -207,6 +210,72 @@ class SD3(ModelFoundation):
             "text_embeds": np.stack([np.asarray(e["text_embeds"]) for e in embeds]),
             "pooled_embeds": np.stack([np.asarray(e["pooled_embeds"]) for e in embeds]),
         }
+
+    # ---- in-step text-encoder training: the two CLIPs train, T5 encodes
+    # frozen on the host at collate time (reference trainer.py:3396 "The third
+    # text encoder is not trained for SD3") -------------------------------------------------
+    def tokenize_captions(self, captions):
+        out = {}
+        for index, suffix in ((0, ""), (1, "_1")):
+            tokens = self.text_encoders[index].tokenize(list(captions))
+            out[f"te_input_ids{suffix}"] = np.asarray(tokens["input_ids"], np.int32)
+            out[f"te_attention_mask{suffix}"] = np.asarray(tokens["attention_mask"], np.int32)
+        context_dim = self.arch.context_dim
+        out_t5 = self.text_encoders[2].encode(list(captions))
+        t5_seq = np.asarray(out_t5["last_hidden_state"], np.float32)
+        if t5_seq.shape[-1] < context_dim:
+            t5_seq = np.pad(t5_seq, ((0, 0), (0, 0), (0, context_dim - t5_seq.shape[-1])))
+        empty = np.asarray([not str(c).strip() for c in captions], np.float32)
+        t5_zero = (getattr(self.config, "sd3_t5_uncond_behaviour", None)
+                   or getattr(self.config, "sd3_clip_uncond_behaviour", "empty_prompt")
+                   or "empty_prompt") == "zero"
+        if t5_zero:
+            t5_seq = t5_seq * (1.0 - empty)[:, None, None]
+        out["t5_seq"] = t5_seq
+        # per-sample CFG-negative zeroing mask for the in-step CLIP encode
+        clip_zero = (getattr(self.config, "sd3_clip_uncond_behaviour", "empty_prompt")
+                     or "empty_prompt") == "zero"
+        out["te_zero_mask"] = empty if clip_zero else np.zeros_like(empty)
+        return out
+
+    def apply_text_encoder(self, te_params, batch):
+        """In-step dual-CLIP encode fused with the frozen host-encoded T5
+        sequence, matching the cached encode_text layout exactly."""
+        clip_l, clip_g = self.text_encoders[:2]
+        out_l = clip_l.model(
+            input_ids=batch["te_input_ids"],
+            attention_mask=batch["te_attention_mask"],
+            params=te_params["te_0"],
+        )
+        out_g = clip_g.model(
+            input_ids=batch["te_input_ids_1"],
+            attention_mask=batch["te_attention_mask_1"],
+            params=te_params["te_1"],
+        )
+        context_dim = self.arch.context_dim
+        clip_seq = jnp.concatenate(
+            [out_l.last_hidden_state, out_g.last_hidden_state], axis=-1
+        )
+        clip_seq = jnp.pad(
+            clip_seq, ((0, 0), (0, 0), (0, context_dim - clip_seq.shape[-1]))
+        )
+        pooled_l = getattr(out_l, "pooler_output", None)
+        pooled_g = getattr(out_g, "pooler_output", None)
+        if pooled_l is None:
+            pooled_l = out_l.last_hidden_state[:, 0]
+        if pooled_g is None:
+            pooled_g = out_g.last_hidden_state[:, 0]
+        pooled = jnp.concatenate([pooled_l, pooled_g], axis=-1)
+        if pooled.shape[-1] < self.arch.pooled_dim:
+            pooled = jnp.pad(pooled, ((0, 0), (0, self.arch.pooled_dim - pooled.shape[-1])))
+        keep = (1.0 - batch["te_zero_mask"]) if "te_zero_mask" in batch else 1.0
+        if not isinstance(keep, float):
+            clip_seq = clip_seq * keep[:, None, None]
+            pooled = pooled * keep[:, None]
+        text_embeds = jnp.concatenate(
+            [clip_seq, batch["t5_seq"].astype(clip_seq.dtype)], axis=1
+        )
+        return {"text_embeds": text_embeds, "pooled_embeds": pooled}
 
     def check_user_config(self) -> None:
         if getattr(self.config, "prediction_type", None) not in (None, "flow_matching"):

@@ -33,6 +33,9 @@ class SDXL(ModelFoundation):
     )
     DEFAULT_LORA_TARGET = ("to_q", "to_k", "to_v", "to_out")
     VAE_SCALING_FACTOR = 0.13025
+    # reference trains both SDXL CLIPs, full or PEFT-LoRA (trainer.py:3394,4307)
+    SUPPORTS_TEXT_ENCODER_TRAINING = True
+    SUPPORTS_FULL_TEXT_ENCODER_TRAINING = True
 
     def __init__(self, config: Any, arch: Optional[UNetConfig] = None):
         super().__init__(config)
@@ -161,6 +164,40 @@ class SDXL(ModelFoundation):
             "text_embeds": np.stack([np.asarray(e["text_embeds"]) for e in embeds]),
             "pooled_embeds": np.stack([np.asarray(e["pooled_embeds"]) for e in embeds]),
         }
+
+    # ---- in-step text-encoder training (reference trainer.py:3394 prepares
+    # text_encoder_1 AND text_encoder_2) ----------------------------------------------------
+    def tokenize_captions(self, captions):
+        import numpy as np
+
+        out = {}
+        for index, suffix in ((0, ""), (1, "_1")):
+            tokens = self.text_encoders[index].tokenize(list(captions))
+            out[f"te_input_ids{suffix}"] = np.asarray(tokens["input_ids"], np.int32)
+            out[f"te_attention_mask{suffix}"] = np.asarray(tokens["attention_mask"], np.int32)
+        return out
+
+    def apply_text_encoder(self, te_params, batch):
+        """Dual-CLIP in-step encode with trainable params: L seq ++ G seq on
+        channels + G pooled, matching the cached encode_text layout exactly."""
+        clip_l, clip_g = self.text_encoders[:2]
+        out_l = clip_l.model(
+            input_ids=batch["te_input_ids"],
+            attention_mask=batch["te_attention_mask"],
+            params=te_params["te_0"],
+        )
+        out_g = clip_g.model(
+            input_ids=batch["te_input_ids_1"],
+            attention_mask=batch["te_attention_mask_1"],
+            params=te_params["te_1"],
+        )
+        seq = jnp.concatenate(
+            [out_l.last_hidden_state, out_g.last_hidden_state], axis=-1
+        )
+        pooled = getattr(out_g, "pooler_output", None)
+        if pooled is None:
+            pooled = out_g.last_hidden_state[:, 0]
+        return {"text_embeds": seq, "pooled_embeds": pooled}
 
     def check_user_config(self) -> None:
         if getattr(self.config, "prediction_type", None) == "flow_matching":

@@ -767,10 +767,15 @@ def save_lora_safetensors(
     path: str,
     format: str = "diffusers",
     metadata: Optional[Dict[str, str]] = None,
+    extra_tensors: Optional[Dict[str, Any]] = None,
 ) -> None:
     from safetensors.numpy import save_file
 
     tensors = lora_state_dict(model, lora_params, format=format)
+    if extra_tensors:
+        # text-encoder LoRA layers ride the same file under "text_encoder."
+        # prefixes (reference save_hooks text_encoder_lora_layers)
+        tensors.update({k: np.asarray(v) for k, v in extra_tensors.items()})
     meta = {"format": "pt"}
     if metadata:
         meta.update({k: str(v) for k, v in metadata.items()})

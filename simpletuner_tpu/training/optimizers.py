@@ -618,7 +618,7 @@ def get_optimizer(
         def label_tree(params):
             out = {}
             for key, sub in params.items():
-                if key == "te_params" and "te" in transforms:
+                if key in ("te_params", "te_lora") and "te" in transforms:
                     out[key] = jax.tree_util.tree_map_with_path(
                         lambda path, _: "te_frozen" if frozen_fn(path) else "te", sub
                     )

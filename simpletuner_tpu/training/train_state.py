@@ -41,11 +41,22 @@ class TrainState(struct.PyTreeNode):
 def merge_variables(frozen: Dict[str, Any], trainable: Dict[str, Any]) -> Dict[str, Any]:
     """Flat-merge collections; sidecar param subtrees (``lyrics_params`` —
     full-rank modules trained alongside a frozen base, reference
-    trainer.py:3292 init_lyrics_embedder_training) fold back into ``params``."""
+    trainer.py:3292 init_lyrics_embedder_training) fold back into ``params``.
+    Text-encoder LoRA adapters (``te_lora``) merge into apply-ready
+    ``te_params`` here so gradients flow through the fold (reference
+    trainer.py:4307 PEFT-wrapped text encoders)."""
     variables = {**frozen, **trainable}
     sidecar = variables.pop("lyrics_params", None)
     if sidecar is not None:
         variables["params"] = {**variables.get("params", {}), **sidecar}
+    te_lora = variables.pop("te_lora", None)
+    te_base = variables.pop("te_base", None)
+    if te_lora is not None:
+        from .te_lora import merge_te_collections
+
+        if te_base is None:
+            raise ValueError("te_lora trainable collection requires frozen te_base")
+        variables["te_params"] = merge_te_collections(te_base, te_lora)
     return variables
 
 
@@ -58,6 +69,7 @@ def create_train_state(
     teacher_params: Optional[Dict[str, Any]] = None,
     critic_params: Optional[Dict[str, Any]] = None,
     text_encoder_params: Optional[Dict[str, Any]] = None,
+    text_encoder_lora: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
     """Split variables into frozen/trainable by model_type and initialize optimizer.
 
@@ -85,8 +97,8 @@ def create_train_state(
     if critic_params is not None:
         # second adapter set trained jointly (DMD fake-score critic)
         trainable["critic_lora"] = critic_params
-    if text_encoder_params is not None:
-        # --train_text_encoder: the TE joins the optimizer (reference
+    if text_encoder_params is not None and text_encoder_lora is None:
+        # --train_text_encoder (full): the TEs join the optimizer (reference
         # trainer.py:3394); captions encode in-step via model.apply_text_encoder
         trainable["te_params"] = text_encoder_params
     sidecar_keys = tuple(getattr(model, "sidecar_param_keys", lambda: ())())
@@ -123,12 +135,19 @@ def create_train_state(
                 frozen = quantize_params(frozen, quantize_mode)
         else:
             frozen = quantize_params(frozen, quantize_mode)
+    if text_encoder_lora is not None:
+        # TE LoRA (reference trainer.py:4307): frozen full encoders + adapter
+        # pytrees; merge happens in merge_variables.  te_base joins frozen
+        # AFTER quantization — the HF flax module applies these weights
+        # directly (no qscales dequant site), so they must stay full precision
+        frozen["te_base"] = text_encoder_params
+        trainable["te_lora"] = text_encoder_lora
     # EMA shadows only the deliverable adapters — the DMD critic is a throwaway
     # adversary (reference keeps EMA on the generator only); text-encoder and
     # lyric-sidecar params follow the reference's EMA scope (main model only)
     ema_target = {
         k: v for k, v in trainable.items()
-        if k not in ("critic_lora", "te_params", "lyrics_params")
+        if k not in ("critic_lora", "te_params", "te_lora", "lyrics_params")
     }
     return TrainState(
         step=jnp.zeros([], jnp.int32),
