@@ -200,12 +200,12 @@ UNIMPLEMENTED: Dict[str, str] = {
     "deepfloyd_validation_stage3_mode": "multi-stage IF validation not implemented",
     "deepfloyd_validation_stage3_model": "multi-stage IF validation not implemented",
     "deepfloyd_validation_stage3_noise_level": "multi-stage IF validation not implemented",
-    "pixart_validation_pipeline_mode": "two-stage eDiff validation not implemented",
-    "pixart_validation_stage1_model": "two-stage eDiff validation not implemented",
-    "pixart_validation_stage2_model": "two-stage eDiff validation not implemented",
-    "sdxl_validation_pipeline_mode": "refiner validation not implemented",
-    "sdxl_validation_stage1_model": "refiner validation not implemented",
-    "sdxl_validation_stage2_model": "refiner validation not implemented",
+    "pixart_validation_pipeline_mode": "",  # wired (staged_validation two-stage plan)
+    "pixart_validation_stage1_model": "",  # wired (staged_validation two-stage plan)
+    "pixart_validation_stage2_model": "",  # wired (staged_validation two-stage plan)
+    "sdxl_validation_pipeline_mode": "",  # wired (staged_validation base/refiner plan)
+    "sdxl_validation_stage1_model": "",  # wired (staged_validation base/refiner plan)
+    "sdxl_validation_stage2_model": "",  # wired (staged_validation base/refiner plan)
     "validation_adapter_config": "adapter sweeps cover strength only",
     "validation_lycoris_strength": "use validation_lora_scale",
     "validation_guidance_skip_layers": "",  # wired (validation SLG for sd3)

@@ -89,17 +89,25 @@ class ModelFoundation:
         self.flavour = getattr(config, "model_flavour", None) or self.DEFAULT_FLAVOUR
         self._module: Optional[nn.Module] = None
         self._alphas_cumprod: Optional[jax.Array] = None
+        self.apply_trace_globals()
+
+    def apply_trace_globals(self) -> None:
+        """Install this model's trace-time globals (int8 matmul mode, LoRA
+        dropout/target/init).  Called at construction; call again after
+        building a SECOND model (e.g. a fixed validation stage) whose config
+        would otherwise leave ITS globals active for the trained model's next
+        trace."""
         # int8 MXU matmul mode is static at trace time; every surface that
         # builds a model (trainer, bench, inference) routes its config here
         from ..training.quantization import resolve_quantized_matmul
         from .layers import set_lora_dropout, set_quantized_matmul
 
-        set_quantized_matmul(resolve_quantized_matmul(config))
-        set_lora_dropout(float(getattr(config, "lora_dropout", 0.0) or 0.0))
+        set_quantized_matmul(resolve_quantized_matmul(self.config))
+        set_lora_dropout(float(getattr(self.config, "lora_dropout", 0.0) or 0.0))
         from .layers import set_lora_init_style, set_lora_target
 
         set_lora_target(self._build_lora_target_predicate())
-        set_lora_init_style(getattr(config, "lora_init_type", None) or "default")
+        set_lora_init_style(getattr(self.config, "lora_init_type", None) or "default")
 
     # ---- per-module LoRA target selection ---------------------------------------------
     def family_lora_targets(self) -> Optional[Sequence[str]]:

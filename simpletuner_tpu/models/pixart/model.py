@@ -17,12 +17,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import ModelFoundation, TextEncoderSpec
+from ..staged_validation import TwoStageValidationMixin
 from .transformer import PixartConfig, PixartTransformer
 
 __all__ = ["PixartConfig", "PixartTransformer", "PixartSigma"]
 
 
-class PixartSigma(ModelFoundation):
+class PixartSigma(TwoStageValidationMixin, ModelFoundation):
+    # eDiffi v0.7 stage1/stage2 full-pipeline validation (reference
+    # pixart/model.py:454-620)
+    STAGED_VALIDATION_PREFIX = "pixart"
     NAME = "pixart_sigma"
     PREDICTION_TYPE = "epsilon"
     MODEL_TYPE = "transformer"

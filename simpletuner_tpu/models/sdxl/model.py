@@ -13,10 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from ..common import ModelFoundation, TextEncoderSpec
+from ..staged_validation import TwoStageValidationMixin
 from ..unet import UNet2DCondition, UNetConfig, make_sdxl_added_cond
 
 
-class SDXL(ModelFoundation):
+class SDXL(TwoStageValidationMixin, ModelFoundation):
     NAME = "sdxl"
     PREDICTION_TYPE = "epsilon"
     MODEL_TYPE = "unet"
@@ -33,6 +34,8 @@ class SDXL(ModelFoundation):
     )
     DEFAULT_LORA_TARGET = ("to_q", "to_k", "to_v", "to_out")
     VAE_SCALING_FACTOR = 0.13025
+    # base/refiner full-pipeline validation (reference sdxl/model.py:352-530)
+    STAGED_VALIDATION_PREFIX = "sdxl"
     # reference trains both SDXL CLIPs, full or PEFT-LoRA (trainer.py:3394,4307)
     SUPPORTS_TEXT_ENCODER_TRAINING = True
     SUPPORTS_FULL_TEXT_ENCODER_TRAINING = True

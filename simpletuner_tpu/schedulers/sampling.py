@@ -42,20 +42,32 @@ def sample_loop(
     collect_intermediates: bool = False,
     init_latents: jax.Array = None,
     strength: float = 1.0,
+    start_step: int = 0,
+    stop_step: Optional[int] = None,
+    start_latents: jax.Array = None,
 ) -> jax.Array:
-    """Run the full denoise loop.
+    """Run the (possibly partial) denoise loop.
 
     ``denoise_fn(latents, timestep) -> model_pred`` must already close over
     params/conditioning (and CFG if wanted).  Works with any scheduler exposing
     ``timestep(i)`` + ``step(i, latents, pred)``; schedulers with internal state
     (UniPC) expose ``init_state``/``step_with_state`` and are handled too.
 
+    ``start_step``/``stop_step``/``start_latents`` run a slice of the ladder
+    for multi-stage pipelines (reference SDXL base/refiner denoising_end /
+    denoising_start split, sdxl/model.py:525): ``start_latents`` are latents
+    already at ``start_step``'s noise level (a previous stage's output), NOT
+    a clean image — use ``init_latents``+``strength`` for img2img.
+
     With ``collect_intermediates`` the per-step latents come back stacked
     (num_steps, ...) alongside the final latents — the TAE-preview hook
     (reference ValidationPreviewer, validation.py:1633) decodes them cheaply.
     """
-    start = 0
-    if init_latents is not None and strength < 1.0:
+    start = start_step
+    stop = scheduler.num_steps if stop_step is None else min(stop_step, scheduler.num_steps)
+    if start_latents is not None:
+        latents0 = start_latents
+    elif init_latents is not None and strength < 1.0:
         # img2img (reference img2img pipelines): skip the first (1−strength)·N
         # steps and enter the ladder from the reference image noised to that
         # step's noise level
@@ -75,7 +87,7 @@ def sample_loop(
         (latents, _), collected = jax.lax.scan(
             scan_body,
             (latents0, scheduler.init_state(noise)),
-            jnp.arange(start, scheduler.num_steps),
+            jnp.arange(start, stop),
         )
         return (latents, collected) if collect_intermediates else latents
 
@@ -85,6 +97,6 @@ def sample_loop(
         return new_latents, (new_latents if collect_intermediates else None)
 
     latents, collected = jax.lax.scan(
-        scan_body, latents0, jnp.arange(start, scheduler.num_steps)
+        scan_body, latents0, jnp.arange(start, stop)
     )
     return (latents, collected) if collect_intermediates else latents

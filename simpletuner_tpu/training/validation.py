@@ -363,7 +363,7 @@ class Validation:
             logger.info("validation_parallel disabled: preview streaming is per-prompt")
             return False
         supports = getattr(self.model, "supports_multistage_validation", None)
-        if callable(supports) and supports() and len(self._latent_shape(1)) == 5:
+        if callable(supports) and supports():
             logger.info("validation_parallel disabled: multistage validation is sequential")
             return False
         shapes = [
@@ -524,10 +524,89 @@ class Validation:
             self._save_png(image, filename)
 
     def _render(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
+        plan_fn = getattr(self.model, "validation_stage_plan", None)
+        if callable(plan_fn):
+            plan = plan_fn(variables)
+            if plan:
+                return self._render_staged(plan, embeds, index)
         supports = getattr(self.model, "supports_multistage_validation", None)
         if callable(supports) and supports() and len(self._latent_shape(1)) == 5:
             return self._render_multistage(variables, embeds, index)
         return self._render_single(variables, embeds, index)
+
+    def _render_staged(self, plan, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
+        """Chained split-pipeline sampling (reference sdxl/model.py:525
+        run_multistage_validation, pixart/model.py:595): stage k denoises
+        steps [b_{k-1}, b_k) of ONE shared ladder with its own (model,
+        variables); the handoff is the latent tensor itself — no re-noising,
+        exactly diffusers' denoising_end/denoising_start contract."""
+        latent_shape = self._latent_shape(1)
+        if len(latent_shape) == 5:
+            seq_len = latent_shape[1] * (latent_shape[2] // 2) * (latent_shape[3] // 2)
+        else:
+            seq_len = (latent_shape[1] // 2) * (latent_shape[2] // 2)
+        scheduler = build_scheduler(self.model, self.num_steps, image_seq_len=seq_len)
+        guidance_scale = float(getattr(self.config, "validation_guidance", 0.0) or 0.0)
+
+        batch = {"latents": jnp.zeros(latent_shape, jnp.float32)}
+        for key, value in embeds.items():
+            if hasattr(value, "shape"):
+                batch[key] = jnp.asarray(value)[None]
+        neg_batch = None
+        if self._wants_cfg() and getattr(self, "_negative_embeds", None) is not None:
+            neg_batch = {"latents": batch["latents"]}
+            for key, value in self._negative_embeds.items():
+                if hasattr(value, "shape"):
+                    neg_batch[key] = jnp.asarray(value)[None]
+
+        noise = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), index), latent_shape, jnp.float32
+        )
+        latents = scheduler.init_latents(noise)
+        boundary = 0
+        for stage_index, stage in enumerate(plan):
+            stage_model, stage_vars = stage["model"], stage["variables"]
+            stop = (
+                self.num_steps if stage_index == len(plan) - 1
+                else max(boundary + 1, int(round(self.num_steps * float(stage["until"]))))
+            )
+            # each stage traces under its own trace-time globals (lora
+            # targets, int8 mode) — the fixed stage has none
+            if hasattr(stage_model, "apply_trace_globals"):
+                stage_model.apply_trace_globals()
+            cond = stage_model.inference_conditioning(batch)
+            uncond = stage_model.inference_conditioning(neg_batch) if neg_batch else None
+
+            def stage_sample(stage_vars, cond, uncond, latents,
+                             _m=stage_model, _start=boundary, _stop=stop):
+                if uncond is not None:
+                    from ..schedulers import classifier_free_guidance
+
+                    cond_fn = _m.denoise_fn(stage_vars, cond)
+                    uncond_fn = _m.denoise_fn(stage_vars, uncond)
+
+                    def denoise(z, t):
+                        return classifier_free_guidance(
+                            cond_fn(z, t), uncond_fn(z, t), guidance_scale
+                        )
+                else:
+                    denoise = _m.denoise_fn(stage_vars, cond)
+                return sample_loop(
+                    scheduler, denoise, latents,
+                    start_step=_start, stop_step=_stop, start_latents=latents,
+                )
+
+            latents = jax.jit(stage_sample)(stage_vars, cond, uncond, latents)
+            boundary = stop
+        if hasattr(self.model, "apply_trace_globals"):
+            self.model.apply_trace_globals()
+        out = np.asarray(latents)[0]
+        if self.decode_fn is not None:
+            scaling = self.model.VAE_SCALING_FACTOR or 1.0
+            shift = self.model.VAE_SHIFT_FACTOR or 0.0
+            out = np.asarray(self.decode_fn(jnp.asarray(out)[None] / scaling + shift))[0]
+            out = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return out
 
     def _render_multistage(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
         """Two-stage spatial-upscale validation (reference ltxvideo2
