@@ -421,6 +421,31 @@ def main() -> None:
                 extra["flagship_int4"] = fl4
             except Exception as exc:
                 log(f"int4 flagship bench failed ({type(exc).__name__}: {exc})")
+        # data-plane caching throughput (VERDICT r3 Next #1 — the second
+        # north-star axis: "VAE latent-cache images/sec"): bench_cache.py
+        # measures VAECache.process_buckets + TextEmbeddingCache end-to-end
+        # and the per-chip device rows, vs a modeled 2x-A100 eager pipeline
+        if os.environ.get("BENCH_CACHE", "1") != "0":
+            try:
+                import subprocess
+
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "bench_cache.py")],
+                    capture_output=True, text=True, timeout=2400,
+                )
+                sys.stderr.write(proc.stderr[-4000:])
+                cache_row = json.loads(proc.stdout.strip().splitlines()[-1])
+                extra["vae_cache_images_per_sec"] = (
+                    cache_row["extra"]["vae_cache"]["device_images_per_sec_per_chip"]
+                )
+                extra["text_embeds_per_sec"] = (
+                    cache_row["extra"]["text_embeds"]["device_prompts_per_sec_per_chip"]
+                )
+                extra["cache_throughput"] = cache_row
+            except Exception as exc:
+                log(f"cache bench failed ({type(exc).__name__}: {exc})")
 
     print(
         json.dumps(

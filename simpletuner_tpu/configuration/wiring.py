@@ -303,24 +303,15 @@ UNIMPLEMENTED: Dict[str, str] = {
     "layersync_teacher_block": "use layersync_target_layer",
 }
 
-# CREPA/U-REPA fine-tuning knobs beyond (weight, layer) — one shared reason
-for _name in (
-    "crepa_adjacent_distance", "crepa_adjacent_tau", "crepa_block_index",
-    "crepa_cutoff_step", "crepa_decay_steps", "crepa_drop_vae_encoder",
-    "crepa_enabled", "crepa_encoder", "crepa_encoder_frames_batch_size",
-    "crepa_encoder_image_size", "crepa_feature_source", "crepa_lambda",
-    "crepa_lambda_end", "crepa_normalize_by_frames",
-    "crepa_normalize_neighbour_sum", "crepa_power", "crepa_scheduler",
-    "crepa_self_flow", "crepa_self_flow_mask_ratio",
-    "crepa_similarity_ema_decay", "crepa_similarity_threshold",
-    "crepa_spatial_align", "crepa_teacher_block_index", "crepa_threshold_mode",
-    "crepa_use_backbone_features", "crepa_use_tae", "crepa_warmup_steps",
-    "urepa_cutoff_step", "urepa_decay_steps", "urepa_encoder_image_size",
-    "urepa_lambda_end", "urepa_model", "urepa_power", "urepa_scheduler",
-    "urepa_similarity_ema_decay", "urepa_similarity_threshold",
-    "urepa_threshold_mode", "urepa_use_tae", "urepa_warmup_steps",
-):
-    UNIMPLEMENTED[_name] = "CREPA/U-REPA wire crepa_weight/crepa_layer/urepa_lambda only"
+# CREPA/U-REPA: full-depth regularizers live in training/crepa.py +
+# training/repa.py (in-loop DINOv2-class teacher, adjacency weighting,
+# schedulers, self-flow, similarity-EMA cutoff).  The remaining entries are
+# torch-side memory workarounds with no TPU analogue:
+UNIMPLEMENTED["crepa_encoder_frames_batch_size"] = (
+    "torch-OOM chunking workaround: XLA compiles the teacher encode as one "
+    "fused static-shape launch; chunking the frame batch only adds dispatch "
+    "overhead on TPU"
+)
 
 
 def warn_unwired(config: Any) -> None:

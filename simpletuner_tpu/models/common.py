@@ -617,16 +617,59 @@ class ModelFoundation:
             prepared["twinflow_tt"] = tt
             prepared["flowmap_r_timesteps"] = tt
         repa = RepaConfig.from_config(self.config)
+        from ..training.crepa import CrepaSettings, crepa_loss_term
+
+        crepa = CrepaSettings.from_config(
+            self.config,
+            mode="video" if self.MODALITY == "video" else "image",
+            max_train_steps=int(getattr(self.config, "max_train_steps", 0) or 0),
+        )
         aux: Dict[str, jax.Array] = {}
         wants_qk = bool(getattr(self, "wants_qk_clip", False))
-        if repa.enabled or wants_qk:
+        if repa.enabled or crepa.enabled or wants_qk:
+            if repa.urepa_weight > 0 and "teacher_embeds" not in prepared:
+                # in-loop U-REPA teacher (reference UrepaRegularizer encodes
+                # decoded clean latents through the frozen vision encoder);
+                # cached conditioning_image_embeds take precedence when present
+                from ..training.crepa import encode_teacher_frames
+
+                teacher_module = getattr(self, "_crepa_teacher_module", None)
+                decode_fn = getattr(self, "_crepa_decode_fn", None)
+                if (
+                    teacher_module is None
+                    or decode_fn is None
+                    or "crepa_teacher" not in variables
+                ):
+                    raise ValueError(
+                        "urepa_enabled needs teacher features: provide a "
+                        "conditioning_image_embeds dataset OR an in-loop "
+                        "encoder (crepa_encoder_path + urepa_model)"
+                    )
+                teacher_params = variables["crepa_teacher"]
+                tokens = encode_teacher_frames(
+                    lambda imgs: teacher_module.apply({"params": teacher_params}, imgs),
+                    lambda z: decode_fn(variables, z),
+                    prepared["latents"],
+                    repa.urepa_schedule,
+                )
+                b, t, n, d = tokens.shape
+                prepared = dict(prepared)
+                prepared["teacher_embeds"] = tokens.reshape(b, t * n, d)
             pred, intermediates = self.model_predict_with_intermediates(variables, prepared)
+            loss = self.compute_loss(pred, prepared)
             if repa.enabled:
                 repa_loss, repa_logs = repa_auxiliary_loss(repa, intermediates, prepared)
-                loss = self.compute_loss(pred, prepared) + repa_loss
+                loss = loss + repa_loss
                 aux.update(repa_logs)
-            else:
-                loss = self.compute_loss(pred, prepared)
+            if crepa.enabled:
+                # full-depth CREPA (reference crepa.py CrepaRegularizer):
+                # projector + adjacency-weighted cross-frame alignment with
+                # in-loop / backbone / EMA-self-flow teachers
+                crepa_term, crepa_logs = crepa_loss_term(
+                    self, crepa, variables, intermediates, prepared, rng
+                )
+                loss = loss + crepa_term
+                aux.update(crepa_logs)
             if wants_qk:
                 # per-head max attention logits for MuonClip's post-step QK-clip
                 for mod_name, sub in intermediates.items():

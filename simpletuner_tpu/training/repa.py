@@ -29,23 +29,48 @@ class RepaConfig:
     crepa_weight: float = 0.0  # weight of CREPA alignment; 0 = off
     crepa_layer: int = 8
     # U-REPA (reference crepa.py:756 UrepaRegularizer): UNet mid-block tokens
-    # align to cached teacher features; manifold term matches the batch-pair
-    # similarity structure
+    # align to teacher features (cached, or an in-loop vision encoder); the
+    # manifold term matches the batch-pair similarity structure.  The weight
+    # schedule + similarity-EMA cutoff reuse CREPA's machinery (the reference
+    # UrepaRegularizer shares CrepaScheduler).
     urepa_weight: float = 0.0
     urepa_manifold_weight: float = 3.0
+    urepa_schedule: Optional[Any] = None  # CrepaSettings carrying the schedule
 
     @classmethod
     def from_config(cls, config: Any) -> "RepaConfig":
+        urepa_on = bool(config.get("urepa_enabled", False))
+        urepa_schedule = None
+        if urepa_on:
+            from .crepa import schedule_settings
+
+            urepa_schedule = schedule_settings(
+                base_weight=float(config.get("urepa_lambda", 0.5) or 0.0),
+                scheduler=config.get("urepa_scheduler", "constant"),
+                warmup_steps=config.get("urepa_warmup_steps", 0),
+                decay_steps=config.get("urepa_decay_steps", 0),
+                lambda_end=config.get("urepa_lambda_end", 0.0),
+                cutoff_step=config.get("urepa_cutoff_step", 0),
+                power=config.get("urepa_power", 1.0),
+                max_train_steps=int(config.get("max_train_steps", 0) or 0),
+                similarity_threshold=config.get("urepa_similarity_threshold"),
+                similarity_ema_decay=float(
+                    config.get("urepa_similarity_ema_decay", 0.99) or 0.99
+                ),
+                threshold_mode=config.get("urepa_threshold_mode", "permanent"),
+                encoder_image_size=int(
+                    config.get("urepa_encoder_image_size", 518) or 518
+                ),
+            )
         return cls(
             layersync_gamma=float(config.get("layersync_gamma", 0.0) or 0.0),
             layersync_source_layer=int(config.get("layersync_source_layer", 2) or 2),
             layersync_target_layer=int(config.get("layersync_target_layer", -1) or -1),
             crepa_weight=float(config.get("crepa_weight", 0.0) or 0.0),
             crepa_layer=int(config.get("crepa_layer", 8) or 8),
-            urepa_weight=float(config.get("urepa_lambda", 0.0) or 0.0)
-            if config.get("urepa_enabled", False)
-            else 0.0,
+            urepa_weight=float(config.get("urepa_lambda", 0.5) or 0.0) if urepa_on else 0.0,
             urepa_manifold_weight=float(config.get("urepa_manifold_weight", 3.0) or 3.0),
+            urepa_schedule=urepa_schedule,
         )
 
     @property
@@ -135,7 +160,20 @@ def repa_auxiliary_loss(
         e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
         manifold = jnp.mean((p @ p.T - e @ e.T) ** 2)
         value = align + repa.urepa_manifold_weight * manifold
-        total = total + repa.urepa_weight * value
+        weight = jnp.asarray(repa.urepa_weight, jnp.float32)
+        if repa.urepa_schedule is not None:
+            # scheduled λ(step) + similarity-EMA cutoff, shared with CREPA
+            from .crepa import scheduled_weight
+
+            step = jnp.asarray(batch.get("global_step", 0), jnp.float32)
+            weight = scheduled_weight(repa.urepa_schedule, step)
+            cutoff = batch.get("urepa_cutoff")
+            if cutoff is not None:
+                weight = weight * (1.0 - cutoff.astype(jnp.float32))
+        total = total + weight * value
         logs["urepa_alignment_loss"] = align
         logs["urepa_manifold_loss"] = manifold
+        # cosine similarity (not 1−cos): the host-side cutoff EMA tracks this
+        logs["urepa_alignment_score"] = jax.lax.stop_gradient(1.0 - align)
+        logs["urepa_weight"] = jax.lax.stop_gradient(weight)
     return total, logs

@@ -70,12 +70,18 @@ def create_train_state(
     critic_params: Optional[Dict[str, Any]] = None,
     text_encoder_params: Optional[Dict[str, Any]] = None,
     text_encoder_lora: Optional[Dict[str, Any]] = None,
+    crepa_projector: Optional[Dict[str, Any]] = None,
+    crepa_frozen: Optional[Dict[str, Any]] = None,
 ) -> TrainState:
     """Split variables into frozen/trainable by model_type and initialize optimizer.
 
     ``quantize_mode`` ("int8"/"fp8", reference --base_model_precision) stores the
     frozen base weights quantized; LoRA/trainable collections stay full precision.
     ``teacher_params`` rides in frozen["teacher"] for full-rank distillation.
+    ``crepa_projector`` joins trainable["crepa_params"] (reference CREPA attaches
+    a LayerNorm+Linear projector to the model, crepa.py:214 attach_to_model);
+    ``crepa_frozen`` collections (vision teacher / decode VAE) merge into frozen
+    AFTER quantization — their plain flax modules have no dequant sites.
     """
     model_type = getattr(model.config, "model_type", "lora")
     train_lora = model.lora_rank > 0
@@ -142,6 +148,11 @@ def create_train_state(
         # directly (no qscales dequant site), so they must stay full precision
         frozen["te_base"] = text_encoder_params
         trainable["te_lora"] = text_encoder_lora
+    if crepa_frozen:
+        # post-quantization for the same reason as te_base above
+        frozen.update(crepa_frozen)
+    if crepa_projector is not None:
+        trainable["crepa_params"] = crepa_projector
     # EMA shadows only the deliverable adapters — the DMD critic is a throwaway
     # adversary (reference keeps EMA on the generator only); text-encoder and
     # lyric-sidecar params follow the reference's EMA scope (main model only)
@@ -175,11 +186,23 @@ def build_train_step(
     diffusion loss with its distillation objective.
     """
 
+    # CREPA self-flow needs the EMA weights as its teacher inside the loss
+    # (reference crepa self_flow: the EMA model forward supplies the target
+    # features); resolved once at build time — static for the whole jit
+    from .crepa import CrepaSettings
+
+    _crepa = CrepaSettings.from_config(model.config)
+    crepa_wants_ema = _crepa.enabled and _crepa.feature_source == "self_flow"
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(trainable, micro_batch, micro_rng):
             # step-dependent schedules inside the loss (scheduled-sampling
             # probability ramps) read the optimizer step from the batch
             micro_batch = {**micro_batch, "global_step": state.step}
+            if crepa_wants_ema:
+                if state.ema is None:
+                    raise ValueError("crepa_self_flow requires use_ema")
+                micro_batch["crepa_ema_trainable"] = state.ema
             # slider LoRA: ± adapter polarity per batch (reference
             # trainer.py:6584-6603 slider strength alternation); LoRA output is
             # linear in B, so scaling lora_B flips/scales the whole adapter

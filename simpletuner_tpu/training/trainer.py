@@ -618,6 +618,178 @@ class Trainer:
         out["ode_pair"] = np.asarray(1.0, np.float32)
         return out
 
+    def init_crepa(self) -> None:
+        """Full-depth in-loop CREPA (reference helpers/training/crepa.py:214
+        attach_to_model + trainer crepa plumbing): size & init the trainable
+        projector from the student's tap width (abstract eval — zero FLOPs),
+        build the frozen vision teacher + in-step latent decode path for
+        feature_source=encoder, and set up the host-side similarity-EMA
+        cutoff (CrepaScheduler._update_similarity_ema)."""
+        from .crepa import CrepaHostState, CrepaSettings, init_projector
+
+        self._crepa_projector = None
+        self._crepa_frozen: Dict[str, Any] = {}
+        # host-side similarity-EMA cutoffs: batch_key -> (state, metric_key)
+        self._align_hosts: Dict[str, Any] = {}
+        settings = CrepaSettings.from_config(
+            self.config,
+            mode="video" if self.model.MODALITY == "video" else "image",
+            max_train_steps=int(self.config.get("max_train_steps", 0) or 0),
+        )
+        self._crepa_settings = settings
+        if settings.enabled and self.config.get("urepa_enabled"):
+            raise ValueError(
+                "crepa_enabled and urepa_enabled are mutually exclusive "
+                "(CREPA targets DiT families, U-REPA targets UNets)"
+            )
+        if not settings.enabled:
+            self._init_urepa()
+            return
+        rng = jax.random.PRNGKey(self.seed + 11)
+
+        # student tap width via jax.eval_shape on the sown intermediates
+        from .repa import _flat_hiddens
+
+        example = self._example_batch()
+
+        def tapped(variables, rng_, batch):
+            prepared = self.model.prepare_batch(rng_, batch)
+            _, inter = self.model.model_predict_with_intermediates(variables, prepared)
+            return inter
+
+        inter_shapes = jax.eval_shape(tapped, self.variables, rng, example)
+        hiddens = _flat_hiddens(inter_shapes)
+        if not hiddens:
+            raise ValueError(
+                f"crepa_enabled but {self.model.NAME} sows no intermediate "
+                "hidden states (no CREPA tap points)"
+            )
+        hidden_dim = int(hiddens[settings.block_index % len(hiddens)][1].shape[-1])
+
+        if settings.feature_source == "encoder":
+            from ..models.vision_encoder import build_vision_teacher
+
+            teacher_module, teacher_params, teacher_dim = build_vision_teacher(
+                self.config.get("crepa_encoder"),
+                self.config.get("crepa_encoder_path"),
+                jax.random.fold_in(rng, 1),
+            )
+            self._crepa_frozen["crepa_teacher"] = jax.tree_util.tree_map(
+                jnp.asarray, teacher_params
+            )
+            self.model._crepa_teacher_module = teacher_module
+            self.model._crepa_decode_fn = self._build_crepa_decode_fn(
+                use_tae=settings.use_tae
+            )
+        else:
+            # backbone / self_flow: the teacher tap is another block of the
+            # same architecture — projector maps D -> D_teacher
+            t_index = settings.teacher_block_index
+            if t_index is None:
+                t_index = settings.block_index
+            teacher_dim = int(hiddens[t_index % len(hiddens)][1].shape[-1])
+
+        self._crepa_projector = init_projector(
+            jax.random.fold_in(rng, 2), hidden_dim, teacher_dim
+        )
+        if settings.similarity_threshold is not None:
+            self._align_hosts["crepa_cutoff"] = (
+                CrepaHostState(settings), "crepa_alignment_score",
+            )
+        logger.info(
+            "CREPA enabled: source=%s block=%d projector %dx%d scheduler=%s",
+            settings.feature_source, settings.block_index,
+            hidden_dim, teacher_dim, settings.scheduler,
+        )
+
+    def _init_urepa(self) -> None:
+        """U-REPA in-loop teacher + similarity cutoff (reference
+        UrepaRegularizer shares the CREPA encoder/scheduler machinery).
+        Cached conditioning_image_embeds remain the default teacher source;
+        crepa_encoder_path opts into the in-loop encoder."""
+        if not self.config.get("urepa_enabled"):
+            return
+        from .crepa import CrepaHostState
+        from .repa import RepaConfig
+
+        repa = RepaConfig.from_config(self.config)
+        encoder_path = self.config.get("crepa_encoder_path")
+        urepa_model = self.config.get("urepa_model")
+        if encoder_path or str(urepa_model).lower() == "tiny":
+            from ..models.vision_encoder import build_vision_teacher
+
+            teacher_module, teacher_params, _ = build_vision_teacher(
+                urepa_model,
+                encoder_path,
+                jax.random.PRNGKey(self.seed + 13),
+            )
+            self._crepa_frozen["crepa_teacher"] = jax.tree_util.tree_map(
+                jnp.asarray, teacher_params
+            )
+            self.model._crepa_teacher_module = teacher_module
+            self.model._crepa_decode_fn = self._build_crepa_decode_fn(
+                use_tae=bool(self.config.get("urepa_use_tae"))
+            )
+        sched = repa.urepa_schedule
+        if sched is not None and sched.similarity_threshold is not None:
+            self._align_hosts["urepa_cutoff"] = (
+                CrepaHostState(sched), "urepa_alignment_score",
+            )
+
+    def _build_crepa_decode_fn(self, use_tae: bool):
+        """In-step latent->pixel decode for the alignment teachers."""
+        if use_tae:
+            # reference crepa_use_tae/urepa_use_tae: TAE decode instead of the
+            # full VAE.  Zero-egress build: taesd weights must already be
+            # local (shared with validation previews)
+            tae_path = self.config.get("validation_preview_tae_path")
+            if not tae_path:
+                raise ValueError(
+                    "crepa_use_tae/urepa_use_tae requires "
+                    "validation_preview_tae_path pointing at local taesd "
+                    "decoder weights (this build cannot download them)"
+                )
+            from ..models.tae import TAEConfig, TAEDecoder, load_taesd_decoder
+
+            channels = int(getattr(self.model, "latent_channels", 4))
+            tae_cfg = TAEConfig.taef1() if channels == 16 else TAEConfig.taesd()
+            self._crepa_frozen["crepa_tae"] = load_taesd_decoder(tae_cfg, str(tae_path))
+            decoder = TAEDecoder(tae_cfg)
+
+            def decode_fn(variables, z):
+                # taesd consumes scaled latents; output [0,1] -> [-1,1]
+                return decoder.apply(variables["crepa_tae"], z) * 2.0 - 1.0
+
+            return decode_fn
+        if self.vae is None or self.vae_params is None:
+            raise ValueError(
+                "in-loop CREPA/U-REPA teacher needs the VAE decoder in-step; "
+                "this family has no VAE (set crepa_use_tae/urepa_use_tae or "
+                "use backbone/self_flow features)"
+            )
+        vae = self.vae
+        scaling = self.model.VAE_SCALING_FACTOR or 1.0
+        shift = self.model.VAE_SHIFT_FACTOR or 0.0
+        vae_params = self.vae_params
+        if self.config.get("crepa_drop_vae_encoder"):
+            # reference crepa_drop_vae_encoder: only the decode path rides the
+            # train step — drop the encoder/quant_conv subtrees so HBM holds
+            # half the VAE
+            inner = dict(vae_params["params"] if "params" in vae_params else vae_params)
+            for key in ("encoder", "quant_conv"):
+                inner.pop(key, None)
+            vae_params = {"params": inner}
+        self._crepa_frozen["crepa_vae"] = vae_params
+
+        def decode_fn(variables, z):
+            # same unscale convention as validation.py maybe_decode
+            return vae.apply(
+                variables["crepa_vae"], z / scaling + shift,
+                method=type(vae).decode,
+            )
+
+        return decode_fn
+
     def resume_and_prepare(self) -> None:
         """init_optimizer + init_lr_scheduler + shard/jit + init_resume_checkpoint
         (reference trainer.py:4980,3735,3952,4140,4636)."""
@@ -671,6 +843,8 @@ class Trainer:
             critic_params=getattr(self, "critic_params", None),
             text_encoder_params=text_encoder_params,
             text_encoder_lora=text_encoder_lora,
+            crepa_projector=getattr(self, "_crepa_projector", None),
+            crepa_frozen=getattr(self, "_crepa_frozen", None),
         )
         step_fn = build_train_step(
             self.model,
@@ -695,6 +869,11 @@ class Trainer:
             self.epoch = int(extra.get("epoch", 0))
             if self.data_plane is not None and extra.get("data_plane"):
                 self.data_plane.load_state(extra["data_plane"])
+            for bkey, saved in (extra.get("align_hosts") or {}).items():
+                entry = (getattr(self, "_align_hosts", None) or {}).get(bkey)
+                if entry is not None:
+                    entry[0].ema = saved.get("ema")
+                    entry[0].triggered = bool(saved.get("triggered"))
             logger.info("resumed from %s at step %d", resume, self.global_step)
         self._stage("resume_and_prepare", "completed")
 
@@ -747,6 +926,14 @@ class Trainer:
             "model_family": self.model.NAME,
             "data_plane": data_plane_state,
         }
+        align_hosts = getattr(self, "_align_hosts", None) or {}
+        if align_hosts:
+            # similarity-EMA cutoffs survive resume (reference CrepaScheduler
+            # state lives in the trainer's checkpointed scheduler dict)
+            extra["align_hosts"] = {
+                bkey: {"ema": host.ema, "triggered": host.triggered}
+                for bkey, (host, _mkey) in align_hosts.items()
+            }
         step_at_save = self.global_step
         # snapshot the adapter now: an async finalize must not read state that
         # later steps have already donated/overwritten
@@ -1063,9 +1250,28 @@ class Trainer:
                     raw = self._apply_slider_polarity(raw)
                 if getattr(self, "_ode_cache", None) is not None:
                     raw = self._inject_ode_pairs(raw)
+                align_hosts = getattr(self, "_align_hosts", None) or {}
+                if align_hosts:
+                    # CREPA/U-REPA similarity-EMA cutoffs (reference
+                    # CrepaScheduler): the EMA updates from the PREVIOUS
+                    # step's alignment score — by batch-assembly time that
+                    # device scalar has resolved, so no step-serializing
+                    # sync (one-step lag vs reference)
+                    pending = getattr(self, "_align_pending", {})
+                    raw = dict(raw)
+                    for bkey, (host, _mkey) in align_hosts.items():
+                        score = pending.pop(bkey, None)
+                        if score is not None:
+                            host.update(float(np.asarray(score)))
+                        raw[bkey] = np.asarray(host.flag(), np.float32)
                 batch = self._device_batch(raw)
                 step_rng = jax.random.fold_in(train_rng, self.global_step)
                 self._state, metrics = self._run_step(batch, step_rng)
+                if align_hosts:
+                    self._align_pending = {
+                        bkey: metrics.get(mkey)
+                        for bkey, (_host, mkey) in align_hosts.items()
+                    }
                 self.global_step += 1
                 # the fetched batch is now trained on: its post-draw iterator
                 # snapshot becomes the checkpointable cursor (ADVICE r3: epoch
@@ -1268,6 +1474,7 @@ class Trainer:
         self.init_trainable_peft_adapter()
         self.init_ema_model()
         self.init_distillation()
+        self.init_crepa()
         self.resume_and_prepare()
         self.init_benchmark_base_model()
         self.init_trackers()
