@@ -45,6 +45,7 @@ class VAECache:
         max_workers: int = 8,
         seed: int = 42,
         nsfw_filter=None,  # data.nsfw.NSFWFilter (reference vae.py:578 scan pass)
+        ephemeral: bool = False,
     ):
         self.nsfw_filter = nsfw_filter
         self.id = id
@@ -61,6 +62,11 @@ class VAECache:
         self.ondemand = ondemand
         self.max_workers = max_workers
         self.seed = seed
+        # streaming datasets address samples by stream position, which is NOT
+        # stable across shuffled epochs — persisting latents under that key
+        # would serve stale tensors for a different image.  Ephemeral mode
+        # encodes on demand and never touches disk.
+        self.ephemeral = ephemeral
 
     # ---- filenames (reference vae.py:678-703) ------------------------------------------------
     def generate_vae_cache_filename(self, filepath: str) -> Tuple[str, str]:
@@ -78,6 +84,8 @@ class VAECache:
         return os.path.join(self.cache_dir, base), base
 
     def exists(self, filepath: str) -> bool:
+        if self.ephemeral:
+            return False
         return self.cache_data_backend.exists(self.generate_vae_cache_filename(filepath)[0])
 
     def load(self, filepath: str) -> np.ndarray:
@@ -250,7 +258,8 @@ class VAECache:
         _, array, meta = item
         self.metadata_backend.image_metadata.setdefault(filepath, {}).update(meta)
         latent = np.asarray(self.encode_fn(array[None], 1))[0]
-        self.save(filepath, latent)
+        if not self.ephemeral:
+            self.save(filepath, latent)
         return latent
 
     def scan_cache_consistency(self) -> Dict[str, List[str]]:

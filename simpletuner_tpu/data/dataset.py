@@ -462,7 +462,12 @@ class MultiDatasetIterator:
             bundle = self.rng.choices(candidates, weights=weights, k=1)[0]
             samples = self._next_from(bundle)
             if samples is not None:
-                if self.num_processes > 1:
+                # streaming samplers consume a rank-disjoint shard and emit
+                # host-local batches directly; the identical-global-batch +
+                # slice contract below applies to map-style samplers only
+                if self.num_processes > 1 and not getattr(
+                    bundle.sampler, "emits_local_batches", False
+                ):
                     from ..parallel.distributed import host_local_indices
 
                     idx = host_local_indices(

@@ -86,6 +86,108 @@ def bucket_config_for(config: DatasetConfig, args) -> BucketConfig:
     )
 
 
+def _build_streaming_bundle(
+    config,
+    backend,
+    bucket_cfg,
+    args,
+    model,
+    vae_encode_fn,
+    text_caches,
+    default_text_id,
+    global_batch_size,
+    process_index,
+    num_processes,
+):
+    """Assemble a DatasetBundle for a streaming backend: per-row bucket scan,
+    host-local batches, ephemeral on-demand caches.  All impossible
+    configurations fail at config time (reference factory fail-loud contract)."""
+    from .streaming import StreamingMetadataBackend, StreamingSampler
+
+    if config.dataset_type != "image":
+        raise ValueError(
+            f"dataset {config.id}: streaming mode currently supports "
+            f"dataset_type=image (got {config.dataset_type!r}); video/audio "
+            "streams need per-row frame probing that is not implemented yet"
+        )
+    strategy = config.caption_strategy or "huggingface"
+    if strategy not in ("huggingface", "instanceprompt"):
+        raise ValueError(
+            f"dataset {config.id}: streaming datasets carry captions in dataset "
+            f"columns — set caption_strategy to 'huggingface' (or "
+            f"'instanceprompt'), not {strategy!r}; filename/textfile strategies "
+            "would caption every sample with its stream position"
+        )
+    config.caption_strategy = strategy
+    if vae_encode_fn is None:
+        raise ValueError(
+            f"dataset {config.id}: streaming datasets encode latents on the fly "
+            "and need a live VAE (no pre-cached latents exist for an unbounded "
+            "stream)"
+        )
+    text_id = config.text_embeds or default_text_id
+    text_cache = text_caches.get(text_id)
+    needs_text_cache = not (
+        getattr(model, "trains_text_encoder", False)
+        or (getattr(model, "uses_audio_tokens", None) is not None and model.uses_audio_tokens())
+    )
+    if needs_text_cache and (text_cache is None or not text_cache.ondemand):
+        raise ValueError(
+            f"dataset {config.id}: streaming datasets cannot precompute text "
+            "embeds (the caption set is unbounded) — set text_cache_ondemand=true "
+            f"on the text_embeds dataset ({text_id!r})"
+        )
+
+    total_batch = int(global_batch_size or args.get("train_batch_size", 1) or 1)
+    if total_batch % max(num_processes, 1) != 0:
+        raise ValueError(
+            f"dataset {config.id}: streaming emits host-local batches, so the "
+            f"global batch ({total_batch}) must divide evenly across "
+            f"{num_processes} processes"
+        )
+    local_batch = total_batch // max(num_processes, 1)
+
+    extra = getattr(config, "extra", {}) or {}
+    metadata = StreamingMetadataBackend(
+        id=config.id,
+        data_backend=backend,
+        bucket_config=bucket_cfg,
+        metadata_window=getattr(backend, "stream_window", 8192),
+    )
+    sampler = StreamingSampler(
+        id=config.id,
+        backend=backend,
+        metadata_backend=metadata,
+        batch_size=local_batch,
+        max_buffered_buckets=int(extra.get("max_buffered_buckets", 64) or 64),
+    )
+    from ..caching.vae_cache import VAECache
+
+    vae_cache = VAECache(
+        id=config.id,
+        data_backend=backend,
+        metadata_backend=metadata,
+        cache_dir=config.cache_dir_vae
+        or os.path.join(args.get("cache_dir", "cache"), "vae", config.id),
+        encode_fn=vae_encode_fn,
+        bucket_config=bucket_cfg,
+        batch_size=int(args.get("vae_batch_size", 4) or 4),
+        crop_style=config.crop_style if config.crop else "random",
+        ondemand=True,
+        ephemeral=True,  # stream positions are not stable keys across epochs
+        seed=int(args.get("seed", 42) or 42),
+    )
+    return DatasetBundle(
+        id=config.id,
+        config=config,
+        data_backend=backend,
+        metadata_backend=metadata,
+        sampler=sampler,
+        vae_cache=vae_cache,
+        text_cache=text_cache,
+    )
+
+
 class DataPlane:
     """The assembled data plane: bundles + iterator + caches."""
 
@@ -205,6 +307,10 @@ def configure_multi_databackend(
     storage: Dict[str, BaseDataBackend] = {}
     for config in configs:
         storage[config.id] = build_storage_backend(config, compress)
+        # streaming backends consume disjoint per-process shards (map-style
+        # datasets shard at the sampler layer instead)
+        if hasattr(storage[config.id], "configure_sharding"):
+            storage[config.id].configure_sharding(process_index, num_processes)
 
     # ---- text embed caches ----------------------------------------------------------------
     text_caches: Dict[str, TextEmbeddingCache] = {}
@@ -250,6 +356,15 @@ def configure_multi_databackend(
             continue
         backend = storage[config.id]
         bucket_cfg = bucket_config_for(config, args)
+
+        if getattr(backend, "streaming", False):
+            bundles[config.id] = _build_streaming_bundle(
+                config, backend, bucket_cfg, args, model, vae_encode_fn,
+                text_caches, default_text_id, global_batch_size,
+                process_index, num_processes,
+            )
+            continue
+
         metadata_cls = ParquetMetadataBackend if config.caption_strategy == "parquet" and config.parquet else MetadataBackend
         kwargs = {}
         if metadata_cls is ParquetMetadataBackend:
@@ -351,6 +466,10 @@ def configure_multi_databackend(
     # ---- caching passes -----------------------------------------------------------------------
     if run_caching:
         for bundle in bundles.values():
+            if getattr(bundle.metadata_backend, "is_streaming", False):
+                # streaming datasets have no enumerable sample set: both
+                # caches run on demand per batch (validated at bundle build)
+                continue
             if bundle.config.dataset_type == "conditioning":
                 # conditioning datasets need latents (for control/edit pairing)
                 # but never text embeds; mask conditioning reads raw pixels

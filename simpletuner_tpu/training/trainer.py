@@ -417,6 +417,18 @@ class Trainer:
         """Free host text-encoder memory after all caching (reference trainer.py:2710)."""
         if self.config.get("text_cache_ondemand") or self.config.get("vae_cache_ondemand"):
             return
+        if self.data_plane is not None:
+            # per-dataset ondemand flags and streaming datasets encode text
+            # during training — the TEs must stay resident (the global flags
+            # above are only one of the ways ondemand mode turns on)
+            if any(
+                getattr(cache, "ondemand", False)
+                for cache in self.data_plane.text_caches.values()
+            ) or any(
+                getattr(b.metadata_backend, "is_streaming", False)
+                for b in self.data_plane.bundles.values()
+            ):
+                return
         if self.config.get("train_text_encoder"):
             # the TE trains in-step: the module (and tokenizer) must stay
             # resident for the whole run (reference trainer.py:2711)

@@ -28,6 +28,8 @@ def tiny():
         {
             "model_family": "flux",
             "model_type": "lora",
+            # widest preset so the export covers embedder + ff keys too
+            "flux_lora_target": "all+ffs+embedder",
             "lora_rank": 4,
             "optimizer": "adamw",
             "learning_rate": 1e-3,

@@ -60,11 +60,32 @@ def test_flux_has_lora_collection(tiny_flux):
     b_leaves = [leaf for path, leaf in flat if "lora_B" in str(path)]
     assert b_leaves and all(float(jnp.abs(b).max()) == 0.0 for b in b_leaves)
 
+def _randomize_modulation_gates(params):
+    """Give the adaLN-Zero modulation linears realistic nonzero kernels.
+
+    At scratch init those kernels are zero, so every gated residual — and
+    with it every attention-layer LoRA contribution (flux_lora_target=all
+    adapts attention only) — is multiplied by exactly 0 and LoRA gradients
+    vanish.  Real checkpoints have trained (nonzero) gates; perturbing here
+    reproduces the imported-weights regime the adapter actually trains in."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    rng = np.random.default_rng(0)
+    for path, leaf in flat.items():
+        if "mod" in "/".join(str(p) for p in path) and path[-1] == "kernel":
+            flat[path] = jnp.asarray(
+                rng.normal(0, 0.02, leaf.shape), leaf.dtype
+            )
+    return flax.traverse_util.unflatten_dict(flat)
+
+
 def test_flux_loss_and_lora_grads(tiny_flux):
     model, variables, batch = tiny_flux
+    params = _randomize_modulation_gates(variables["params"])
 
     def loss_fn(lora_params):
-        merged = {"params": variables["params"], "lora": lora_params}
+        merged = {"params": params, "lora": lora_params}
         loss, _ = model.loss_fn(merged, jax.random.PRNGKey(2), batch)
         return loss
 
