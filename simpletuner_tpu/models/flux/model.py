@@ -331,6 +331,22 @@ class Flux(ModelFoundation):
             inputs["tread_rng"] = prepared["tread_rng"]
         if "flowmap_r_timesteps" in prepared:
             inputs["r_timesteps"] = prepared["flowmap_r_timesteps"]
+        if (
+            getattr(self.config, "flux_attention_masked_training", False)
+            and "t5_masks" in prepared
+        ):
+            # --flux_attention_masked_training (reference flux/model.py:742-751
+            # + transformer.py:227 expand_flux_attention_mask): padded T5
+            # tokens must not be attended to.  The reference applies a key
+            # mask broadcast over all queries; here padded tokens get segment
+            # id -1 (pad) so the flash kernel excludes them both as keys and
+            # as queries — equivalent for the loss because padded-token
+            # outputs never reach the image rows or the final projection.
+            # Sequence order matches the fused stream: text first, then image
+            # (incl. kontext reference tokens, which are always valid).
+            txt_seg = jnp.where(prepared["t5_masks"].astype(jnp.int32) > 0, 0, -1)
+            img_seg = jnp.zeros((img.shape[0], img.shape[1]), jnp.int32)
+            inputs["segment_ids"] = jnp.concatenate([txt_seg, img_seg], axis=1)
         return inputs
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -344,6 +360,13 @@ class Flux(ModelFoundation):
         }
         guidance = batch.get("guidance", getattr(self.config, "validation_guidance_real", None) or 3.5)
         cond["guidance"] = jnp.broadcast_to(jnp.asarray(guidance, jnp.float32), (batch_size,))
+        if (
+            getattr(self.config, "flux_attention_masked_training", False)
+            and "t5_masks" in batch
+        ):
+            # masked sampling too (reference flux/model.py:466/:487
+            # prompt_mask/negative_mask reach the pipeline when the flag is on)
+            cond["t5_masks"] = batch["t5_masks"]
         return cond
 
     # ---- controlnet (reference flux controlnet_init/controlnet_predict) ---------------
@@ -435,10 +458,17 @@ class Flux(ModelFoundation):
     def collate_text_embeds(self, embeds):
         import numpy as np
 
-        return {
+        out = {
             "t5_embeds": np.stack([np.asarray(e["t5_embeds"]) for e in embeds]),
             "pooled_embeds": np.stack([np.asarray(e["pooled_embeds"]) for e in embeds]),
         }
+        if all("attention_mask" in e for e in embeds):
+            # T5 padding mask rides along for --flux_attention_masked_training
+            # (reference flux/model.py:466 prompt_mask / :742-751 mask plumbing)
+            out["t5_masks"] = np.stack(
+                [np.asarray(e["attention_mask"]).reshape(-1) for e in embeds]
+            )
+        return out
 
     # ---- config validation -------------------------------------------------------------
     def check_user_config(self) -> None:

@@ -98,6 +98,67 @@ def test_flux_loss_and_lora_grads(tiny_flux):
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert total > 0.0
 
+def test_flux_attention_masked_training():
+    """--flux_attention_masked_training (reference flux/model.py:742-751):
+    padded T5 tokens must not influence the prediction when the flag is on,
+    and must influence it when off (default)."""
+    def build(flag):
+        cfg = TrainingConfig(
+            {
+                "model_family": "flux", "model_type": "lora", "lora_rank": 0,
+                "model_arch_preset": "tiny", "max_train_steps": 10,
+                "flux_attention_masked_training": flag, "seed": 0,
+            }
+        )
+        return Flux(cfg, arch=FluxConfig.tiny())
+
+    rng = np.random.default_rng(5)
+    t5 = rng.normal(0, 1, (1, 8, 32)).astype(np.float32)
+    mask = np.ones((1, 8), np.int32)
+    mask[:, 5:] = 0
+
+    def predict(model, t5_arr):
+        batch = model.example_batch(batch_size=1, resolution=64)
+        batch["t5_embeds"] = jnp.asarray(t5_arr)
+        batch["t5_masks"] = jnp.asarray(mask)
+        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        # scratch-init adaLN gates are zero -> text cannot reach the image
+        # stream at all; realistic gates make the mask test meaningful
+        variables = {**variables, "params": _randomize_modulation_gates(variables["params"])}
+        prepared = model.prepare_batch(jax.random.PRNGKey(1), batch)
+        return np.asarray(model.model_predict(variables, prepared))
+
+    t5_mut = t5.copy()
+    t5_mut[:, 5:] += 11.0
+
+    masked_model = build(True)
+    out_a = predict(masked_model, t5)
+    out_b = predict(masked_model, t5_mut)
+    np.testing.assert_allclose(out_a, out_b, atol=1e-5)
+
+    unmasked_model = build(False)
+    out_c = predict(unmasked_model, t5)
+    out_d = predict(unmasked_model, t5_mut)
+    assert float(np.abs(out_c - out_d).max()) > 1e-4
+
+
+def test_flux_collate_carries_t5_mask():
+    model = Flux(
+        TrainingConfig({"model_family": "flux", "model_arch_preset": "tiny",
+                        "max_train_steps": 10}),
+        arch=FluxConfig.tiny(),
+    )
+    embeds = [
+        {"t5_embeds": np.zeros((8, 32), np.float32),
+         "pooled_embeds": np.zeros((32,), np.float32),
+         "attention_mask": np.asarray([1, 1, 1, 1, 1, 0, 0, 0])}
+        for _ in range(2)
+    ]
+    batch = model.collate_text_embeds(embeds)
+    assert batch["t5_masks"].shape == (2, 8)
+    assert batch["t5_masks"][0, -1] == 0
+
+
 def test_flux_guidance_modes():
     cfg = TrainingConfig(
         {
