@@ -155,17 +155,17 @@ UNIMPLEMENTED: Dict[str, str] = {
     "flow_custom_timesteps": "",  # wired (losses.sample_flow_sigmas custom list)
     "flow_timesteps_mode": "",  # wired (losses.sample_flow_sigmas custom list)
     "flux_fast_schedule": "",  # wired (losses fast_schedule 4-level sigma table)
-    "flux_attention_masked_training": "attention-mask training not implemented",
+    "flux_attention_masked_training": "",  # wired (flux get_model_inputs pad segment ids)
     "input_perturbation_steps": "",  # wired (linear perturbation decay in prepare_batch)
     "diff2flow_loss": "diff2flow target bridging is wired; the extra loss isn't",
     "use_soft_min_snr": "",  # wired (losses.compute_soft_min_snr)
     "soft_min_snr_sigma_data": "",  # wired (losses.compute_soft_min_snr)
     "masked_loss_probability": "",  # wired (collate gate); kept for audit clarity
     "twinflow_target_step_count": "RCGM losses are wired; the validation step-count override is not",
-    "scheduled_sampling_max_step_offset": "only max_steps/prob knobs are wired",
-    "scheduled_sampling_order": "only max_steps/prob knobs are wired",
-    "scheduled_sampling_sampler": "rollouts use the family's native scheduler",
-    "scheduled_sampling_strategy": "only max_steps/prob knobs are wired",
+    "scheduled_sampling_max_step_offset": "",  # wired (ddpm+flow rollout gate)
+    "scheduled_sampling_order": "",  # wired (ddpm_rollout_step solver order)
+    "scheduled_sampling_sampler": "",  # wired (euler/dpm/unipc solvers)
+    "scheduled_sampling_strategy": "",  # wired (sample_rollout_offsets)
     "lyrics_embedder_lr": "",  # wired (sidecar optimizer),
     "lyrics_embedder_lr_scheduler": "sidecar uses a constant lr (main schedule otherwise)",
     "lyrics_embedder_optimizer": "",  # wired (sidecar optimizer),

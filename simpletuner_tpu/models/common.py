@@ -578,7 +578,11 @@ class ModelFoundation:
         return self._loss_fn_body(variables, rng, prepared)
 
     def _loss_fn_body(self, variables, rng: jax.Array, prepared: Dict[str, jax.Array]):
-        if getattr(self.config, "scheduled_sampling_max_steps", 0):
+        if getattr(self.config, "scheduled_sampling_max_steps", 0) or getattr(
+            self.config, "scheduled_sampling_max_step_offset", 0
+        ):
+            # reference gate is scheduled_sampling_max_step_offset
+            # (common.py:5493); max_steps is the repo-native σ-space knob
             from ..training.scheduled_sampling import (
                 ScheduledSamplingConfig,
                 apply_scheduled_sampling,

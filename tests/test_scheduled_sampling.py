@@ -58,11 +58,16 @@ def test_rollout_changes_inputs(setup):
     assert np.all(np.isfinite(np.asarray(out["noisy_latents"])))
 
 def test_loss_fn_with_scheduled_sampling_grads():
+    from tests.test_flux_model import _randomize_modulation_gates
+
     model = make_model(
         scheduled_sampling_max_steps=2, scheduled_sampling_probability=1.0
     )
     batch = model.example_batch(batch_size=2, resolution=32)
     variables = model.init_params(jax.random.PRNGKey(0), batch)
+    # scratch-init adaLN gates are zero -> attention LoRA grads vanish;
+    # randomize to the imported-weights regime the adapter trains in
+    variables = {**variables, "params": _randomize_modulation_gates(variables["params"])}
 
     def loss(lora):
         merged = {**variables, "lora": lora}
