@@ -235,6 +235,16 @@ def flagship() -> dict:
 
     state, loss = step_k(state, batch, jax.random.PRNGKey(2), 1)  # warm
     _ = float(loss)
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        # capture an xplane trace of 2 steady-state steps for the flagship
+        # ms-breakdown (scripts/trace_breakdown.py aggregates it)
+        jax.profiler.start_trace(profile_dir)
+        for i in range(2):
+            state, loss = step_k(state, batch, jax.random.PRNGKey(100 + i), 1)
+            _ = float(loss)
+        jax.profiler.stop_trace()
+        log(f"profile trace written to {profile_dir}")
     t0 = time.perf_counter()
     for i in range(steps):
         state, loss = step_k(state, batch, jax.random.PRNGKey(3 + i), 1)

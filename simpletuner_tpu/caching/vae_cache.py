@@ -172,14 +172,26 @@ class VAECache:
 
             from PIL import Image as _Image
 
+            def _read_sample(p):
+                # video datasets feed frame lists so the filter can apply
+                # per-frame voting (reference nsfw_classifier.py:306-332)
+                existing = self.metadata_backend.image_metadata.get(p, {})
+                if "num_frames" in existing:
+                    from ..data.video import load_video_frames
+
+                    frames = load_video_frames(
+                        self.data_backend, p, int(existing["num_frames"])
+                    )
+                    if frames is None:
+                        raise IOError(f"unreadable video {p}")
+                    return frames
+                return _Image.open(_io.BytesIO(self.data_backend.read(p))).convert("RGB")
+
             # Scan the FULL list on every process (deterministic classifier), not
             # just this process's slice: metadata/bucket indices must stay
             # identical across hosts or samplers desynchronize.
             rejected_before = set(all_todo)
-            all_todo = self.nsfw_filter.filter_files(
-                all_todo,
-                lambda p: _Image.open(_io.BytesIO(self.data_backend.read(p))).convert("RGB"),
-            )
+            all_todo = self.nsfw_filter.filter_files(all_todo, _read_sample)
             for path in rejected_before - set(all_todo):
                 self.metadata_backend.remove_image(path)
             if process_index == 0:

@@ -247,7 +247,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "metadata_update_interval": "metadata persists at scan completion",
     "max_upscale_threshold": "",  # wired (buckets.select_crop_aspect filter)
     "delete_invalid_checkpoints": "incomplete checkpoints are skipped, not deleted",
-    "delete_nsfw_images": "NSFW scan filters without deleting",
+    "delete_nsfw_images": "",  # wired (NSFWFilter delete_fn -> backend.delete)
     "delete_unwanted_images": "bucket pruning filters without deleting",
     "disable_bucket_pruning": "pruning only runs when constraints are set",
     "disable_multiline_split": "caption files read whole-file",
@@ -262,11 +262,11 @@ UNIMPLEMENTED: Dict[str, str] = {
     "audio_max_duration_seconds": "audio truncation uses dataset config",
     "audio_min_duration_seconds": "audio truncation uses dataset config",
     "audio_truncation_mode": "audio truncation uses dataset config",
-    "nsfw_check_backend_types": "NSFW scan covers image datasets",
-    "nsfw_check_sample_types": "NSFW scan covers image datasets",
-    "nsfw_check_video_frame_count": "video NSFW scan not implemented",
-    "nsfw_check_video_frame_selection": "video NSFW scan not implemented",
-    "nsfw_check_video_min_flagged_frames": "video NSFW scan not implemented",
+    "nsfw_check_backend_types": "",  # wired (factory csv gating)
+    "nsfw_check_sample_types": "",  # wired (factory csv gating)
+    "nsfw_check_video_frame_count": "",  # wired (extract_classifier_frames)
+    "nsfw_check_video_frame_selection": "",  # wired (select_frame_indices)
+    "nsfw_check_video_min_flagged_frames": "",  # wired (per-frame voting)
     "parquet_caption_column": "set parquet.caption_column in the dataset entry",
     "parquet_filename_column": "set parquet.filename_column in the dataset entry",
     "override_dataset_config": "dataset config comes from data_backend_config",

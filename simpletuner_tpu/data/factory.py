@@ -9,6 +9,7 @@ jitted train step.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -26,16 +27,44 @@ from .metadata import MetadataBackend, ParquetMetadataBackend
 from .sampler import MultiAspectSampler
 
 
-def _build_nsfw_filter(args):
+logger = logging.getLogger(__name__)
+
+
+def _build_nsfw_filter(args, config=None, backend=None):
     """NSFW scan-and-filter for caching passes (reference --enable_nsfw_check,
-    factory.py:4177-4180)."""
+    factory.py:4177-4185 + vae.py:245-266 backend/sample-type gating)."""
     if not args.get("enable_nsfw_check", False):
         return None
-    from .nsfw import DEFAULT_NSFW_CHECK_MODELS, NSFWFilter
+    from .nsfw import DEFAULT_NSFW_CHECK_MODELS, NSFWFilter, csv_option_allows
 
+    if config is not None:
+        backend_types = args.get("nsfw_check_backend_types") or "all"
+        if not csv_option_allows(backend_types, config.type):
+            logger.info(
+                "NSFW checks disabled for backend type %r (allowed: %r)",
+                config.type, backend_types,
+            )
+            return None
+        sample_types = args.get("nsfw_check_sample_types") or "image,conditioning"
+        if config.dataset_type not in ("image", "video", "conditioning"):
+            return None
+        if not csv_option_allows(sample_types, config.dataset_type):
+            logger.info(
+                "NSFW checks disabled for dataset_type=%r (allowed: %r)",
+                config.dataset_type, sample_types,
+            )
+            return None
+    # per-dataset override of the global delete flag (reference factory.py:4185)
+    delete = bool(args.get("delete_nsfw_images", False))
+    if config is not None and "delete_nsfw_images" in getattr(config, "extra", {}):
+        delete = bool(config.extra["delete_nsfw_images"])
     return NSFWFilter(
         models_csv=args.get("nsfw_check_models") or DEFAULT_NSFW_CHECK_MODELS,
         min_votes=int(args.get("nsfw_check_min_votes", 1) or 1),
+        video_frame_count=int(args.get("nsfw_check_video_frame_count", 3) or 3),
+        video_frame_selection=args.get("nsfw_check_video_frame_selection") or "uniform",
+        video_min_flagged_frames=int(args.get("nsfw_check_video_min_flagged_frames", 1) or 1),
+        delete_fn=(backend.delete if (delete and backend is not None) else None),
     )
 
 
@@ -415,7 +444,7 @@ def configure_multi_databackend(
             hash_filenames=bool(config.hash_filenames),
             ondemand=bool(config.vae_cache_ondemand or args.get("vae_cache_ondemand", False)),
             seed=int(args.get("seed", 42) or 42),
-            nsfw_filter=_build_nsfw_filter(args),
+            nsfw_filter=_build_nsfw_filter(args, config=config, backend=backend),
         )
 
         # image-embed cache (reference conditioning_image_embeds linkage):

@@ -87,3 +87,97 @@ def test_vae_cache_integration(tmp_path, monkeypatch):
     n_after = sum(len(v) for v in metadata.aspect_ratio_bucket_indices.values())
     assert n_after == 2
     assert flt.report["images_rejected"] == 2
+
+
+# ---------------------------------------------------------------------------------
+# video NSFW scan (reference nsfw_classifier.py:143-190 frame selection,
+# :306-332 per-frame voting, vae.py:447 delete_from_backend)
+# ---------------------------------------------------------------------------------
+
+
+def test_select_frame_indices_modes():
+    from simpletuner_tpu.data.nsfw import select_frame_indices
+
+    assert select_frame_indices(10, 3, "first") == [0, 1, 2]
+    assert select_frame_indices(10, 3, "middle") == [3, 4, 5]
+    # round(i*9/2) with banker's rounding (round(4.5)=4), as the reference
+    assert select_frame_indices(10, 3, "uniform") == [0, 4, 9]
+    assert select_frame_indices(10, 1, "uniform") == [5]
+    assert select_frame_indices(2, 5, "first") == [0, 1]  # clamp to total
+    with pytest.raises(ValueError, match="selection"):
+        select_frame_indices(10, 3, "spiral")
+
+
+def test_video_min_flagged_frames_voting():
+    from simpletuner_tpu.data.nsfw import NSFWFilter
+
+    frames = [Image.new("RGB", (8, 8), (255 if i in (2, 7) else 0, 0, 0)) for i in range(10)]
+    red = lambda img: np.asarray(img)[..., 0].mean() > 128
+
+    # uniform pick of 5 of 10 frames = indices {0,2,4,7,9}: 2 flagged
+    flt1 = NSFWFilter(classifier_fn=red, video_frame_count=5,
+                      video_min_flagged_frames=3)
+    assert not flt1.is_rejected(frames, "clip.mp4")
+
+    flt2 = NSFWFilter(classifier_fn=red, video_frame_count=5,
+                      video_min_flagged_frames=2)
+    assert flt2.is_rejected(frames, "clip.mp4")
+
+    # "first" selection sees frame 2 only -> 1 flagged
+    flt3 = NSFWFilter(classifier_fn=red, video_frame_count=3,
+                      video_frame_selection="first", video_min_flagged_frames=2)
+    assert not flt3.is_rejected(frames, "clip.mp4")
+
+
+def test_video_param_validation():
+    from simpletuner_tpu.data.nsfw import NSFWFilter
+
+    with pytest.raises(ValueError, match="at least 1"):
+        NSFWFilter(classifier_fn=lambda i: False, video_frame_count=0)
+    with pytest.raises(ValueError, match="cannot exceed"):
+        NSFWFilter(classifier_fn=lambda i: False, video_frame_count=2,
+                   video_min_flagged_frames=3)
+
+
+def test_ndarray_video_and_normalization():
+    from simpletuner_tpu.data.nsfw import extract_classifier_frames
+
+    clip = np.zeros((6, 8, 8, 3), np.float32)
+    clip[4] = 1.0  # white frame in [0,1] space
+    frames = extract_classifier_frames(clip, frame_count=3, selection="uniform")
+    assert len(frames) == 3
+    assert np.asarray(frames[0]).max() == 0
+    # 5D (B,T,H,W,C) batches use the first clip
+    frames5 = extract_classifier_frames(clip[None], frame_count=2, selection="first")
+    assert len(frames5) == 2
+
+
+def test_delete_nsfw_images_calls_backend_delete(tmp_path):
+    from simpletuner_tpu.data.nsfw import NSFWFilter
+
+    deleted = []
+    flt = NSFWFilter(classifier_fn=lambda img: True, delete_fn=deleted.append)
+    img = tmp_path / "bad.png"
+    Image.new("RGB", (8, 8)).save(img)
+    safe = flt.filter_files([str(img)], lambda p: Image.open(p).convert("RGB"))
+    assert safe == []
+    assert deleted == [str(img)]
+    assert flt.report["files_deleted"] == 1
+
+
+def test_factory_gating_by_backend_and_sample_type():
+    from simpletuner_tpu.configuration.dataloader import DatasetConfig
+    from simpletuner_tpu.data.factory import _build_nsfw_filter
+
+    args = {"enable_nsfw_check": True, "nsfw_check_models": "x:0.5",
+            "nsfw_check_backend_types": "local",
+            "nsfw_check_sample_types": "image"}
+    cfg_img = DatasetConfig.from_dict({"id": "a", "type": "local", "dataset_type": "image"})
+    assert _build_nsfw_filter(args, config=cfg_img) is not None
+    cfg_aws = DatasetConfig.from_dict({"id": "b", "type": "aws", "dataset_type": "image",
+                                       "aws_bucket_name": "x"})
+    assert _build_nsfw_filter(args, config=cfg_aws) is None
+    cfg_vid = DatasetConfig.from_dict({"id": "c", "type": "local", "dataset_type": "video"})
+    assert _build_nsfw_filter(args, config=cfg_vid) is None
+    args["nsfw_check_sample_types"] = "image,video"
+    assert _build_nsfw_filter(args, config=cfg_vid) is not None
