@@ -185,7 +185,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "sana_complex_human_instruction": "",  # wired (sana CHI template in encode_text)
     "sd3_clip_uncond_behaviour": "",  # wired (sd3 encode_text zeroing)
     "sd3_t5_uncond_behaviour": "",  # wired (sd3 encode_text zeroing)
-    "krea2_reference_latents": "krea2 reference conditioning not implemented",
+    "krea2_reference_latents": "",  # wired (krea2 get_model_inputs ref tokens)
     "ltx2_intrinsic_conditioning": "LTX2 intrinsics not implemented",
     "ltx2_validation_spatial_upsampler_filename": "upsampler loads from flavour",
     "ltx_i2v_prob": "",  # wired (LTXVideo.prepare_batch partial first-frame protection)

@@ -78,6 +78,11 @@ class Krea2(ModelFoundation):
             ),
         }
 
+    def _uses_reference_latents(self) -> bool:
+        # --krea2_reference_latents (reference krea2/model.py:96-97): edit
+        # training where a clean reference image rides as extra tokens
+        return bool(getattr(self.config, "krea2_reference_latents", False))
+
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         noisy = prepared["noisy_latents"]  # (B, H, W, C)
         batch, height, width, _ = noisy.shape
@@ -86,32 +91,68 @@ class Krea2(ModelFoundation):
         # (reference model.py:431-441)
         img_ids = make_img_ids(1, height, width)[0]  # (S_img, 3)
         txt_ids = jnp.zeros((txt_len, 3), jnp.float32)
+        hidden = pack_latents(noisy)
+        position_ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        if self._uses_reference_latents():
+            # reference model.py:466-510: the conditioning dataset's clean
+            # latents are packed and appended after the target tokens with a
+            # second identical position grid (grids list); predictions are
+            # sliced back to the target tokens in model_predict
+            ref = prepared.get("control_latents")
+            if ref is None:
+                raise ValueError(
+                    "Krea 2 reference-latent training requires conditioning_latents "
+                    "in the batch — link a conditioning dataset via conditioning_data."
+                )
+            if ref.ndim == 5:
+                if ref.shape[1] != 1:
+                    raise ValueError(
+                        f"Krea 2 reference latents must have a single frame, got {ref.shape}."
+                    )
+                ref = ref[:, 0]
+            if ref.shape != noisy.shape:
+                raise ValueError(
+                    "Krea 2 reference latents must match target latent shape. "
+                    f"Got reference {ref.shape} vs target {noisy.shape}."
+                )
+            hidden = jnp.concatenate([hidden, pack_latents(ref.astype(noisy.dtype))], axis=1)
+            position_ids = jnp.concatenate([position_ids, img_ids], axis=0)
         inputs = {
-            "hidden_states": pack_latents(noisy),
+            "hidden_states": hidden,
             "encoder_hidden_states": prepared["text_embeds"],
             "timesteps": prepared["timesteps"],
-            "position_ids": jnp.concatenate([txt_ids, img_ids], axis=0),
+            "position_ids": position_ids,
         }
         if "text_attention_mask" in prepared:
             inputs["encoder_attention_mask"] = prepared["text_attention_mask"]
         return inputs
 
+    def _slice_target_tokens(self, out: jax.Array, height: int, width: int) -> jax.Array:
+        # reference model.py:540 noise_pred[:, :target_token_count]
+        s_img = (height // 2) * (width // 2)
+        return out[:, :s_img]
+
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
         out = self.module.apply(variables, **self.get_model_inputs(prepared), rngs=rngs)
         _, height, width, _ = prepared["noisy_latents"].shape
-        return unpack_latents(out, height, width)
+        return unpack_latents(self._slice_target_tokens(out, height, width), height, width)
 
     def model_predict_with_intermediates(self, variables, prepared, rngs=None):
         out, state = self.module.apply(
             variables, **self.get_model_inputs(prepared), rngs=rngs, mutable=["intermediates"]
         )
         _, height, width, _ = prepared["noisy_latents"].shape
+        out = self._slice_target_tokens(out, height, width)
         return unpack_latents(out, height, width), state.get("intermediates", {})
 
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         cond = {"text_embeds": batch["text_embeds"]}
         if "text_attention_mask" in batch:
             cond["text_attention_mask"] = batch["text_attention_mask"]
+        if self._uses_reference_latents() and "control_latents" in batch:
+            # validation edit sampling (reference update_pipeline_call_kwargs:
+            # image -> reference_image when the flag is on)
+            cond["control_latents"] = batch["control_latents"]
         return cond
 
     def _select_layers(self, available: int):

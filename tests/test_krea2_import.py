@@ -254,3 +254,54 @@ def test_krea2_family_end_to_end(tmp_path):
     pred = model.model_predict(variables, prepared)
     assert pred.shape == batch["latents"].shape
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_krea2_reference_latents_training():
+    """--krea2_reference_latents (reference krea2/model.py:466-540): a clean
+    reference image rides as extra tokens after the target tokens with a
+    second identical position grid; predictions slice back to the target
+    tokens; a missing conditioning dataset fails loudly; a changed reference
+    changes the prediction."""
+    from simpletuner_tpu.configuration import TrainingConfig
+    from simpletuner_tpu.models.krea2.model import Krea2
+
+    model = Krea2(
+        TrainingConfig(
+            {"model_family": "krea2", "model_type": "lora", "lora_rank": 0,
+             "model_arch_preset": "tiny", "krea2_reference_latents": True,
+             "max_train_steps": 10}
+        )
+    )
+    batch = model.example_batch(batch_size=1, resolution=32)
+    rng = np.random.default_rng(11)
+    batch["latents"] = jnp.asarray(rng.normal(size=batch["latents"].shape), jnp.float32)
+    ref_a = jnp.asarray(rng.normal(size=batch["latents"].shape), jnp.float32)
+    ref_b = ref_a + 3.0
+
+    variables = model.init_params(jax.random.PRNGKey(0), {**batch, "control_latents": ref_a})
+    prepared = model.prepare_batch(jax.random.PRNGKey(1), {**batch, "control_latents": ref_a})
+    pred_a = model.model_predict(variables, prepared)
+    assert pred_a.shape == batch["latents"].shape  # sliced back to target tokens
+    assert np.isfinite(np.asarray(pred_a)).all()
+
+    prepared_b = dict(prepared)
+    prepared_b["control_latents"] = ref_b
+    pred_b = model.model_predict(variables, prepared_b)
+    assert float(np.abs(np.asarray(pred_a) - np.asarray(pred_b)).max()) > 1e-6
+
+    # 5D single-frame conditioning squeezes; multi-frame fails loudly
+    prepared_c = dict(prepared)
+    prepared_c["control_latents"] = ref_a[:, None]
+    np.testing.assert_allclose(
+        np.asarray(model.model_predict(variables, prepared_c)), np.asarray(pred_a),
+        rtol=1e-5, atol=1e-6,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="single frame"):
+        bad = dict(prepared)
+        bad["control_latents"] = jnp.concatenate([ref_a[:, None]] * 2, axis=1)
+        model.model_predict(variables, bad)
+    with pytest.raises(ValueError, match="conditioning_latents"):
+        missing = {k: v for k, v in prepared.items() if k != "control_latents"}
+        model.model_predict(variables, missing)
