@@ -221,7 +221,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "validation_input": "img2img validation uses the eval dataset",
     "validation_stitch_input_location": "stitch layout is fixed left-right",
     "validation_audio_only": "audio families already render audio only",
-    "validation_lyrics": "ACE-Step validation lyrics not implemented",
+    "validation_lyrics": "",  # wired (ace_step inference_conditioning)
     "validation_ltx2_video_conditioning": "LTX2 video conditioning not implemented",
     "evaluation_type": "eval = loss + CLIP score",
     "eval_epoch_interval": "use eval_steps_interval",

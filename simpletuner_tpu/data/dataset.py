@@ -361,6 +361,12 @@ def collate_batch(
         # prior-preservation flag: the train step swaps the target for the
         # parent (adapter-disabled) prediction (reference trainer.py:6565)
         batch["is_regularisation_data"] = np.asarray(1.0, np.float32)
+    # family-specific extras (e.g. ACE-Step lyric tokens from parquet rows /
+    # sidecar files; reference model.py prepare_batch extracts lyrics from
+    # latent metadata at :1656-1664)
+    collate_extras = getattr(model, "collate_batch_extras", None)
+    if collate_extras is not None:
+        collate_extras(samples, bundle, batch)
     return batch
 
 

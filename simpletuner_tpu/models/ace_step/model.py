@@ -145,11 +145,57 @@ class ACEStep(ModelFoundation):
         )
         return pred.reshape(prepared["noisy_latents"].shape), state.get("intermediates", {})
 
+    @property
+    def lyrics_tokenizer(self):
+        if getattr(self, "_lyrics_tokenizer", None) is None:
+            from .lyrics import LyricsTokenizer
+
+            self._lyrics_tokenizer = LyricsTokenizer(
+                model_path=getattr(self.config, "pretrained_model_name_or_path", None)
+            )
+        return self._lyrics_tokenizer
+
+    def collate_batch_extras(self, samples, bundle, batch) -> None:
+        """Lyric tokens from parquet rows / sidecar ``.lyrics.txt`` files
+        (reference model.py:1656-1664 extracts lyrics from latent metadata and
+        tokenizes them in prepare_batch; tokenization here keeps the train
+        step jit-pure).  Lyrics are optional — ACE-Step trains tags-only when
+        no sample carries them — but a partial batch tokenizes empties as a
+        single masked 0, exactly like the reference's per-sample fallback."""
+        lyrics = []
+        found = False
+        for sample in samples:
+            path = sample["image_path"]
+            row = (sample.get("metadata") or {}).get("row") or (
+                bundle.metadata_backend.image_metadata.get(path, {}) or {}
+            ).get("row") or {}
+            text = row.get("lyrics")
+            if text is None:
+                lyrics_path = path.rsplit(".", 1)[0] + ".lyrics.txt"
+                if bundle.data_backend.exists(lyrics_path):
+                    text = bundle.data_backend.read(lyrics_path).decode("utf-8")
+            lyrics.append(text)
+            found = found or bool(text)
+        if not found:
+            return
+        ids, mask = self.lyrics_tokenizer.tokenize_batch(lyrics)
+        batch["lyrics_tokens"] = ids
+        batch["lyrics_mask"] = mask
+
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         cond = {"text_embeds": batch["text_embeds"]}
         for key in ("speaker_embeds", "lyrics_tokens", "lyrics_mask"):
             if key in batch:
                 cond[key] = batch[key]
+        if "lyrics_tokens" not in cond and getattr(self.config, "validation_lyrics", None):
+            # --validation_lyrics (reference validation.py:4589-4590: audio
+            # pipelines receive the configured lyric text)
+            batch_size = batch["text_embeds"].shape[0]
+            ids, mask = self.lyrics_tokenizer.tokenize_batch(
+                [self.config.validation_lyrics] * batch_size
+            )
+            cond["lyrics_tokens"] = jnp.asarray(ids)
+            cond["lyrics_mask"] = jnp.asarray(mask)
         return cond
 
     def encode_text(self, prompts):
