@@ -186,7 +186,15 @@ UNIMPLEMENTED: Dict[str, str] = {
     "sd3_clip_uncond_behaviour": "",  # wired (sd3 encode_text zeroing)
     "sd3_t5_uncond_behaviour": "",  # wired (sd3 encode_text zeroing)
     "krea2_reference_latents": "",  # wired (krea2 get_model_inputs ref tokens)
-    "ltx2_intrinsic_conditioning": "LTX2 intrinsics not implemented",
+    "ltx2_intrinsic_conditioning": "",  # wired (ltxvideo2 _apply_intrinsic_conditioning)
+    "ltx2_first_frame_conditioning_probability": "",  # wired (intrinsic alias spec)
+    "ltx2_prefix_conditioning_probability": "",  # wired (intrinsic alias spec)
+    "ltx2_prefix_conditioning_frames": "",  # wired (intrinsic alias spec)
+    "ltx2_suffix_conditioning_probability": "",  # wired (intrinsic alias spec)
+    "ltx2_suffix_conditioning_frames": "",  # wired (intrinsic alias spec)
+    "ltx2_mask_conditioning_probability": "",  # wired (intrinsic alias spec)
+    "ltx2_reference_spatial_scale_factor": "IC-LoRA reference-video rope coords not implemented",
+    "ltx2_reference_temporal_scale_factor": "IC-LoRA reference-video rope coords not implemented",
     "ltx2_validation_spatial_upsampler_filename": "upsampler loads from flavour",
     "ltx_i2v_prob": "",  # wired (LTXVideo.prepare_batch partial first-frame protection)
     "ltx_partial_noise_fraction": "",  # wired (LTXVideo.prepare_batch)

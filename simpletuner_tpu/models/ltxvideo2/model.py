@@ -166,6 +166,168 @@ class LTXVideo2(ModelFoundation):
             "text_embeds": jnp.zeros((batch_size, 8, self.arch.caption_channels), jnp.float32),
         }
 
+    # ---- intrinsic conditioning (reference model.py:1766-1893) -------------------------
+    def _intrinsic_condition_specs(self):
+        """Parse --ltx2_intrinsic_conditioning (JSON str/dict/list) plus the
+        alias probability knobs into a spec list (reference
+        _ltx2_intrinsic_condition_specs, model.py:1766-1793)."""
+        import json as _json
+
+        raw = getattr(self.config, "ltx2_intrinsic_conditioning", None)
+        if raw is None:
+            specs = []
+        elif isinstance(raw, str):
+            specs = _json.loads(raw)
+        elif isinstance(raw, dict):
+            specs = [raw]
+        else:
+            specs = list(raw)
+        aliases = (
+            ("first_frame", "ltx2_first_frame_conditioning_probability", {}),
+            ("prefix", "ltx2_prefix_conditioning_probability",
+             {"temporal_boundary": "ltx2_prefix_conditioning_frames"}),
+            ("suffix", "ltx2_suffix_conditioning_probability",
+             {"temporal_boundary": "ltx2_suffix_conditioning_frames"}),
+            ("mask", "ltx2_mask_conditioning_probability", {}),
+        )
+        for cond_type, prob_attr, extra in aliases:
+            probability = float(getattr(self.config, prob_attr, 0.0) or 0.0)
+            if probability <= 0:
+                continue
+            spec = {"type": cond_type, "probability": probability}
+            for key, attr in extra.items():
+                value = getattr(self.config, attr, None)
+                if value is not None:
+                    spec[key] = value
+            specs.append(spec)
+        known = {"first_frame", "prefix", "suffix", "spatial_crop", "mask"}
+        for spec in specs:
+            if spec.get("type") not in known:
+                raise ValueError(
+                    f"Unsupported LTX-2 intrinsic conditioning type: {spec.get('type')!r}."
+                )
+        return specs
+
+    def _intrinsic_token_mask(self, spec, prepared, batch, frames, height, width):
+        """(B, S) float mask of tokens held clean for one spec (reference
+        _ltx2_temporal/spatial/mask_condition_mask, model.py:1680-1764).
+        Tokens are (frame-major) F·H·W at patch size 1."""
+        seq = frames * height * width
+        tokens_per_frame = height * width
+        kind = spec["type"]
+        if kind in ("first_frame", "prefix", "suffix"):
+            n_frames = 1 if kind == "first_frame" else int(
+                spec.get("temporal_boundary", spec.get("num_frames", 1))
+            )
+            n_tokens = min(n_frames, frames) * tokens_per_frame
+            if n_frames * tokens_per_frame > seq:
+                raise ValueError(
+                    f"LTX-2 temporal conditioning requested {n_frames * tokens_per_frame} "
+                    f"tokens, but target has {seq} tokens."
+                )
+            idx = jnp.arange(seq)
+            mask1d = (idx >= seq - n_tokens) if kind == "suffix" else (idx < n_tokens)
+            return jnp.broadcast_to(mask1d.astype(jnp.float32), (batch, seq))
+        if kind == "spatial_crop":
+            region = spec.get("spatial_region", spec.get("region", (0, 0, 0, 0)))
+            if len(region) != 4:
+                raise ValueError(
+                    f"LTX-2 spatial_crop conditioning requires [y1, x1, y2, x2], got {region}."
+                )
+            y1, x1, y2, x2 = (int(v) for v in region)
+            y1, y2 = max(0, min(y1, height)), max(0, min(y2, height))
+            x1, x2 = max(0, min(x1, width)), max(0, min(x2, width))
+            if y2 < y1 or x2 < x1:
+                raise ValueError(
+                    f"LTX-2 spatial_crop region must be ordered [y1, x1, y2, x2], got {region}."
+                )
+            spatial = jnp.zeros((height, width), jnp.float32).at[y1:y2, x1:x2].set(1.0)
+            return jnp.broadcast_to(
+                jnp.tile(spatial.reshape(-1), frames), (batch, seq)
+            )
+        # kind == "mask": a pixel/latent mask rides the batch (reference reads
+        # prepared_batch[mask_key]; this data plane delivers mask conditioning
+        # datasets as latent-resolution "loss_mask")
+        mask_key = spec.get("mask_key", "conditioning_pixel_values")
+        raw = prepared.get(mask_key)
+        if raw is None and mask_key == "conditioning_pixel_values":
+            raw = prepared.get("loss_mask")
+        if raw is None:
+            raise ValueError(
+                f"LTX-2 mask conditioning requested but prepared_batch[{mask_key!r}] is missing."
+            )
+        raw = raw.astype(jnp.float32)
+        if raw.ndim == 2:  # (H', W') shared
+            raw = jnp.broadcast_to(raw[None], (batch,) + raw.shape)
+        raw = jnp.where(raw.min() < 0, raw / 2.0 + 0.5, raw)
+        if raw.ndim == 3:  # (B, H', W') -> every frame
+            resized = jax.image.resize(raw, (batch, height, width), "linear")
+            resized = jnp.broadcast_to(resized[:, None], (batch, frames, height, width))
+        elif raw.ndim == 4:  # (B, F', H', W')
+            resized = jax.image.resize(raw, (batch, frames, height, width), "nearest")
+        else:
+            raise ValueError(
+                f"LTX-2 mask conditioning expects [B,H,W] or [B,F,H,W], got {raw.shape}."
+            )
+        return (resized > 0.5).astype(jnp.float32).reshape(batch, seq)
+
+    def _apply_intrinsic_conditioning(self, rng, prepared):
+        """Replace conditioned tokens with clean latents at per-token t=0 and
+        exclude them from the loss (reference _apply_ltx2_intrinsic_conditioning,
+        model.py:1796-1893: noisy := m·clean + (1−m)·noisy, timesteps := (1−m)·t,
+        loss_mask &= (m == 0), each spec gated per-sample by probability)."""
+        specs = self._intrinsic_condition_specs()
+        if not specs:
+            return prepared
+        noisy = prepared["noisy_latents"]
+        batch, frames, height, width, channels = noisy.shape
+        seq = frames * height * width
+        clean = prepared["latents"].astype(noisy.dtype)
+        noisy_tok = noisy.reshape(batch, seq, channels)
+        clean_tok = clean.reshape(batch, seq, channels)
+        t_tok = jnp.broadcast_to(
+            prepared["timesteps"].astype(jnp.float32).reshape(batch, 1), (batch, seq)
+        )
+        keep = jnp.ones((batch, seq), jnp.float32)
+        consumed_loss_mask = False
+        for i, spec in enumerate(specs):
+            probability = float(spec.get("probability", 1.0))
+            if probability <= 0:
+                continue
+            gate = (
+                jax.random.uniform(jax.random.fold_in(rng, 0x17C + i), (batch, 1))
+                < probability
+            ).astype(jnp.float32)
+            if (
+                spec["type"] == "mask"
+                and spec.get("mask_key", "conditioning_pixel_values") == "conditioning_pixel_values"
+                and "conditioning_pixel_values" not in prepared
+                and "loss_mask" in prepared
+            ):
+                # the data plane delivered the mask dataset as loss_mask; it
+                # becomes the conditioning source, not a loss mask on top
+                consumed_loss_mask = True
+            mask = self._intrinsic_token_mask(spec, prepared, batch, frames, height, width)
+            mask = mask * gate
+            noisy_tok = mask[..., None] * clean_tok + (1.0 - mask[..., None]) * noisy_tok
+            t_tok = (1.0 - mask) * t_tok
+            keep = keep * (1.0 - mask)
+        out = dict(prepared)
+        out["noisy_latents"] = noisy_tok.reshape(noisy.shape)
+        out["token_timesteps"] = t_tok  # tokenwise t for the transformer
+        video_mask = keep.reshape(batch, frames, height, width, 1)
+        existing = None if consumed_loss_mask else prepared.get("loss_mask")
+        if existing is not None:
+            em = existing.astype(jnp.float32)
+            if em.ndim == 3:  # (B, H', W') image-style mask -> every frame
+                em = jax.image.resize(em, (batch, height, width), "linear")
+                em = jnp.broadcast_to(em[:, None, :, :, None], video_mask.shape)
+            else:
+                em = em.reshape(video_mask.shape)
+            video_mask = video_mask * em
+        out["loss_mask"] = video_mask
+        return out
+
     # ---- joint AV noising (reference: both modalities share the flow sigmas) ----------
     def prepare_batch(self, rng: jax.Array, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         prepared = super().prepare_batch(rng, batch)
@@ -180,7 +342,7 @@ class LTXVideo2(ModelFoundation):
                 audio.astype(jnp.float32), noise_a, sigmas
             )
             prepared["audio_target"] = flow_target(audio.astype(jnp.float32), noise_a)
-        return prepared
+        return self._apply_intrinsic_conditioning(jax.random.fold_in(rng, 0x17C0), prepared)
 
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         noisy = prepared["noisy_latents"]  # (B, F, H, W, C)
@@ -192,11 +354,16 @@ class LTXVideo2(ModelFoundation):
                 jnp.zeros((batch, 1, self.arch.audio_in_channels), jnp.float32),
             ),
             "text_embeds": prepared["text_embeds"],
-            "timesteps": prepared["timesteps"],
+            # intrinsic conditioning keeps clean tokens at t=0 via tokenwise
+            # timesteps (the transformer's adaLN embeds (B, S) natively)
+            "timesteps": prepared.get("token_timesteps", prepared["timesteps"]),
             "num_frames": frames,
             "height": height,
             "width": width,
         }
+        if "token_timesteps" in prepared:
+            # the audio stream keeps the scalar sigma draw
+            inputs["audio_timesteps"] = prepared["timesteps"]
         if "text_attention_mask" in prepared:
             inputs["text_mask"] = prepared["text_attention_mask"]
         return inputs
