@@ -176,9 +176,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "controlnet_model_name_or_path": "controlnet starts from the base transformer",
     "cosmos3_generator_component": "cosmos3 flavours pick components",
     "cosmos3_reasoner_component": "cosmos3 flavours pick components",
-    "ideogram_auto_json": "ideogram auto-json captions not implemented",
-    "ideogram_prompt_enhancer_head_id": "prompt enhancer not implemented",
-    "ideogram_prompt_upsample": "prompt upsampling not implemented",
+    "ideogram_auto_json": "",  # wired (ideogram _preprocess_prompts)
+    "ideogram_prompt_enhancer_head_id": "",  # wired (load_enhancer_head)
+    "ideogram_prompt_upsample": "",  # wired (prompt_enhancer.upsample_prompt)
     "ideogram_schedule_mu": "family uses the shared flow schedule knobs",
     "ideogram_schedule_std": "family uses the shared flow schedule knobs",
     "ideogram_validation": "ideogram uses the standard validation path",

@@ -156,9 +156,41 @@ class Ideogram(ModelFoundation):
         n = self.arch.llm_taps
         return tuple(int(round(i * (available - 1) / max(n - 1, 1))) for i in range(n))
 
+    DEFAULT_PROMPT_ENHANCER_HEAD = "diffusers/qwen3-vl-8b-instruct-lm-head"
+
+    def _preprocess_prompts(self, prompts):
+        """Prompt upsampling + auto-json (reference ideogram/model.py:260-275:
+        every prompt is optionally rewritten by the enhancer head, then
+        converted/canonicalized to the JSON caption schema unless
+        --ideogram_auto_json is off)."""
+        from .prompting import maybe_convert_prompt_to_ideogram_json
+
+        if getattr(self.config, "ideogram_prompt_upsample", False):
+            from .prompt_enhancer import load_enhancer_head, upsample_prompt
+
+            if getattr(self, "_enhancer_head", None) is None:
+                head_id = (
+                    getattr(self.config, "ideogram_prompt_enhancer_head_id", None)
+                    or self.DEFAULT_PROMPT_ENHANCER_HEAD
+                )
+                self._enhancer_head = load_enhancer_head(head_id)
+            (qwen,) = self.text_encoders
+            resolution = int(getattr(self.config, "resolution", None) or 1024)
+            prompts = [
+                upsample_prompt(
+                    qwen, self._enhancer_head, str(p),
+                    height=resolution, width=resolution,
+                    seed=int(getattr(self.config, "seed", 0) or 0),
+                )
+                for p in prompts
+            ]
+        auto_json = getattr(self.config, "ideogram_auto_json", None)
+        auto_json = True if auto_json is None else bool(auto_json)
+        return [maybe_convert_prompt_to_ideogram_json(str(p), enabled=auto_json) for p in prompts]
+
     def encode_text(self, prompts):
         (qwen,) = self.text_encoders
-        out = qwen.encode_with_hidden_states(prompts)
+        out = qwen.encode_with_hidden_states(self._preprocess_prompts(prompts))
         taps = out["hidden_states"]
         select = self._select_taps(len(taps))
         stacked = np.concatenate(
