@@ -4,19 +4,22 @@ Usage:
     BENCH_PROFILE_DIR=/tmp/flagship_profile python bench.py
     python scripts/trace_breakdown.py /tmp/flagship_profile
 
-Parses the TPU device plane with tensorboard_plugin_profile's hlo_stats tool
-and buckets self-time by what the op computes: flash-attention Pallas kernels,
-MXU contractions (the base matmuls incl. the int8 s8xs8 path), dequant /
-quantize elementwise fusions, optimizer update fusions, collectives, copies,
-and everything else.  The reference's equivalent is torch.profiler's
-key_averages table (SURVEY §5.1); on TPU the xplane is the ground truth.
+Parses the TPU device plane with xprof's hlo_stats tool and buckets HLO
+self-time two ways:
+
+* by what the op computes (category: MXU fusions, loop fusions, flash-attention
+  custom calls, copies, collectives, ...)
+* by which phase of the step owns it (the JAX scope in the framework op name:
+  forward, backward via transpose(jvp(...)), remat recompute via rematted
+  scopes, optimizer update, loss/prepare)
+
+The reference's equivalent is torch.profiler's key_averages table
+(SURVEY §5.1); on TPU the xplane is the ground truth.
 """
 
 from __future__ import annotations
 
-import csv
 import glob
-import io
 import json
 import sys
 from collections import defaultdict
@@ -29,72 +32,80 @@ def find_xplane(log_dir: str) -> str:
     return hits[-1]
 
 
-def bucket_of(name: str, category: str, program: str) -> str:
-    s = f"{name} {category} {program}".lower()
-    if "flash" in s or "pallas" in s or "custom-call" in category.lower():
-        return "attention (pallas flash)"
-    if "all-reduce" in s or "all-gather" in s or "reduce-scatter" in s or "collective" in s:
+def category_bucket(category: str, tf_op: str, expr: str) -> str:
+    s = f"{category} {tf_op}".lower()
+    if "custom-call" in category.lower() or "flash" in s or "pallas" in s:
+        return "flash attention (pallas)"
+    if "all-reduce" in s or "all-gather" in s or "reduce-scatter" in s:
         return "collectives"
-    if "convolution" in s or "dot" in s or "matmul" in s:
-        return "matmuls (MXU)"
-    if "quant" in s or "dequant" in s or "convert" in category.lower():
-        return "quant/dequant + converts"
-    if "copy" in s or "transpose" in category.lower() or "reshape" in s:
+    if "convolution" in category.lower() or "dot" in category.lower() or "matmul" in s:
+        # int8 MXU contractions show up as convolution-fusion/dot with s8 operands
+        return "matmuls/MXU (s8 in expr)" if " s8[" in expr or "s8[" in expr[:400] else "matmuls/MXU (bf16/f32)"
+    if "copy" in category.lower() or "transpose" in category.lower():
         return "copies/layout"
-    if "adam" in s or "optimizer" in s:
-        return "optimizer"
-    if "fusion" in category.lower() or "fused" in s:
+    if "fusion" in category.lower():
         return "elementwise fusions"
-    return "other"
+    return category or "other"
+
+
+def phase_bucket(tf_op: str) -> str:
+    s = tf_op.lower()
+    if "transpose(jvp" in s or "transpose(remat" in s:
+        return "backward"
+    if "remat" in s:
+        return "remat recompute"
+    if "adam" in s or "optimizer" in s or "scale_by" in s:
+        return "optimizer"
+    if "jvp(" in s or "transformer" in s:
+        return "forward"
+    return "other (prepare/loss/infra)"
 
 
 def main() -> None:
     log_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_profile"
     xplane = find_xplane(log_dir)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from xprof.convert import raw_to_tool_data
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], "hlo_stats^", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    rows = list(csv.DictReader(io.StringIO(data)))
-    if not rows:
-        raise SystemExit("hlo_stats produced no rows")
+    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], "hlo_stats", {})
+    table = json.loads(data.decode() if isinstance(data, bytes) else data)
+    col_ids = [c["id"] for c in table["cols"]]
+    idx = {name: col_ids.index(name) for name in (
+        "category", "hlo_op_name", "hlo_op_expression", "tf_op_name",
+        "total_self_time", "occurrences",
+    )}
 
-    def col(row, *names, default=""):
-        for n in names:
-            for key in row:
-                if key.lower().replace(" ", "_") == n:
-                    return row[key]
-        return default
-
-    buckets: dict = defaultdict(float)
-    top_ops: list = []
+    cats: dict = defaultdict(float)
+    phases: dict = defaultdict(float)
+    top: list = []
     total = 0.0
-    for row in rows:
-        t = float(col(row, "total_self_time_(us)", "self_time_(us)", default=0) or 0)
-        name = col(row, "hlo_op_name", "op_name")
-        category = col(row, "hlo_op_category", "category")
-        program = col(row, "hlo_op_expression", "program_id", default="")
-        buckets[bucket_of(name, category, program)] += t
-        total += t
-        top_ops.append((t, name, category, (program or "")[:140]))
+    for row in table["rows"]:
+        cells = row["c"]
 
-    top_ops.sort(reverse=True)
+        def val(name):
+            cell = cells[idx[name]]
+            return cell.get("v") if cell else None
+
+        t = float(val("total_self_time") or 0.0)  # microseconds
+        category = str(val("category") or "")
+        tf_op = str(val("tf_op_name") or "")
+        expr = str(val("hlo_op_expression") or "")[:600]
+        cats[category_bucket(category, tf_op, expr)] += t
+        phases[phase_bucket(tf_op)] += t
+        total += t
+        top.append((t, str(val("hlo_op_name") or ""), category, tf_op[:160]))
+
+    top.sort(reverse=True)
     out = {
-        "total_device_us": round(total, 1),
-        "buckets_ms": {
-            k: round(v / 1e3, 2)
-            for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])
-        },
-        "buckets_pct": {
-            k: round(100 * v / max(total, 1e-9), 1)
-            for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])
-        },
+        "total_device_ms": round(total / 1e3, 1),
+        "by_compute_ms": {k: round(v / 1e3, 1) for k, v in sorted(cats.items(), key=lambda kv: -kv[1])},
+        "by_compute_pct": {k: round(100 * v / max(total, 1e-9), 1) for k, v in sorted(cats.items(), key=lambda kv: -kv[1])},
+        "by_phase_ms": {k: round(v / 1e3, 1) for k, v in sorted(phases.items(), key=lambda kv: -kv[1])},
+        "by_phase_pct": {k: round(100 * v / max(total, 1e-9), 1) for k, v in sorted(phases.items(), key=lambda kv: -kv[1])},
     }
     print(json.dumps(out, indent=2))
-    print("\ntop 25 self-time ops:", file=sys.stderr)
-    for t, name, category, program in top_ops[:25]:
-        print(f"  {t/1e3:9.2f} ms  {category:24s} {name[:60]:60s} {program}", file=sys.stderr)
+    print("\ntop 30 self-time ops:", file=sys.stderr)
+    for t, name, category, tf_op in top[:30]:
+        print(f"  {t/1e3:9.2f} ms  {category:22s} {name[:40]:40s} {tf_op}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -244,7 +244,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "push_to_hub_background": "hub pushes are already async",
     "model_card_safe_for_work": "cards carry no NSFW flag",
     "model_card_private": "use hub_private",
-    "data_aesthetic_score": "aesthetic-score conditioning not implemented",
+    "data_aesthetic_score": "",  # wired (sdxl refiner 5-float time ids)
     "data_backend_sampling": "",  # wired (MultiDatasetIterator._weight)
     "allow_dataset_oversubscription": "repeats control oversampling",
     "aspect_bucket_disable_rebuild": "bucket indices rebuild only when stale",

@@ -54,9 +54,28 @@ class SDXL(TwoStageValidationMixin, ModelFoundation):
         return self.arch.in_channels
 
     @property
+    def _is_refiner(self) -> bool:
+        # the refiner flavour conditions on 5 time-ids ending in an aesthetic
+        # score instead of target size (reference collate.py:74-77
+        # is_sdxl_refiner branch + --data_aesthetic_score)
+        return bool(self.flavour and "refiner" in str(self.flavour))
+
+    @property
+    def _num_time_ids(self) -> int:
+        return 5 if self._is_refiner else 6
+
+    @property
     def _pooled_dim(self) -> int:
-        # addition_embed_dim = 6*fourier + pooled
-        return self.arch.addition_embed_dim - 6 * self.arch.addition_time_embed_dim
+        # addition_embed_dim = n_ids*fourier + pooled
+        return self.arch.addition_embed_dim - self._num_time_ids * self.arch.addition_time_embed_dim
+
+    def _default_time_ids(self, size: float, batch_size: int) -> "jax.Array":
+        if self._is_refiner:
+            score = float(getattr(self.config, "data_aesthetic_score", 7.0) or 7.0)
+            row = [size, size, 0.0, 0.0, score]
+        else:
+            row = [size, size, 0.0, 0.0, size, size]
+        return jnp.tile(jnp.asarray([row], jnp.float32), (batch_size, 1))
 
     def create_module(self):
         return UNet2DCondition(
@@ -74,10 +93,7 @@ class SDXL(TwoStageValidationMixin, ModelFoundation):
             "latents": jnp.zeros((batch_size, latent, latent, self.arch.in_channels), jnp.float32),
             "text_embeds": jnp.zeros((batch_size, 77, self.arch.cross_attention_dim), jnp.float32),
             "pooled_embeds": jnp.zeros((batch_size, self._pooled_dim), jnp.float32),
-            "time_ids": jnp.tile(
-                jnp.asarray([[resolution, resolution, 0, 0, resolution, resolution]], jnp.float32),
-                (batch_size, 1),
-            ),
+            "time_ids": self._default_time_ids(float(resolution), batch_size),
         }
 
     def _time_ids(self, prepared: Dict[str, jax.Array], batch_size: int) -> jax.Array:
@@ -86,6 +102,19 @@ class SDXL(TwoStageValidationMixin, ModelFoundation):
         # build from collate's size-conditioning metadata (reference collate.py
         # SDXL time-ids: original H W, crop top left, target H W)
         if all(k in prepared for k in ("original_sizes", "crop_coordinates", "target_sizes")):
+            if self._is_refiner:
+                # (orig H W, crop top left, aesthetic score) — reference
+                # collate.py:75-76: the target size is replaced by the static
+                # --data_aesthetic_score
+                score = float(getattr(self.config, "data_aesthetic_score", 7.0) or 7.0)
+                return jnp.concatenate(
+                    [
+                        prepared["original_sizes"].astype(jnp.float32),
+                        prepared["crop_coordinates"].astype(jnp.float32),
+                        jnp.full((batch_size, 1), score, jnp.float32),
+                    ],
+                    axis=-1,
+                )
             return jnp.concatenate(
                 [
                     prepared["original_sizes"].astype(jnp.float32),
@@ -95,7 +124,7 @@ class SDXL(TwoStageValidationMixin, ModelFoundation):
                 axis=-1,
             )
         res = float(getattr(self.config, "resolution", 1024) or 1024)
-        return jnp.tile(jnp.asarray([[res, res, 0.0, 0.0, res, res]], jnp.float32), (batch_size, 1))
+        return self._default_time_ids(res, batch_size)
 
     def get_model_inputs(self, prepared: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         batch_size = prepared["noisy_latents"].shape[0]
@@ -124,10 +153,7 @@ class SDXL(TwoStageValidationMixin, ModelFoundation):
         return {
             "text_embeds": batch["text_embeds"],
             "pooled_embeds": batch["pooled_embeds"],
-            "time_ids": jnp.tile(
-                jnp.asarray([[height, height, 0.0, 0.0, height, height]], jnp.float32),
-                (batch_size, 1),
-            ),
+            "time_ids": self._default_time_ids(float(height), batch_size),
         }
 
     # ---- host-side text encoding -----------------------------------------------------------
