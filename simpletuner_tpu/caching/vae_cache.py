@@ -46,6 +46,7 @@ class VAECache:
         seed: int = 42,
         nsfw_filter=None,  # data.nsfw.NSFWFilter (reference vae.py:578 scan pass)
         ephemeral: bool = False,
+        transfer_dtype: str = "float32",
     ):
         self.nsfw_filter = nsfw_filter
         self.id = id
@@ -67,6 +68,12 @@ class VAECache:
         # would serve stale tensors for a different image.  Ephemeral mode
         # encodes on demand and never touches disk.
         self.ephemeral = ephemeral
+        # "uint8": ship raw pixels host->device and normalize on-chip — 4x
+        # fewer transfer bytes than the reference's fp32 tensors (vae.py:1809
+        # moves normalized float batches); encode_fn must advertise
+        # handles_uint8.  8-bit sources lose nothing: uint8 -> [-1,1] is exact
+        # in bf16/f32 either side of the wire.
+        self.transfer_dtype = transfer_dtype
 
     # ---- filenames (reference vae.py:678-703) ------------------------------------------------
     def generate_vae_cache_filename(self, filepath: str) -> Tuple[str, str]:
@@ -153,6 +160,8 @@ class VAECache:
                 "crop_coordinates": list(sample.crop_coordinates),
                 "aspect_ratio": sample.aspect_ratio,
             }
+            if self.transfer_dtype == "uint8":
+                return path, np.asarray(sample.image, np.uint8), meta
             return path, image_to_array(sample.image), meta
         except Exception:
             return None
@@ -216,13 +225,37 @@ class VAECache:
         done = 0
         total = len(todo)
         write_pool = ThreadPoolExecutor(max_workers=self.max_workers)
+        # one dispatch thread owns stack+h2d+encode submission so the main
+        # loop never blocks on the transfer; writer threads own the d2h fetch.
+        # Decode | h2d+encode | fetch+write therefore overlap (reference
+        # vae.py:2037 runs the same three stages as queue-linked threads).
+        encode_pool = ThreadPoolExecutor(max_workers=1)
+        # bounded in-flight windows: an eager map() would buffer every decoded
+        # image in the bucket (O(dataset) host RAM); cap decode at 2x reader
+        # threads and pending encodes at 2 batches
+        decode_window = threading.Semaphore(self.max_workers * 2)
+        encode_window = threading.Semaphore(2)
         writes = []
         with ThreadPoolExecutor(max_workers=self.max_workers) as read_pool:
             for bucket, paths in by_bucket.items():
-                prepared_iter = read_pool.map(self._prepare_one, paths)
+                pending = []
+                idx = 0
+
+                def _submit_upto():
+                    nonlocal idx
+                    while idx < len(paths) and decode_window.acquire(blocking=False):
+                        pending.append(read_pool.submit(self._prepare_one, paths[idx]))
+                        idx += 1
+
+                _submit_upto()
                 batch_paths: List[str] = []
                 batch_arrays: List[np.ndarray] = []
-                for item in prepared_iter:
+                consumed = 0
+                while consumed < len(pending) or idx < len(paths):
+                    item = pending[consumed].result()
+                    consumed += 1
+                    decode_window.release()
+                    _submit_upto()
                     if item is None:
                         continue
                     path, array, meta = item
@@ -230,33 +263,52 @@ class VAECache:
                     batch_paths.append(path)
                     batch_arrays.append(array)
                     if len(batch_paths) == self.batch_size:
-                        self._flush(batch_paths, batch_arrays, write_pool, writes)
+                        self._flush(batch_paths, batch_arrays, write_pool, writes,
+                                    encode_pool, encode_window)
                         done += len(batch_paths)
                         if progress_callback:
                             progress_callback(done, total)
                         batch_paths, batch_arrays = [], []
                 if batch_paths:
-                    self._flush(batch_paths, batch_arrays, write_pool, writes)
+                    self._flush(batch_paths, batch_arrays, write_pool, writes,
+                                encode_pool, encode_window)
                     done += len(batch_paths)
                     if progress_callback:
                         progress_callback(done, total)
         for w in writes:
             w.result()
+        encode_pool.shutdown()
         write_pool.shutdown()
         self.metadata_backend.save_cache()
         return done
 
-    def _flush(self, paths: List[str], arrays: List[np.ndarray], pool, writes) -> None:
-        stacked = np.stack(arrays)  # (B, H, W, 3)
-        latents = self.encode_fn(stacked, len(paths))
-        # the device fetch happens in the writer thread: encode_fn may return
-        # an async jax.Array, so the main loop immediately preps the next
-        # batch while XLA computes and the tunnel drains (reference
-        # vae.py:2037 overlaps encode with its write queue the same way)
-        for i, path in enumerate(paths):
-            writes.append(
-                pool.submit(lambda p, row: self.save(p, np.asarray(row)), path, latents[i])
-            )
+    def _flush(self, paths: List[str], arrays: List[np.ndarray], pool, writes,
+               encode_pool=None, encode_window=None) -> None:
+        # The WHOLE batch is fetched as one d2h copy — per-row fetches cost
+        # one device-queue round trip each and serialize against the next
+        # batch's compute.
+        def _fetch_then_write(batch_paths: List[str], batch_latents) -> None:
+            rows = np.asarray(batch_latents)
+            for p, row in zip(batch_paths, rows):
+                writes.append(pool.submit(self.save, p, row))
+
+        def _encode_and_write(batch_paths: List[str], batch_arrays: List[np.ndarray]) -> None:
+            try:
+                stacked = np.stack(batch_arrays)  # (B, H, W, 3)
+                latents = self.encode_fn(stacked, len(batch_paths))
+                # encode_fn may return an async jax.Array; the fetch rides a
+                # writer thread so the dispatch thread immediately stages the
+                # next batch's h2d while XLA computes
+                writes.append(pool.submit(_fetch_then_write, batch_paths, latents))
+            finally:
+                if encode_window is not None:
+                    encode_window.release()
+
+        if encode_pool is None:
+            _encode_and_write(list(paths), arrays)
+        else:
+            encode_window.acquire()
+            writes.append(encode_pool.submit(_encode_and_write, list(paths), list(arrays)))
 
     # ---- on-demand ---------------------------------------------------------------------------
     def get(self, filepath: str) -> np.ndarray:

@@ -205,6 +205,7 @@ def _build_streaming_bundle(
         ondemand=True,
         ephemeral=True,  # stream positions are not stable keys across epochs
         seed=int(args.get("seed", 42) or 42),
+        transfer_dtype="uint8" if getattr(vae_encode_fn, "handles_uint8", False) else "float32",
     )
     return DatasetBundle(
         id=config.id,
@@ -445,6 +446,7 @@ def configure_multi_databackend(
             ondemand=bool(config.vae_cache_ondemand or args.get("vae_cache_ondemand", False)),
             seed=int(args.get("seed", 42) or 42),
             nsfw_filter=_build_nsfw_filter(args, config=config, backend=backend),
+            transfer_dtype="uint8" if getattr(vae_encode_fn, "handles_uint8", False) else "float32",
         )
 
         # image-embed cache (reference conditioning_image_embeds linkage):

@@ -303,17 +303,30 @@ class Trainer:
         transfer_dtype = np.float16 if self._vae_dtype() != jnp.float32 else np.float32
 
         def encode(images: np.ndarray, count: int):
-            key = images.shape
+            is_uint8 = images.dtype == np.uint8
+            key = (images.shape, is_uint8)
             if key not in jitted:
-                jitted[key] = jax.jit(
-                    lambda p, x: vae.apply(
-                        p, x.astype(jnp.float32), method=type(vae).encode
-                    ).astype(jnp.float32)
-                )
+                if is_uint8:
+                    # raw pixels over the wire, normalize on-chip (exact for
+                    # 8-bit data; 4x fewer h2d bytes than fp32)
+                    jitted[key] = jax.jit(
+                        lambda p, x: vae.apply(
+                            p, x.astype(jnp.float32) / 127.5 - 1.0,
+                            method=type(vae).encode,
+                        ).astype(jnp.float32)
+                    )
+                else:
+                    jitted[key] = jax.jit(
+                        lambda p, x: vae.apply(
+                            p, x.astype(jnp.float32), method=type(vae).encode
+                        ).astype(jnp.float32)
+                    )
+            staged = images if is_uint8 else np.asarray(images, transfer_dtype)
             # the device array returns un-fetched so cache writer threads
             # overlap the fetch with the next batch's decode
-            return jitted[key](params, np.asarray(images, transfer_dtype))
+            return jitted[key](params, staged)
 
+        encode.handles_uint8 = True
         return encode
 
     def vae_decode_fn(self):
