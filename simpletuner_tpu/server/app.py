@@ -31,6 +31,13 @@ Routes:
   GET/POST/DELETE /api/prompt-libraries[/<name>]
   GET  /api/lycoris/presets            (algorithm preset table)
   GET  /api/datasets/viewer?dir=…&offset=&limit=&thumbnails=1
+  GET  /api/datasets/browse|detect|viewer/summary|captions/status|captions/get
+  POST /api/datasets/folders|upload|upload/zip|captions|scan
+  GET  /api/datasets/scan/status|scan/active
+  GET/POST/PATCH /api/datasets/plan    DELETE /api/datasets/plan/<id>
+  GET  /api/themes[/<id>[/theme.css]]  POST /api/themes/<id>
+  GET  /api/git/status|history|diff    POST /api/git/init|identity|remote|
+                                            snapshot|revert
   POST /api/webhooks/test              {url, message?}
   GET  /  /ui  /static/*               (WebUI: dashboard + job form + dataset
                                         plan viewer, server/static/)
@@ -111,8 +118,14 @@ def create_server(
     from .pricing import PricingTable
 
     from . import extras
+    from .datasets import DatasetService, parse_multipart
     from .extras import PromptLibraryStore
+    from .git_integration import GitConfigRepo, GitError
+    from .themes import ThemeStore
 
+    datasets_svc = DatasetService(state_dir)
+    themes = ThemeStore(state_dir)
+    git_repo = GitConfigRepo(os.path.join(state_dir, "configs"))
     users = UserStore(state_dir)
     prompt_libraries = PromptLibraryStore(state_dir)
     orgs = OrgStore(state_dir)
@@ -402,6 +415,78 @@ def create_server(
                     ))
                 except FileNotFoundError as exc:
                     return self._json({"error": str(exc)}, 404)
+            # ---- dataset management (reference routes/datasets.py + dataset_viewer.py)
+            try:
+                if path == "/api/datasets/browse":
+                    return self._json(datasets_svc.browse(self._query_param("path")))
+                if path == "/api/datasets/detect":
+                    p = self._query_param("path")
+                    if not p:
+                        return self._json({"error": "path query param required"}, 422)
+                    return self._json(datasets_svc.detect(p))
+                if path == "/api/datasets/plan":
+                    return self._json({"datasets": datasets_svc.plan.get()})
+                if path == "/api/datasets/captions/status":
+                    p = self._query_param("path")
+                    if not p:
+                        return self._json({"error": "path query param required"}, 422)
+                    return self._json(datasets_svc.caption_status(p))
+                if path == "/api/datasets/captions/get":
+                    p, f = self._query_param("path"), self._query_param("file")
+                    if not p or not f:
+                        return self._json({"error": "path and file required"}, 422)
+                    return self._json(datasets_svc.read_caption(p, f))
+                if path == "/api/datasets/viewer/summary":
+                    p = self._query_param("path")
+                    if not p:
+                        return self._json({"error": "path query param required"}, 422)
+                    return self._json(datasets_svc.summary(p))
+                if path == "/api/datasets/scan/active":
+                    return self._json(datasets_svc.scans.active())
+                if path == "/api/datasets/scan/status":
+                    return self._json(
+                        datasets_svc.scans.status(self._query_param("scan_id"))
+                        or {"error": "unknown scan"})
+            except PermissionError as exc:
+                return self._json({"error": str(exc)}, 403)
+            except FileNotFoundError as exc:
+                return self._json({"error": f"not found: {exc}"}, 404)
+            # ---- themes (reference routes/themes.py)
+            if path == "/api/themes":
+                return self._json(themes.list())
+            match = re.match(r"^/api/themes/([\w-]+)/theme\.css$", path)
+            if match:
+                css = themes.css(match.group(1))
+                if css is None:
+                    return self._json({"error": "unknown theme"}, 404)
+                data = css.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/css; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            match = re.match(r"^/api/themes/([\w-]+)$", path)
+            if match:
+                theme = themes.get(match.group(1))
+                if theme is None:
+                    return self._json({"error": "unknown theme"}, 404)
+                return self._json(theme)
+            # ---- git config versioning (reference routes/git.py)
+            from .git_integration import GitError as _GitError
+
+            try:
+                if path == "/api/git/status":
+                    return self._json(git_repo.status())
+                if path == "/api/git/history":
+                    return self._json(git_repo.history(
+                        self._query_param("path"),
+                        int(self._query_param("limit") or 20)))
+                if path == "/api/git/diff":
+                    return self._json({"diff": git_repo.diff(
+                        self._query_param("path"), self._query_param("commit"))})
+            except _GitError as exc:
+                return self._json({"error": str(exc)}, 422)
             return self._json({"error": "not found"}, 404)
 
         def _query_param(self, name: str) -> Optional[str]:
@@ -433,6 +518,12 @@ def create_server(
         # ---- POST -------------------------------------------------------------------------
         def do_POST(self):
             path = self.path.split("?")[0]
+            # binary upload endpoints parse their own bodies (multipart/zip)
+            if path in ("/api/datasets/upload", "/api/datasets/upload/zip"):
+                user = self._auth()
+                if user is None:
+                    return
+                return self._dataset_upload(path)
             try:
                 body = self._read_body()
             except (ValueError, json.JSONDecodeError):
@@ -758,6 +849,77 @@ def create_server(
                 audit.append("webhooks.test", detail={"url": url})
                 return self._json(result)
 
+            # ---- dataset management -------------------------------------------------------
+            try:
+                if path == "/api/datasets/folders":
+                    result = datasets_svc.create_folder(str(body.get("name") or ""))
+                    audit.append("dataset.folder", detail=result)
+                    return self._json(result, 201)
+                if path == "/api/datasets/captions":
+                    result = datasets_svc.write_caption(
+                        str(body.get("path") or ""), str(body.get("file") or ""),
+                        str(body.get("text") or ""))
+                    return self._json(result, 201)
+                if path == "/api/datasets/scan":
+                    directory = str(body.get("dir") or body.get("path") or "")
+                    if not directory:
+                        return self._json({"error": "dir required"}, 422)
+                    full = datasets_svc.resolve(directory, allow_outside=True)
+                    record = datasets_svc.scans.start(
+                        full, float(body.get("resolution", 1024) or 1024),
+                        str(body.get("resolution_type", "pixel_area")))
+                    audit.append("dataset.scan", detail={"dir": full,
+                                                         "scan_id": record["scan_id"]})
+                    return self._json(record, 202)
+                if path == "/api/datasets/plan/save":
+                    result = datasets_svc.plan.save(body.get("datasets") or [])
+                    audit.append("dataset.plan_save", detail=result)
+                    return self._json(result, 201)
+            except PermissionError as exc:
+                return self._json({"error": str(exc)}, 403)
+            except FileNotFoundError as exc:
+                return self._json({"error": f"not found: {exc}"}, 404)
+            except ValueError as exc:
+                return self._json({"error": str(exc)}, 422)
+
+            # ---- themes ---------------------------------------------------------------------
+            match = re.match(r"^/api/themes/([\w-]+)$", path)
+            if match:
+                if users.auth_required and user["role"] != "admin":
+                    return self._json({"error": "admin only"}, 403)
+                try:
+                    result = themes.save(match.group(1), body.get("theme") or body)
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("theme.save", detail=result)
+                return self._json(result, 201)
+
+            # ---- git config versioning ------------------------------------------------------
+            if path.startswith("/api/git/"):
+                from .git_integration import GitError as _GitError
+
+                try:
+                    if path == "/api/git/init":
+                        result = git_repo.init(body.get("branch"))
+                        audit.append("git.init", detail={"branch": body.get("branch")})
+                        return self._json(result, 201)
+                    if path == "/api/git/identity":
+                        return self._json(git_repo.set_identity(
+                            str(body.get("name") or ""), str(body.get("email") or "")))
+                    if path == "/api/git/remote":
+                        return self._json(git_repo.set_remote(str(body.get("url") or "")))
+                    if path == "/api/git/snapshot":
+                        result = git_repo.snapshot(body.get("message"), body.get("paths"))
+                        audit.append("git.snapshot", detail=result)
+                        return self._json(result, 201)
+                    if path == "/api/git/revert":
+                        result = git_repo.revert(str(body.get("path") or ""),
+                                                 body.get("commit"))
+                        audit.append("git.revert", detail=result)
+                        return self._json(result)
+                except _GitError as exc:
+                    return self._json({"error": str(exc)}, 422)
+
             if path == "/api/auth/config":
                 if users.auth_required and user["role"] != "admin":
                     return self._json({"error": "admin only"}, 403)
@@ -769,6 +931,67 @@ def create_server(
                              detail={"providers": sorted(body.keys())})
                 return self._json({"ok": True})
 
+            return self._json({"error": "not found"}, 404)
+
+        def _dataset_upload(self, path: str) -> None:
+            """Multipart file upload / zip archive extraction into the
+            datasets root (reference routes/datasets.py:640,673)."""
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            max_bytes = int(os.environ.get("SIMPLETUNER_MAX_UPLOAD_MB", 512)) * 1024 * 1024
+            if length <= 0:
+                return self._json({"error": "empty body"}, 422)
+            if length > max_bytes:
+                return self._json({"error": f"upload exceeds {max_bytes} bytes"}, 413)
+            raw = self.rfile.read(length)
+            directory = self._query_param("dir") or ""
+            ctype = self.headers.get("Content-Type", "")
+            try:
+                if path.endswith("/zip"):
+                    if "multipart" in ctype:
+                        parts = [p for p in parse_multipart(ctype, raw) if p[1]]
+                        if not parts:
+                            return self._json({"error": "no file part"}, 422)
+                        raw = parts[0][2]
+                    result = datasets_svc.save_zip(directory, raw)
+                    audit.append("dataset.upload_zip", detail={"dir": directory,
+                                                               "extracted": result["extracted"]})
+                    return self._json(result, 201)
+                if "multipart" not in ctype:
+                    return self._json({"error": "multipart/form-data required"}, 422)
+                uploaded = []
+                for _field, filename, payload in parse_multipart(ctype, raw):
+                    if not filename:
+                        continue
+                    uploaded.append(datasets_svc.save_upload(directory, filename, payload))
+                if not uploaded:
+                    return self._json({"error": "no file parts"}, 422)
+                audit.append("dataset.upload", detail={"dir": directory,
+                                                       "files": len(uploaded)})
+                return self._json({"uploaded": uploaded}, 201)
+            except PermissionError as exc:
+                return self._json({"error": str(exc)}, 403)
+            except ValueError as exc:
+                return self._json({"error": str(exc)}, 422)
+
+        # ---- PATCH ------------------------------------------------------------------------
+        def do_PATCH(self):
+            path = self.path.split("?")[0]
+            try:
+                body = self._read_body()
+            except (ValueError, json.JSONDecodeError):
+                return self._json({"error": "invalid json"}, 400)
+            user = self._auth()
+            if user is None:
+                return
+            if path == "/api/datasets/plan":
+                try:
+                    result = datasets_svc.plan.patch(body.get("dataset") or body)
+                except ValueError as exc:
+                    return self._json({"error": str(exc)}, 422)
+                except Exception as exc:
+                    return self._json({"error": str(exc)}, 422)
+                audit.append("dataset.plan_patch", detail=result)
+                return self._json(result)
             return self._json({"error": "not found"}, 404)
 
         # ---- DELETE -----------------------------------------------------------------------
@@ -811,6 +1034,11 @@ def create_server(
                 if ok:
                     audit.append("prompt_library.delete", detail={"name": match.group(1)})
                 return self._json({"deleted": ok}, 200 if ok else 404)
+            match = re.match(r"^/api/datasets/plan/([\w.-]+)$", path)
+            if match:
+                result = datasets_svc.plan.delete(match.group(1))
+                audit.append("dataset.plan_delete", detail=result)
+                return self._json(result)
             return self._json({"error": "not found"}, 404)
 
         def _org_admin(self, user: Dict[str, Any], org_name: str) -> bool:
@@ -829,6 +1057,9 @@ def create_server(
     server.pricing = pricing  # type: ignore[attr-defined]
     server.run_queue = run_queue  # type: ignore[attr-defined]
     server.external_auth = external_auth  # type: ignore[attr-defined]
+    server.datasets = datasets_svc  # type: ignore[attr-defined]
+    server.themes = themes  # type: ignore[attr-defined]
+    server.git_repo = git_repo  # type: ignore[attr-defined]
     return server
 
 

@@ -517,3 +517,292 @@ $("#price-set").onclick = async () => {
 };
 setInterval(refreshAdmin, 4000);
 refreshAdmin();
+
+// ---- themes (reference routes/themes.py + theme_service) --------------------
+async function initThemes() {
+  const { data: themes } = await api("GET", "/api/themes");
+  if (!Array.isArray(themes)) return;
+  const sel = $("#theme-select");
+  sel.innerHTML = themes.map((t) => `<option value="${t.id}">${t.name}</option>`).join("");
+  const saved = localStorage.getItem("st_theme") || "dark";
+  sel.value = saved;
+  applyTheme(saved);
+  sel.onchange = () => { localStorage.setItem("st_theme", sel.value); applyTheme(sel.value); };
+}
+function applyTheme(id) {
+  let link = document.getElementById("theme-css");
+  if (!link) {
+    link = document.createElement("link");
+    link.id = "theme-css";
+    link.rel = "stylesheet";
+    document.head.appendChild(link);
+  }
+  link.href = `/api/themes/${id}/theme.css`;
+}
+initThemes();
+
+// ---- dashboard: lr + throughput charts (reference trainer dashboard charts) -
+const lrSeries = [];
+const ipsSeries = [];
+let lastStepTime = null;
+function drawSeries(canvasId, series, key, fmt) {
+  const canvas = $(canvasId);
+  if (!canvas) return;
+  const ctx = canvas.getContext("2d");
+  ctx.clearRect(0, 0, canvas.width, canvas.height);
+  if (series.length < 2) return;
+  const xs = series.map((p) => p.step);
+  const ys = series.map((p) => p[key]);
+  const xmin = Math.min(...xs), xmax = Math.max(...xs);
+  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  const px = (x) => 6 + ((x - xmin) / Math.max(xmax - xmin, 1)) * (canvas.width - 12);
+  const py = (y) => canvas.height - 8 - ((y - ymin) / Math.max(ymax - ymin, 1e-12)) * (canvas.height - 16);
+  ctx.strokeStyle = getComputedStyle(document.body).getPropertyValue("--accent") || "#6ab0f3";
+  ctx.lineWidth = 1.5;
+  ctx.beginPath();
+  series.forEach((p, i) => (i ? ctx.lineTo(px(p.step), py(p[key])) : ctx.moveTo(px(p.step), py(p[key]))));
+  ctx.stroke();
+  ctx.fillStyle = "#8a919d";
+  ctx.font = "10px ui-monospace";
+  ctx.fillText(fmt(ymax), 8, 12);
+  ctx.fillText(fmt(ymin), 8, canvas.height - 2);
+}
+// feed lr/throughput from the same SSE training_status events the loss chart
+// uses (helpers in connectSSE push into lossSeries; hook the stream again)
+(function hookMetrics() {
+  const es = new EventSource("/api/events");
+  es.onmessage = (e) => {
+    try {
+      const ev = JSON.parse(e.data);
+      const body = ev.event || ev;
+      if (body && body.event_type === "training_status") {
+        const step = body.global_step ?? 0;
+        if (body.lr !== undefined) {
+          lrSeries.push({ step, lr: body.lr });
+          if (lrSeries.length > 500) lrSeries.shift();
+          drawSeries("#lr-chart", lrSeries, "lr", (v) => v.toExponential(1));
+        }
+        const now = Date.now() / 1000;
+        if (lastStepTime !== null && now > lastStepTime) {
+          ipsSeries.push({ step, ips: 1.0 / (now - lastStepTime) });
+          if (ipsSeries.length > 500) ipsSeries.shift();
+          drawSeries("#ips-chart", ipsSeries, "ips", (v) => v.toFixed(2));
+        }
+        lastStepTime = now;
+      }
+    } catch (err) { /* keepalive */ }
+  };
+})();
+
+// ---- managed datasets (reference routes/datasets.py + dataset_viewer.py) ----
+async function refreshManaged() {
+  const { status, data } = await api("GET", "/api/datasets/browse");
+  if (status !== 200) return;
+  $("#ds-path").textContent = data.root;
+  const tbody = $("#ds-table tbody");
+  tbody.innerHTML = "";
+  for (const d of data.directories) {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `<td>${d.name}</td><td class="ds-files">…</td><td class="ds-type"></td>` +
+      `<td class="ds-caps"></td><td class="ds-buckets"></td>`;
+    const td = document.createElement("td");
+    const inspect = document.createElement("button");
+    inspect.className = "small ghost";
+    inspect.textContent = "inspect";
+    inspect.onclick = async () => {
+      const { data: s } = await api("GET", `/api/datasets/viewer/summary?path=${encodeURIComponent(d.name)}`);
+      if (!s) return;
+      tr.querySelector(".ds-files").textContent = Object.values(s.counts || {}).reduce((a, b) => a + b, 0);
+      tr.querySelector(".ds-type").textContent = s.dataset_type;
+      tr.querySelector(".ds-caps").textContent = `${Math.round((s.caption_coverage || 0) * 100)}%`;
+      tr.querySelector(".ds-buckets").textContent = s.buckets ? Object.keys(s.buckets).length : "unscanned";
+      $("#viewer-dir").value = `${$("#ds-path").textContent}/${d.name}`;
+    };
+    const scan = document.createElement("button");
+    scan.className = "small ghost";
+    scan.textContent = "scan";
+    scan.onclick = async () => {
+      const res = $("#wiz-res") ? parseInt($("#wiz-res").value, 10) || 1024 : 1024;
+      await api("POST", "/api/datasets/scan", { dir: d.name, resolution: res });
+      tr.querySelector(".ds-buckets").textContent = "scanning…";
+    };
+    td.appendChild(inspect);
+    td.appendChild(scan);
+    tr.appendChild(td);
+    tbody.appendChild(tr);
+  }
+}
+$("#ds-refresh").onclick = refreshManaged;
+$("#ds-mkdir").onclick = async () => {
+  const name = $("#ds-new-folder").value.trim();
+  if (!name) return;
+  await api("POST", "/api/datasets/folders", { name });
+  refreshManaged();
+};
+async function uploadFiles(dir, fileList, resultEl) {
+  if (!dir || !fileList.length) {
+    resultEl.textContent = "pick a folder and files first";
+    return false;
+  }
+  const form = new FormData();
+  for (const f of fileList) form.append("file", f, f.name);
+  const headers = {};
+  const token = localStorage.getItem("st_token");
+  if (token) headers["Authorization"] = "Bearer " + token;
+  const zip = fileList.length === 1 && fileList[0].name.endsWith(".zip");
+  const url = zip
+    ? `/api/datasets/upload/zip?dir=${encodeURIComponent(dir)}`
+    : `/api/datasets/upload?dir=${encodeURIComponent(dir)}`;
+  const res = await fetch(url, { method: "POST", headers, body: zip ? fileList[0] : form });
+  const data = await res.json();
+  resultEl.textContent = res.status === 201
+    ? `uploaded ${data.extracted ?? (data.uploaded || []).length} file(s) ✓`
+    : `error: ${data && data.error}`;
+  return res.status === 201;
+}
+$("#ds-upload").onclick = () =>
+  uploadFiles($("#ds-upload-dir").value.trim(), $("#ds-upload-files").files, $("#ds-upload-result"))
+    .then((ok) => ok && refreshManaged());
+$("#cap-load").onclick = async () => {
+  const { data } = await api("GET",
+    `/api/datasets/captions/get?path=${encodeURIComponent($("#cap-dir").value.trim())}` +
+    `&file=${encodeURIComponent($("#cap-file").value.trim())}`);
+  $("#cap-text").value = (data && data.caption) || "";
+  $("#cap-result").textContent = data && data.source ? `from ${data.source}` : "no caption yet";
+};
+$("#cap-save").onclick = async () => {
+  const { status, data } = await api("POST", "/api/datasets/captions", {
+    path: $("#cap-dir").value.trim(), file: $("#cap-file").value.trim(),
+    text: $("#cap-text").value,
+  });
+  $("#cap-result").textContent = status === 201 ? "saved ✓" : `error: ${data && data.error}`;
+};
+refreshManaged();
+
+// ---- onboarding wizard (reference onboarding templates flow) ----------------
+let wizDataset = null;
+function wizShow(step) {
+  for (let i = 1; i <= 4; i++) $(`#wiz-step-${i}`).hidden = i !== step;
+  $("#wiz-step-label").textContent = `step ${step} of 4`;
+}
+$("#wiz-upload").onclick = async () => {
+  const dir = $("#wiz-folder").value.trim() || "my-dataset";
+  const ok = await uploadFiles(dir, $("#wiz-files").files, $("#wiz-upload-result"));
+  if (ok) {
+    wizDataset = dir;
+    $("#wiz-to-2").disabled = false;
+  }
+};
+$("#wiz-to-2").onclick = async () => {
+  wizShow(2);
+  const { data } = await api("GET", `/api/datasets/detect?path=${encodeURIComponent(wizDataset)}`);
+  $("#wiz-detect").textContent = JSON.stringify(data, null, 2);
+};
+$("#wiz-scan").onclick = async () => {
+  const { data: rec } = await api("POST", "/api/datasets/scan", { dir: wizDataset, resolution: 1024 });
+  $("#wiz-scan-result").textContent = "scanning…";
+  const poll = setInterval(async () => {
+    const { data: info } = await api("GET", `/api/datasets/scan/status?scan_id=${rec.scan_id}`);
+    if (info && info.state === "completed") {
+      clearInterval(poll);
+      $("#wiz-scan-result").textContent =
+        `${info.total_files} files in ${Object.keys(info.buckets).length} bucket(s) ✓`;
+      $("#wiz-to-3").disabled = false;
+    } else if (info && info.state === "failed") {
+      clearInterval(poll);
+      $("#wiz-scan-result").textContent = "scan failed: " + info.error;
+    }
+  }, 700);
+};
+$("#wiz-to-3").onclick = async () => {
+  wizShow(3);
+  const { data: models } = await api("GET", "/api/models");
+  $("#wiz-family").innerHTML = Object.keys(models || {}).map((m) => `<option>${m}</option>`).join("");
+  $("#wiz-family").value = "flux";
+};
+function wizBuildConfig() {
+  const root = $("#ds-path").textContent || "";
+  const dataDir = `${root}/${wizDataset}`;
+  const res = parseInt($("#wiz-res").value, 10) || 1024;
+  return {
+    model_family: $("#wiz-family").value,
+    model_type: $("#wiz-type").value,
+    ...($("#wiz-type").value === "lora" ? { lora_rank: 16 } : {}),
+    resolution: res, resolution_type: "pixel_area",
+    train_batch_size: 1,
+    max_train_steps: parseInt($("#wiz-steps").value, 10) || 1000,
+    learning_rate: parseFloat($("#wiz-lr").value) || 1e-4,
+    optimizer: "adamw", seed: 42, report_to: "none",
+    output_dir: $("#wiz-out").value.trim() || "output/wizard-run",
+    data_backend_config: [
+      { id: wizDataset, type: "local", instance_data_dir: dataDir,
+        resolution: res, resolution_type: "pixel_area",
+        caption_strategy: "textfile", text_embeds: "embeds" },
+      { id: "embeds", dataset_type: "text_embeds", type: "local",
+        default: true, cache_dir: `cache/${wizDataset}/text` },
+    ],
+  };
+}
+$("#wiz-review").onclick = () => {
+  wizShow(4);
+  $("#wiz-config").textContent = JSON.stringify(wizBuildConfig(), null, 2);
+};
+$("#wiz-launch").onclick = async () => {
+  const config = JSON.parse($("#wiz-config").textContent);
+  const name = $("#wiz-config-name").value.trim();
+  if (name) await api("POST", `/api/configs/${name}`, { config });
+  const { status, data } = await api("POST", "/api/training/start", { config });
+  $("#wiz-launch-result").textContent = status === 201
+    ? `training started: ${data.job_id} (see Dashboard)` : `error: ${data && data.error}`;
+};
+wizShow(1);
+
+// ---- git config versioning panel (reference routes/git.py) ------------------
+async function refreshGit() {
+  const { data: st } = await api("GET", "/api/git/status");
+  if (!st) return;
+  $("#git-state").textContent = !st.git_available ? "git unavailable"
+    : !st.repo_present ? "no repo"
+    : `${st.branch || "?"} · ${st.dirty_paths.length} dirty`;
+  const { data: hist } = await api("GET", "/api/git/history");
+  if (Array.isArray(hist)) {
+    const tbody = $("#git-history tbody");
+    tbody.innerHTML = "";
+    for (const h of hist) {
+      const tr = document.createElement("tr");
+      tr.innerHTML = `<td>${h.commit.slice(0, 8)}</td>` +
+        `<td>${new Date(h.timestamp * 1000).toLocaleString()}</td><td>${h.message}</td>`;
+      const td = document.createElement("td");
+      const diffBtn = document.createElement("button");
+      diffBtn.className = "small ghost";
+      diffBtn.textContent = "diff";
+      diffBtn.onclick = async () => {
+        const { data } = await api("GET", `/api/git/diff?commit=${h.commit}`);
+        $("#git-diff").textContent = (data && data.diff) || "(no diff)";
+      };
+      const revertBtn = document.createElement("button");
+      revertBtn.className = "small ghost";
+      revertBtn.textContent = "revert to";
+      revertBtn.onclick = async () => {
+        const { status, data } = await api("POST", "/api/git/revert", { path: ".", commit: h.commit });
+        $("#git-result").textContent = status === 200 ? "reverted ✓" : `error: ${data && data.error}`;
+        refreshGit();
+      };
+      td.appendChild(diffBtn);
+      td.appendChild(revertBtn);
+      tr.appendChild(td);
+      tbody.appendChild(tr);
+    }
+  }
+}
+$("#git-init").onclick = async () => { await api("POST", "/api/git/init", {}); refreshGit(); };
+$("#git-snapshot").onclick = async () => {
+  const { status, data } = await api("POST", "/api/git/snapshot",
+    { message: $("#git-msg").value.trim() || undefined });
+  $("#git-result").textContent = status === 201
+    ? (data.committed ? `committed ${data.commit.slice(0, 8)} ✓` : data.reason)
+    : `error: ${data && data.error}`;
+  refreshGit();
+};
+$("#git-refresh").onclick = refreshGit;
+refreshGit();

@@ -210,3 +210,109 @@ def test_new_tabs_assets_and_id_crossref(server):
     assert status == 200 and hw["accelerators"]
     status, ver = _request(port, "GET", "/api/version")
     assert status == 200 and ver["simpletuner_tpu"]
+
+
+def test_full_flow_upload_configure_train_monitor(server, tmp_path):
+    """The onboarding path end-to-end through the HTTP surface only, exactly
+    as the WebUI drives it: upload images+captions -> scan buckets -> save the
+    dataset plan -> save a config -> start training referencing both -> watch
+    SSE to completion (reference: onboarding wizard -> datasets routes ->
+    configs service -> training routes -> sse_manager)."""
+    import io
+    import zipfile
+
+    srv, port = server
+    state = srv.datasets.root  # server-managed datasets sandbox
+    rng = np.random.default_rng(3)
+
+    # 1. upload: a zip of images + caption sidecars
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(8):
+            img = io.BytesIO()
+            Image.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)).save(img, "PNG")
+            zf.writestr(f"img_{i}.png", img.getvalue())
+            zf.writestr(f"img_{i}.txt", f"photo {i}")
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/api/datasets/upload/zip?dir=flow", body=buf.getvalue(),
+                 headers={"Content-Type": "application/zip"})
+    resp = conn.getresponse()
+    upload = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 201 and upload["extracted"] == 16
+
+    # 2. detect + scan
+    status, det = _request(port, "GET", "/api/datasets/detect?path=flow")
+    assert status == 200 and det["counts"]["image"] == 8
+    assert det["caption_coverage"] == 1.0
+    status, scan = _request(port, "POST", "/api/datasets/scan",
+                            {"dir": "flow", "resolution": 64,
+                             "resolution_type": "pixel_area"})
+    assert status == 202
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _, info = _request(port, "GET",
+                           f"/api/datasets/scan/status?scan_id={scan['scan_id']}")
+        if info["state"] in ("completed", "failed"):
+            break
+        time.sleep(0.2)
+    assert info["state"] == "completed" and info["total_files"] == 8
+
+    # 3. dataset plan + config store (what the config editor persists)
+    img_dir = os.path.join(state, "flow")
+    cache = os.path.join(str(tmp_path), "cache")
+    datasets = [
+        {"id": "flow", "type": "local", "instance_data_dir": img_dir,
+         "crop": True, "crop_style": "center", "crop_aspect": "square",
+         "resolution": 64, "resolution_type": "pixel_area",
+         "caption_strategy": "textfile",
+         "cache_dir_vae": os.path.join(cache, "vae"),
+         "text_embeds": "embeds", "repeats": 7},
+        {"id": "embeds", "dataset_type": "text_embeds", "type": "local",
+         "default": True, "cache_dir": os.path.join(cache, "text")},
+    ]
+    status, _ = _request(port, "POST", "/api/datasets/plan/save", {"datasets": datasets})
+    assert status == 201
+    config = {
+        "model_family": "flux", "model_type": "lora", "model_arch_preset": "tiny",
+        "lora_rank": 4, "train_batch_size": 1, "resolution": 64,
+        "resolution_type": "pixel_area", "max_train_steps": 2,
+        "cache_dir": cache, "output_dir": os.path.join(str(tmp_path), "out"),
+        "optimizer": "adamw", "learning_rate": 1e-3, "seed": 7,
+        "report_to": "none", "data_backend_config": datasets,
+    }
+    status, _ = _request(port, "POST", "/api/configs/flow-run", {"config": config})
+    assert status == 201
+
+    # 4. train + monitor over SSE
+    sse_conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    sse_conn.request("GET", "/api/events")
+    sse_response = sse_conn.getresponse()
+    status, job = _request(port, "POST", "/api/training/start", {"config": config})
+    assert status == 201, job
+    job_id = job["job_id"]
+    terminal, progress_events = None, 0
+    deadline = time.time() + 600
+    buffer = b""
+    while time.time() < deadline and terminal is None:
+        chunk = sse_response.read1(4096)
+        if not chunk:
+            break
+        buffer += chunk
+        while b"\n\n" in buffer:
+            frame, buffer = buffer.split(b"\n\n", 1)
+            for line in frame.decode().splitlines():
+                if not line.startswith("data: "):
+                    continue
+                event = json.loads(line[len("data: "):])
+                if event.get("event_type") == "training_progress":
+                    progress_events += 1
+                if event.get("job_id") == job_id and event.get("state") in (
+                    "completed", "failed", "cancelled"):
+                    terminal = event["state"]
+    sse_conn.close()
+    assert terminal == "completed", f"job ended {terminal}"
+    status, detail = _request(port, "GET", f"/api/training/status/{job_id}")
+    assert status == 200 and detail["return_code"] == 0
+    ckpts = [d for d in os.listdir(config["output_dir"]) if d.startswith("checkpoint-")]
+    assert ckpts
