@@ -294,8 +294,8 @@ UNIMPLEMENTED: Dict[str, str] = {
     "pretrained_grounding_model_name_or_path": "grounding encoder loads with the base",
     "pretrained_transformer_subfolder": "subfolder resolution is automatic",
     "pretrained_unet_subfolder": "subfolder resolution is automatic",
-    "assistant_lora_strength": "assistant adapters apply at strength 1",
-    "assistant_lora_inference_strength": "assistant adapters apply at strength 1",
+    "assistant_lora_strength": "",  # wired (trainer merge scale)
+    "assistant_lora_inference_strength": "",  # wired (validation._reweight_assistant)
     "disable_assistant_lora": "omit the assistant adapter path to disable",
     "checkpointing_use_tempdir": "checkpoints are always tmp-dir + atomic rename",
     "checkpoints_rolling_total_limit": "",  # wired via checkpointing_rolling_total_limit alias

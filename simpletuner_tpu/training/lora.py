@@ -932,3 +932,89 @@ def merge_lora_into_params(params, lora_params, scale: float = 1.0):
         return out
 
     return walk(params, lora_params)
+
+
+def merge_lora_into_variables(variables, lora_params, scale: float = 1.0):
+    """Fold ``scale * (A @ B)`` into base kernels, including quantized ones.
+
+    Unquantized runs defer to :func:`merge_lora_into_params`.  When the base
+    was quantized after the original merge (``qscales`` collection present —
+    trainer order: assistant merge, then ``quantize_params``), an adapter
+    re-scale has to go through dequant -> add -> requant per touched kernel,
+    refreshing the per-output-channel scale so the delta is not clipped by the
+    stale absmax.  Used by the assistant-LoRA inference-strength path
+    (reference: configure_assistant_lora_for_inference reweights the frozen
+    assistant adapter for validation, helpers/models/common.py:722-760).
+    """
+    if variables.get("qscales") is None:
+        return dict(variables, params=merge_lora_into_params(variables["params"], lora_params, scale))
+
+    qscales_out: dict = {}
+
+    def walk(node, lora_node, qnode):
+        if not isinstance(node, dict):
+            return node, qnode
+        out = {}
+        q_out = {}
+        for key, value in node.items():
+            sub_lora = lora_node.get(key, {}) if isinstance(lora_node, dict) else {}
+            sub_q = qnode.get(key, {}) if isinstance(qnode, dict) else {}
+            has_delta = isinstance(sub_lora, dict) and "lora_A" in sub_lora
+            if isinstance(value, dict) and "kernel" in value and has_delta:
+                kernel = np.asarray(value["kernel"])
+                a = np.asarray(sub_lora["lora_A"], np.float32)
+                b = np.asarray(sub_lora["lora_B"], np.float32)
+                kscale = sub_q.get("kernel_scale") if isinstance(sub_q, dict) else None
+                if kernel.dtype == np.int8 and kscale is not None:
+                    s = np.asarray(kscale, np.float32)
+                    dense = kernel.astype(np.float32) * s[None, :] + scale * (a @ b)
+                    new_s = np.maximum(np.abs(dense).max(axis=0) / 127.0, 1e-12)
+                    out[key] = dict(
+                        value,
+                        kernel=np.clip(np.round(dense / new_s[None, :]), -127, 127).astype(np.int8),
+                    )
+                    q_out[key] = dict(sub_q, kernel_scale=new_s.astype(np.float32))
+                elif str(kernel.dtype) == "float8_e4m3fn" and kscale is not None:
+                    s = np.asarray(kscale, np.float32)
+                    dense = kernel.astype(np.float32) * s[None, :] + scale * (a @ b)
+                    new_s = np.maximum(np.abs(dense).max(axis=0) / 448.0, 1e-12)
+                    import jax.numpy as jnp
+
+                    out[key] = dict(
+                        value,
+                        kernel=np.asarray(
+                            jnp.asarray(dense / new_s[None, :]).astype(jnp.float8_e4m3fn)
+                        ),
+                    )
+                    q_out[key] = dict(sub_q, kernel_scale=new_s.astype(np.float32))
+                else:
+                    dense = kernel.astype(np.float32) + scale * (a @ b)
+                    out[key] = dict(value, kernel=dense.astype(kernel.dtype))
+                    q_out[key] = sub_q
+            elif (
+                has_delta
+                and isinstance(sub_q, dict)
+                and "kernel_packed" in sub_q
+            ):
+                raise ValueError(
+                    "assistant-LoRA inference re-strength is not supported with an "
+                    "int4-packed base; set assistant_lora_inference_strength equal "
+                    "to assistant_lora_strength or use int8/fp8"
+                )
+            elif isinstance(value, dict):
+                sub_out, sub_q_out = walk(value, sub_lora, sub_q)
+                out[key] = sub_out
+                q_out[key] = sub_q_out
+            else:
+                out[key] = value
+                if key in (qnode or {}):
+                    q_out[key] = qnode[key]
+        # keep qscale leaves for kernels this subtree did not touch
+        if isinstance(qnode, dict):
+            for key, qval in qnode.items():
+                if key not in q_out:
+                    q_out[key] = qval
+        return out, q_out
+
+    params_out, qscales_out = walk(variables["params"], lora_params, variables["qscales"])
+    return dict(variables, params=params_out, qscales=qscales_out)

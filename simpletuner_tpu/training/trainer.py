@@ -508,7 +508,10 @@ class Trainer:
     def _apply_assistant_lora(self) -> None:
         """Assistant adapter merged into the frozen base (reference: flux
         schnell assistant LoRA pre-loaded for training-time guidance,
-        flux/model.py:68-70 ASSISTANT_LORA_*)."""
+        flux/model.py:68-70 ASSISTANT_LORA_* + common.py:660-718
+        configure_assistant_lora_for_training applies it at
+        --assistant_lora_strength; validation reweights it to
+        --assistant_lora_inference_strength, common.py:722-760)."""
         path = self.config.get("assistant_lora_path")
         if not path:
             return
@@ -516,12 +519,17 @@ class Trainer:
 
         template = jax.tree_util.tree_map(lambda x: x, self.variables.get("lora", {}))
         assistant = load_lora_safetensors(self.model, str(path), template)
-        scale = float(self.config.get("assistant_lora_scale", 1.0) or 1.0)
+        strength = self.config.get("assistant_lora_strength")
+        if strength is None:
+            strength = self.config.get("assistant_lora_scale", 1.0)
+        strength = float(strength if strength is not None else 1.0)
         self.variables = dict(self.variables)
         self.variables["params"] = merge_lora_into_params(
-            self.variables["params"], assistant, scale=scale
+            self.variables["params"], assistant, scale=strength
         )
-        logger.info("merged assistant LoRA from %s (scale %.2f)", path, scale)
+        if self.validation is not None:
+            self.validation.set_assistant(assistant, strength)
+        logger.info("merged assistant LoRA from %s (strength %.2f)", path, strength)
 
     def _example_batch(self) -> Dict[str, jax.Array]:
         if self.data_plane is not None:

@@ -138,6 +138,12 @@ class Validation:
             # library (reference ships a default prompt set for this flag)
             self.prompts.extend(BUILTIN_PROMPT_LIBRARY.values())
 
+        # assistant-LoRA reweighting for inference (reference
+        # configure_assistant_lora_for_inference, common.py:722-760: the
+        # frozen assistant trains at --assistant_lora_strength but renders at
+        # --assistant_lora_inference_strength, default 0 = unmerged)
+        self._assistant: Optional[tuple] = None
+
         self.num_steps = int(getattr(config, "validation_num_inference_steps", 20) or 20)
         raw_res = getattr(config, "validation_resolution", None) or getattr(config, "resolution", 512) or 512
         if isinstance(raw_res, str) and "x" in raw_res:  # reference "WxH" format
@@ -262,10 +268,33 @@ class Validation:
                 f"unsupported validation_method {method!r}; expected "
                 "simpletuner-local or external-script"
             )
+        variables = self._reweight_assistant(variables)
         paths: List[str] = []
         for adapter_slug, run_variables in self._adapter_runs(variables):
             paths.extend(self._run_one_pass(run_variables, step, slug + adapter_slug))
         return paths
+
+    def set_assistant(self, delta, train_strength: float) -> None:
+        """Record the merged assistant adapter so renders can reweight it."""
+        self._assistant = (delta, float(train_strength))
+
+    def _reweight_assistant(self, variables):
+        """Shift the assistant adapter from its training strength to
+        --assistant_lora_inference_strength (default 0: validation renders the
+        bare student, reference common.py:734).  Quantized bases go through
+        dequant -> add -> requant per touched kernel."""
+        if self._assistant is None:
+            return variables
+        delta, train_strength = self._assistant
+        raw = getattr(self.config, "assistant_lora_inference_strength", None)
+        inference_strength = float(raw if raw is not None else 0.0)
+        if inference_strength == train_strength:
+            return variables
+        from .lora import merge_lora_into_variables
+
+        return merge_lora_into_variables(
+            variables, delta, scale=inference_strength - train_strength
+        )
 
     def _run_external_validation(self, step: int) -> bool:
         """Shell out to a user validation script (reference validation.py:1935
