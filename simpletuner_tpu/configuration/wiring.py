@@ -121,9 +121,9 @@ UNIMPLEMENTED: Dict[str, str] = {
     "lora_dropout": "",  # wired (LoRADense branch dropout); kept for audit clarity
     "lora_init_type": "",  # wired (training/lora_init.py pissa/olora/loftq)
     "init_lora": "",  # wired (trainer warm-start); kept for audit clarity
-    "init_lokr_norm": "LoKr norm-preserving init not implemented",
+    "init_lokr_norm": "",  # wired (layers._lokr_delta perturbed-normal init)
     "use_dora": "",  # wired (lora_algo="dora" in LoRADense); kept for audit clarity
-    "singlora_ramp_up_steps": "SingLoRA u(t) ramp rides the LR schedule",
+    "singlora_ramp_up_steps": "",  # wired (train_state step-fn sqrt(u) pre-scale)
     "peft_lora_target_modules": "",  # wired (ModelFoundation.lora_target_modules)
     "slider_lora_target": "",  # wired (SLIDER_LORA_TARGET predicate)
     "flux_lora_target": "",  # wired (Flux.family_lora_targets presets)
@@ -141,7 +141,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "layer_freeze_strategy": "",  # wired (bitfit bias-only optimizer mask)
     "fully_unload_text_encoder": "TEs unload after caching by default",
     "text_encoder_limit": "all configured TEs load",
-    "custom_text_encoder_intermediary_layers": "hidden-state taps not implemented",
+    "custom_text_encoder_intermediary_layers": "",  # wired (flux2 encode_text taps)
     "save_text_encoder": "TE exports automatically when train_text_encoder",
     "tokenizer_max_length": "",  # wired (trainer spec override); kept for audit clarity
     "prodigy_steps": "",  # wired (optimizers._prodigy d-freeze); kept for audit clarity
@@ -157,17 +157,17 @@ UNIMPLEMENTED: Dict[str, str] = {
     "flux_fast_schedule": "",  # wired (losses fast_schedule 4-level sigma table)
     "flux_attention_masked_training": "",  # wired (flux get_model_inputs pad segment ids)
     "input_perturbation_steps": "",  # wired (linear perturbation decay in prepare_batch)
-    "diff2flow_loss": "diff2flow target bridging is wired; the extra loss isn't",
+    "diff2flow_loss": "",  # wired (common.compute_loss flow-space gate)
     "use_soft_min_snr": "",  # wired (losses.compute_soft_min_snr)
     "soft_min_snr_sigma_data": "",  # wired (losses.compute_soft_min_snr)
     "masked_loss_probability": "",  # wired (collate gate); kept for audit clarity
-    "twinflow_target_step_count": "RCGM losses are wired; the validation step-count override is not",
+    "twinflow_target_step_count": "",  # wired (validation few-step override)
     "scheduled_sampling_max_step_offset": "",  # wired (ddpm+flow rollout gate)
     "scheduled_sampling_order": "",  # wired (ddpm_rollout_step solver order)
     "scheduled_sampling_sampler": "",  # wired (euler/dpm/unipc solvers)
     "scheduled_sampling_strategy": "",  # wired (sample_rollout_offsets)
     "lyrics_embedder_lr": "",  # wired (sidecar optimizer),
-    "lyrics_embedder_lr_scheduler": "sidecar uses a constant lr (main schedule otherwise)",
+    "lyrics_embedder_lr_scheduler": "",  # wired (trainer sidecar schedule selection)
     "lyrics_embedder_optimizer": "",  # wired (sidecar optimizer),
     "lyrics_embedder_train": "",  # wired (ace_step sidecar_param_keys),
     "hidream_use_load_balancing_loss": "",  # wired (HiDream.moe_aux_weight gate)
@@ -193,8 +193,8 @@ UNIMPLEMENTED: Dict[str, str] = {
     "ltx2_suffix_conditioning_probability": "",  # wired (intrinsic alias spec)
     "ltx2_suffix_conditioning_frames": "",  # wired (intrinsic alias spec)
     "ltx2_mask_conditioning_probability": "",  # wired (intrinsic alias spec)
-    "ltx2_reference_spatial_scale_factor": "IC-LoRA reference-video rope coords not implemented",
-    "ltx2_reference_temporal_scale_factor": "IC-LoRA reference-video rope coords not implemented",
+    "ltx2_reference_spatial_scale_factor": "",  # wired (ltx2 get_model_inputs ref coords)
+    "ltx2_reference_temporal_scale_factor": "",  # wired (ltx2 transformer coord shift)
     "ltx2_validation_spatial_upsampler_filename": "upsampler loads from flavour",
     "ltx_i2v_prob": "",  # wired (LTXVideo.prepare_batch partial first-frame protection)
     "ltx_partial_noise_fraction": "",  # wired (LTXVideo.prepare_batch)
@@ -202,12 +202,12 @@ UNIMPLEMENTED: Dict[str, str] = {
     "ltx_train_mode": "LTX trains the standard flow objective",
     "wan_force_2_1_time_embedding": "wan flavours pick the time embedding",
     "wan_validation_load_other_stage": "single-stage wan validation only",
-    "deepfloyd_validation_pipeline_mode": "multi-stage IF validation not implemented",
-    "deepfloyd_validation_stage1_model": "multi-stage IF validation not implemented",
-    "deepfloyd_validation_stage2_model": "multi-stage IF validation not implemented",
-    "deepfloyd_validation_stage3_mode": "multi-stage IF validation not implemented",
-    "deepfloyd_validation_stage3_model": "multi-stage IF validation not implemented",
-    "deepfloyd_validation_stage3_noise_level": "multi-stage IF validation not implemented",
+    "deepfloyd_validation_pipeline_mode": "",  # wired (deepfloyd.validation_multistage_render mode gate)
+    "deepfloyd_validation_stage1_model": "",  # wired (deepfloyd._load_stage(1))
+    "deepfloyd_validation_stage2_model": "",  # wired (deepfloyd._load_stage(2))
+    "deepfloyd_validation_stage3_mode": "",  # wired (deepfloyd._stage3_mode)
+    "deepfloyd_validation_stage3_model": "",  # wired (deepfloyd._run_stage3_upscaler)
+    "deepfloyd_validation_stage3_noise_level": "",  # wired (deepfloyd._run_stage3_upscaler)
     "pixart_validation_pipeline_mode": "",  # wired (staged_validation two-stage plan)
     "pixart_validation_stage1_model": "",  # wired (staged_validation two-stage plan)
     "pixart_validation_stage2_model": "",  # wired (staged_validation two-stage plan)
@@ -230,7 +230,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "validation_stitch_input_location": "stitch layout is fixed left-right",
     "validation_audio_only": "audio families already render audio only",
     "validation_lyrics": "",  # wired (ace_step inference_conditioning)
-    "validation_ltx2_video_conditioning": "LTX2 video conditioning not implemented",
+    "validation_ltx2_video_conditioning": "",  # wired (trainer._init_validation_video_conditioning)
     "evaluation_type": "eval = loss + CLIP score",
     "eval_epoch_interval": "use eval_steps_interval",
     "eval_dataset_pooling": "every eval dataset reports one pooled loss",
@@ -304,7 +304,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "ema_validation": "",  # wired (trainer none|ema_only|comparison validation modes)
     "attention_mechanism": "",  # wired (trainer routes to ops/attention); kept for clarity
     "tensor_parallel_size": "",  # wired (fail-loud ValueError)
-    "sla_config": "sparse-linear attention not implemented",
+    "sla_config": "",  # wired (ops/sla.py via attention_mechanism=sla)
     "layersync_enabled": "set layersync_gamma > 0 instead",
     "layersync_lambda": "use layersync_gamma",
     "layersync_student_block": "use layersync_source_layer",

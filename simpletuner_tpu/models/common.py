@@ -108,6 +108,10 @@ class ModelFoundation:
 
         set_lora_target(self._build_lora_target_predicate())
         set_lora_init_style(getattr(self.config, "lora_init_type", None) or "default")
+        from .layers import set_lokr_init_norm
+
+        raw_lokr_norm = getattr(self.config, "init_lokr_norm", None)
+        set_lokr_init_norm(float(raw_lokr_norm) if raw_lokr_norm is not None else None)
 
     # ---- per-module LoRA target selection ---------------------------------------------
     def family_lora_targets(self) -> Optional[Sequence[str]]:
@@ -485,8 +489,15 @@ class ModelFoundation:
         prepared: Dict[str, jax.Array],
     ) -> jax.Array:
         timesteps = prepared.get("timesteps")
-        if getattr(self.config, "diff2flow_enabled", False) and not self.is_flow:
-            # diff2flow bridge (reference simpletuner/diff2flow/bridge.py):
+        if (
+            getattr(self.config, "diff2flow_enabled", False)
+            and getattr(self.config, "diff2flow_loss", False)
+            and not self.is_flow
+        ):
+            # diff2flow bridge (reference simpletuner/diff2flow/bridge.py,
+            # loss gate at common.py:5697-5704: the flow-space loss needs BOTH
+            # --diff2flow_enabled and --diff2flow_loss; enabled alone only
+            # exposes the flow target to aux consumers like TwinFlow):
             # convert the ε/v prediction to a flow field and regress against
             # ε − x0 at the flow-equivalent σ
             from ..training.diff2flow import flow_sigma_from_timesteps, prediction_to_flow

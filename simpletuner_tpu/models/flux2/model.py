@@ -103,8 +103,49 @@ class Flux2(ModelFoundation):
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return {"text_embeds": batch["text_embeds"]}
 
+    def _te_tap_layers(self):
+        """Custom TE intermediary-layer taps (reference flux2/model.py:622
+        _get_text_encoder_layers: --custom_text_encoder_intermediary_layers is
+        a JSON list of hidden-state indices whose outputs concatenate along
+        the feature dim as the prompt embeds)."""
+        raw = getattr(self.config, "custom_text_encoder_intermediary_layers", None)
+        if raw is None:
+            return None
+        if isinstance(raw, str):
+            import json
+
+            try:
+                raw = json.loads(raw)
+            except json.JSONDecodeError:
+                raise ValueError(
+                    f"custom_text_encoder_intermediary_layers is not valid JSON: {raw!r}"
+                )
+        layers = tuple(int(i) for i in raw)
+        return layers or None
+
     def encode_text(self, prompts):
         (mistral,) = self.text_encoders
+        layers = self._te_tap_layers()
+        if layers is not None:
+            out = mistral.encode_with_hidden_states(prompts)
+            taps = out["hidden_states"]  # embeddings first, transformers order
+            idx = [i if i >= 0 else len(taps) + i for i in layers]
+            bad = [i for i in idx if i < 0 or i >= len(taps)]
+            if bad:
+                raise ValueError(
+                    f"custom_text_encoder_intermediary_layers {layers} out of "
+                    f"range for a {len(taps)}-state encoder"
+                )
+            stacked = np.concatenate(
+                [np.asarray(taps[i], np.float32) for i in idx], axis=-1
+            )
+            return [
+                {
+                    "text_embeds": stacked[i],
+                    "attention_mask": np.asarray(out["attention_mask"][i]),
+                }
+                for i in range(len(prompts))
+            ]
         out = mistral.encode(prompts)
         return [
             {

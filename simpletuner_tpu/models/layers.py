@@ -85,6 +85,19 @@ def set_lora_dropout(p: float) -> None:
     _LORA_DROPOUT = float(p or 0.0)
 
 
+# --init_lokr_norm (reference trainer.py:3259 →
+# peft_init.init_lokr_network_with_perturbed_normal): w1 starts at ones and
+# w2 as a random tensor rescaled to the org weight's norm/std/mean × scale,
+# so the Kronecker delta starts as a small perturbation shaped like the base
+# weight instead of exactly zero.  None disables.  Static at trace time.
+_LOKR_INIT_NORM: Optional[float] = None
+
+
+def set_lokr_init_norm(scale: Optional[float]) -> None:
+    global _LOKR_INIT_NORM
+    _LOKR_INIT_NORM = None if scale is None else float(scale)
+
+
 def set_tlora_mask(mask: Optional[jax.Array]) -> None:
     global _TLORA_MASK
     _TLORA_MASK = mask
@@ -356,18 +369,29 @@ class LoRADense(nn.Module):
     def _lokr_delta(self, x: jax.Array, in_features: int) -> jax.Array:
         a, c = lokr_factorize(in_features, self.lokr_factor)
         b, d = lokr_factorize(self.features, self.lokr_factor)
-        w1 = self.variable(
-            "lora",
-            "lokr_w1",
-            lambda rng: nn.initializers.normal(stddev=0.02)(rng, (a, b), self.param_dtype),
-            self.make_rng("params") if self.is_initializing() else None,
-        )
-        w2 = self.variable(
-            "lora",
-            "lokr_w2",
-            lambda rng: jnp.zeros((c, d), self.param_dtype),
-            None,
-        )
+        norm_init = _LOKR_INIT_NORM
+
+        def w1_init(rng):
+            if norm_init is not None:
+                # reference peft_init.py:37: lokr_w1.fill_(1.0)
+                return jnp.ones((a, b), self.param_dtype)
+            return nn.initializers.normal(stddev=0.02)(rng, (a, b), self.param_dtype)
+
+        def w2_init(rng):
+            if norm_init is None:
+                return jnp.zeros((c, d), self.param_dtype)
+            # reference peft_init.approximate_normal_tensor: a normal tensor
+            # rescaled to the org weight's norm, restd'd and remeaned, × scale
+            org = self.get_variable("params", "kernel").astype(jnp.float32)
+            t = jax.random.normal(rng, (c, d), jnp.float32)
+            t = t * (jnp.linalg.norm(org) / jnp.maximum(jnp.linalg.norm(t), 1e-12))
+            t = t * (jnp.std(org) / jnp.maximum(jnp.std(t), 1e-12))
+            t = t - jnp.mean(t) + jnp.mean(org)
+            return (t * norm_init).astype(self.param_dtype)
+
+        init_rng = self.make_rng("params") if self.is_initializing() else None
+        w1 = self.variable("lora", "lokr_w1", w1_init, init_rng)
+        w2 = self.variable("lora", "lokr_w2", w2_init, init_rng)
         alpha = self.lora_alpha if self.lora_alpha is not None else 1.0
         delta = jnp.kron(w1.value, w2.value).astype(self.dtype)  # (a·c, b·d)
         return alpha * jnp.dot(x.astype(self.dtype), delta)

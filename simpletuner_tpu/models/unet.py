@@ -45,6 +45,10 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    # diffusers class_embed_type="timestep" (DeepFloyd IF-II aug-level / SD x4
+    # upscaler noise-level conditioning): ``class_labels`` (B,) are fourier- +
+    # MLP-embedded like a second timestep and added onto temb
+    class_embed_timestep: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -324,6 +328,7 @@ class UNet2DCondition(nn.Module):
         grounding_boxes: Optional[jax.Array] = None,  # (B, N, 4) GLIGEN
         grounding_phrases: Optional[jax.Array] = None,  # (B, N, cross_dim)
         grounding_masks: Optional[jax.Array] = None,  # (B, N) 1 = real entity
+        class_labels: Optional[jax.Array] = None,  # (B,) aug/noise level
     ) -> jax.Array:
         cfg = self.config
         time_dim = cfg.block_out_channels[0] * 4
@@ -332,6 +337,17 @@ class UNet2DCondition(nn.Module):
         temb = LoRADense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="time_embed_0")(temb.astype(self.dtype))
         temb = nn.silu(temb)
         temb = LoRADense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="time_embed_2")(temb)
+
+        if cfg.class_embed_timestep:
+            # diffusers class_embed_type="timestep": class labels share the
+            # fourier projection and get their own TimestepEmbedding MLP
+            if class_labels is None:
+                raise ValueError("class_embed_timestep config requires class_labels")
+            cemb = timestep_embedding(class_labels, cfg.block_out_channels[0], time_factor=1.0)
+            cemb = LoRADense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="class_embed_0")(cemb.astype(self.dtype))
+            cemb = nn.silu(cemb)
+            cemb = LoRADense(time_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="class_embed_2")(cemb)
+            temb = temb + cemb
 
         if cfg.addition_embed_dim:
             if added_cond is None:

@@ -650,6 +650,9 @@ def export_unet_to_diffusers(params: Dict[str, Any], arch) -> Dict[str, np.ndarr
     if "add_embed_0" in p:
         _put_linear(w, "add_embedding.linear_1", p["add_embed_0"])
         _put_linear(w, "add_embedding.linear_2", p["add_embed_2"])
+    if "class_embed_0" in p:
+        _put_linear(w, "class_embedding.linear_1", p["class_embed_0"])
+        _put_linear(w, "class_embedding.linear_2", p["class_embed_2"])
 
     for level in range(levels):
         has_attn = arch.cross_attention_blocks[level]

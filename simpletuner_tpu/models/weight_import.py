@@ -635,6 +635,10 @@ def unet_params_from_diffusers(weights: Dict[str, np.ndarray], arch) -> Dict[str
     if "add_embedding.linear_1.weight" in w:
         params["add_embed_0"] = _linear(w, "add_embedding.linear_1")
         params["add_embed_2"] = _linear(w, "add_embedding.linear_2")
+    if "class_embedding.linear_1.weight" in w:
+        # class_embed_type="timestep" (IF-II aug level, x4-upscaler noise level)
+        params["class_embed_0"] = _linear(w, "class_embedding.linear_1")
+        params["class_embed_2"] = _linear(w, "class_embedding.linear_2")
 
     for level in range(levels):
         has_attn = arch.cross_attention_blocks[level]

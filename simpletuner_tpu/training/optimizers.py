@@ -610,9 +610,32 @@ def get_optimizer(
                 f"unknown lyrics_embedder_optimizer {lyr_name!r}; known: {optimizer_names()}"
             )
         lyr_lr = config.get("lyrics_embedder_lr")
-        transforms["lyrics"] = _OPTIMIZERS[lyr_name](
-            float(lyr_lr) if lyr_lr else learning_rate, config, overrides
-        )
+        lyr_sched_name = config.get("lyrics_embedder_lr_scheduler")
+        if lyr_sched_name:
+            # sidecar LR schedule override (reference trainer.py:3965,6813:
+            # the lyric embedder's scheduler defaults to the main lr_scheduler
+            # but --lyrics_embedder_lr_scheduler picks its own curve)
+            from .schedules import get_lr_schedule
+
+            class _Overlay:
+                def __init__(self, base, over):
+                    self._base, self._over = base, over
+
+                def get(self, key, default=None):
+                    if key in self._over:
+                        return self._over[key]
+                    return self._base.get(key, default)
+
+            lyr_rate = get_lr_schedule(
+                _Overlay(config, {
+                    "lr_scheduler": lyr_sched_name,
+                    "learning_rate": float(lyr_lr) if lyr_lr else config.get("learning_rate"),
+                }),
+                int(config.get("max_train_steps") or 1000),
+            )
+        else:
+            lyr_rate = float(lyr_lr) if lyr_lr else learning_rate
+        transforms["lyrics"] = _OPTIMIZERS[lyr_name](lyr_rate, config, overrides)
     if len(transforms) > 1:
 
         def label_tree(params):

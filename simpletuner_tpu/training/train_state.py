@@ -194,6 +194,17 @@ def build_train_step(
     _crepa = CrepaSettings.from_config(model.config)
     crepa_wants_ema = _crepa.enabled and _crepa.feature_source == "self_flow"
 
+    # SingLoRA ramp is active only for the singlora adapter algo (reference
+    # heartmula/ace_step/common pass ramp_up_steps, default 100)
+    _singlora_ramp_steps = 0.0
+    if "singlora" in (
+        str(getattr(model.config, "peft_lora_mode", "") or "").lower(),
+        str(getattr(model.config, "lora_type", "") or "").lower(),
+    ):
+        _singlora_ramp_steps = float(
+            getattr(model.config, "singlora_ramp_up_steps", None) or 100
+        )
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         def loss_fn(trainable, micro_batch, micro_rng):
             # step-dependent schedules inside the loss (scheduled-sampling
@@ -212,6 +223,24 @@ def build_train_step(
                 trainable["lora"] = jax.tree_util.tree_map_with_path(
                     lambda p, leaf: leaf * scale
                     if any("lora_B" in str(k) or "lokr_w2" in str(k) for k in p)
+                    else leaf,
+                    trainable["lora"],
+                )
+            if _singlora_ramp_steps and "lora" in trainable:
+                # SingLoRA u(t) warm-up (reference common.py:1016
+                # ramp_up_steps -> peft-singlora u(t)=min(t/T, 1) scaling of
+                # ΔW = A Aᵀ): pre-scaling A by √u is exactly u·ΔW with the
+                # gradients picking up the same u factor, and stays jit-pure
+                # (u is a traced function of the optimizer step)
+                u = jnp.clip(
+                    (state.step.astype(jnp.float32) + 1.0) / _singlora_ramp_steps,
+                    0.0, 1.0,
+                )
+                root_u = jnp.sqrt(u)
+                trainable = dict(trainable)
+                trainable["lora"] = jax.tree_util.tree_map_with_path(
+                    lambda p, leaf: leaf * root_u
+                    if any("singlora_A" in str(k) for k in p)
                     else leaf,
                     trainable["lora"],
                 )

@@ -60,8 +60,13 @@ def build_scheduler(model, num_steps: int, image_seq_len: Optional[int] = None):
             rho=float(getattr(model, "sigma_schedule_order", 7.0)),
         )
     name = (getattr(model.config, "validation_noise_scheduler", None) or "ddim").lower()
-    schedule = DDPMScheduleConfig(
-        rescale_betas_zero_snr=bool(getattr(model.config, "rescale_betas_zero_snr", False))
+    # the FAMILY's beta ladder, not the SD default (DeepFloyd is
+    # squaredcos_cap_v2; reference pipelines ship per-repo scheduler configs)
+    import dataclasses as _dc
+
+    schedule = _dc.replace(
+        model.ddpm_schedule_config(),
+        rescale_betas_zero_snr=bool(getattr(model.config, "rescale_betas_zero_snr", False)),
     )
     if name == "unipc":
         return UniPCScheduler.create_ddpm(num_steps, schedule, model.prediction_type)
@@ -145,6 +150,11 @@ class Validation:
         self._assistant: Optional[tuple] = None
 
         self.num_steps = int(getattr(config, "validation_num_inference_steps", 20) or 20)
+        if getattr(config, "twinflow_enabled", False):
+            # TwinFlow validates at its few-step target (reference
+            # validation.py:2789: twinflow_target_step_count drives the UCGM
+            # scheduler's generation step count, default 1)
+            self.num_steps = max(1, int(getattr(config, "twinflow_target_step_count", 1) or 1))
         raw_res = getattr(config, "validation_resolution", None) or getattr(config, "resolution", 512) or 512
         if isinstance(raw_res, str) and "x" in raw_res:  # reference "WxH" format
             raw_res = raw_res.split("x")[0]
@@ -553,6 +563,15 @@ class Validation:
             self._save_png(image, filename)
 
     def _render(self, variables, embeds: Dict[str, np.ndarray], index: int) -> np.ndarray:
+        # family-custom multistage chain (DeepFloyd IF: image-space handoff
+        # with an SR stage, unlike the shared-ladder split below) — the model
+        # owns the whole render and returns the final uint8 image, or None to
+        # fall through (reference deepfloyd/model.py:244 run_multistage_validation)
+        custom_fn = getattr(self.model, "validation_multistage_render", None)
+        if callable(custom_fn):
+            image = custom_fn(self, variables, embeds, index)
+            if image is not None:
+                return image
         plan_fn = getattr(self.model, "validation_stage_plan", None)
         if callable(plan_fn):
             plan = plan_fn(variables)

@@ -101,6 +101,7 @@ class TestDiff2Flow:
                 "learning_rate": 1e-3,
                 "max_train_steps": 10,
                 "diff2flow_enabled": True,
+                "diff2flow_loss": True,
             }
         )
         model = SD1x(cfg)
@@ -109,6 +110,37 @@ class TestDiff2Flow:
         variables = model.init_params(jax.random.PRNGKey(0), batch)
         loss, _ = model.loss_fn(variables, jax.random.PRNGKey(1), batch)
         assert np.isfinite(float(loss))
+
+    def test_enabled_without_loss_keeps_epsilon_objective(self):
+        """Reference common.py:5697-5704: --diff2flow_enabled alone exposes
+        the flow target but the main loss stays in ε space; the flow-space
+        swap needs --diff2flow_loss too."""
+        def build(**extra):
+            cfg = TrainingConfig(
+                {
+                    "model_family": "sd1x",
+                    "model_type": "lora",
+                    "lora_rank": 4,
+                    "model_arch_preset": "tiny",
+                    "optimizer": "adamw",
+                    "learning_rate": 1e-3,
+                    "max_train_steps": 10,
+                    **extra,
+                }
+            )
+            return SD1x(cfg)
+
+        plain = build()
+        bridged = build(diff2flow_enabled=True)
+        swapped = build(diff2flow_enabled=True, diff2flow_loss=True)
+        batch = plain.example_batch(batch_size=2, resolution=32)
+        batch["latents"] = jax.random.normal(jax.random.PRNGKey(3), batch["latents"].shape)
+        variables = plain.init_params(jax.random.PRNGKey(0), batch)
+        loss_plain, _ = plain.loss_fn(variables, jax.random.PRNGKey(1), batch)
+        loss_bridged, _ = bridged.loss_fn(variables, jax.random.PRNGKey(1), batch)
+        loss_swapped, _ = swapped.loss_fn(variables, jax.random.PRNGKey(1), batch)
+        np.testing.assert_allclose(float(loss_bridged), float(loss_plain), rtol=1e-6)
+        assert abs(float(loss_swapped) - float(loss_plain)) > 1e-6
 
     def test_flow_conversion_identity(self):
         """A perfect ε prediction converts to the exact flow field ε − x0."""

@@ -80,9 +80,11 @@ def test_unimplemented_field_warns(caplog):
         TrainingConfig({
             "model_family": "flux", "optimizer": "adamw",
             "learning_rate": 1e-4, "max_train_steps": 1,
-            "twinflow_target_step_count": 4,
+            # lr_scale is a permanent redirect (scale learning_rate
+            # directly) — unlike round-5-wired knobs it stays unwired
+            "lr_scale": 2.0,
         })
-    assert any("twinflow_target_step_count" in rec.message and "NO effect" in rec.message
+    assert any("lr_scale" in rec.message and "NO effect" in rec.message
                for rec in caplog.records), "unwired field set without a warning"
 
 
