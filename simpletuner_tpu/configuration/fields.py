@@ -429,7 +429,7 @@ _f(
     "attention_mechanism",
     FieldType.STR,
     "auto",
-    help="auto | pallas_flash | xla | splash",
+    help="auto | pallas_flash | xla | splash | sla (reference aliases map on)",
     section="acceleration",
 )
 _f("sageattention_usage", FieldType.STR, "untrained", section="acceleration")

@@ -18,18 +18,36 @@ import jax.numpy as jnp
 
 from .flash_attention import flash_attention, mha_reference
 
-_VALID_BACKENDS = ("auto", "pallas_flash", "xla", "splash")
-_state = {"backend": os.environ.get("SIMPLETUNER_ATTENTION_BACKEND", "auto"), "cp": None}
+_VALID_BACKENDS = ("auto", "pallas_flash", "xla", "splash", "sla")
+_state = {
+    "backend": os.environ.get("SIMPLETUNER_ATTENTION_BACKEND", "auto"),
+    "cp": None,
+    "sla": None,  # settings dict when backend == "sla"
+}
+
+
+def set_sla_settings(settings) -> None:
+    """Install SLA settings (ops/sla.sla_settings_from_config) for the
+    ``sla`` backend; reference _enable_sla (attention_backend.py:1561)."""
+    _state["sla"] = dict(settings) if settings else None
 
 
 def set_context_parallel(config) -> None:
     """Enable context-parallel attention (a ``ContextParallelConfig`` from
     parallel/context.py) for subsequent dispatches; ``None`` disables."""
     _state["cp"] = config
+    _state["cp_engagements"] = 0
 
 
 def get_context_parallel():
     return _state["cp"]
+
+
+def cp_engagement_count() -> int:
+    """Trace-time count of attention dispatches that actually sharded over
+    the context axis (vs falling back to the local path on indivisible
+    shapes) — lets tests assert CP was exercised, not silently skipped."""
+    return int(_state.get("cp_engagements", 0))
 
 # Aliases so reference config values map onto TPU backends.
 _ALIASES = {
@@ -72,10 +90,13 @@ def dot_product_attention(
     kv_segment_ids: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     backend: Optional[str] = None,
+    residual_tag: Optional[str] = None,
 ) -> jax.Array:
     """Multi-head attention over ``(batch, seq, heads, head_dim)`` tensors.
 
     The (B, S, H, D) layout matches flax convention; kernels run in (B, H, S, D).
+    ``residual_tag`` names the flash kernel's (out, lse) residuals for remat
+    policies (see flash_attention).
     """
     name = _resolve(backend)
     cp = _state["cp"]
@@ -87,6 +108,8 @@ def dot_product_attention(
         if q.shape[0] % batch_shards == 0 and q.shape[1] % context_shards == 0:
             from ..parallel.context import context_parallel_attention
 
+            _state["cp_engagements"] = _state.get("cp_engagements", 0) + 1
+
             def inner(ql, kl, vl, qs, ks):
                 return _attention_bshd(ql, kl, vl, qs, ks, scale, name)
 
@@ -97,19 +120,38 @@ def dot_product_attention(
                 q, k, v, cp, inner,
                 q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
             )
-    return _attention_bshd(q, k, v, q_segment_ids, kv_segment_ids, scale, name)
+    return _attention_bshd(q, k, v, q_segment_ids, kv_segment_ids, scale, name,
+                           residual_tag=residual_tag)
 
 
-def _attention_bshd(q, k, v, q_segment_ids, kv_segment_ids, scale, name):
+def _attention_bshd(q, k, v, q_segment_ids, kv_segment_ids, scale, name,
+                    residual_tag=None):
     q_t = jnp.swapaxes(q, 1, 2)
     k_t = jnp.swapaxes(k, 1, 2)
     v_t = jnp.swapaxes(v, 1, 2)
+    if name == "sla":
+        if q_segment_ids is not None or kv_segment_ids is not None:
+            # segment masking isn't expressible in the block-sparse + linear
+            # split; the reference similarly falls back to SDPA for masked
+            # calls (_sla_should_fallback, attention_backend.py:1634)
+            out = mha_reference(
+                q_t, k_t, v_t,
+                q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+                sm_scale=scale,
+            )
+        else:
+            from .sla import sla_attention
+
+            settings = _state["sla"] or {}
+            out = sla_attention(q_t, k_t, v_t, sm_scale=scale, **settings)
+        return jnp.swapaxes(out, 1, 2)
     if name in ("pallas_flash", "splash"):
         out = flash_attention(
             q_t, k_t, v_t,
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
             sm_scale=scale,
+            residual_tag=residual_tag,
         )
     else:
         out = mha_reference(

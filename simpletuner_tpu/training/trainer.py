@@ -122,10 +122,15 @@ class Trainer:
         mechanism = self.config.get("attention_mechanism")
         if mechanism and mechanism != "auto":
             # reference AttentionBackendController alias names route to the
-            # TPU backends (pallas flash / xla sdpa) in ops/attention.py
+            # TPU backends (pallas flash / xla sdpa / sla) in ops/attention.py
             from ..ops.attention import set_attention_backend
 
             set_attention_backend(str(mechanism))
+            if str(mechanism) == "sla":
+                from ..ops.attention import set_sla_settings
+                from ..ops.sla import sla_settings_from_config
+
+                set_sla_settings(sla_settings_from_config(self.config))
         self.data_plane = None
         self.vae = None
         self.vae_params = None
@@ -404,6 +409,7 @@ class Trainer:
             mesh=self.mesh,
         )
         self.validation.precompute_embeds()
+        self._init_validation_video_conditioning()
         # slider LoRA prompt pair (reference trainer.py:6584 slider training):
         # encoded now while the text encoders are alive
         self._slider_embeds = None
@@ -425,6 +431,69 @@ class Trainer:
             draws_per_batch=int(self.config.get("eval_timesteps", 1) or 1),
         )
         self._stage("init_validations", "completed")
+
+    def _init_validation_video_conditioning(self) -> None:
+        """IC-LoRA validation conditioning (reference
+        --validation_ltx2_video_conditioning, ltxvideo2/model.py:1147-1195 +
+        pipeline_ltx2.py:792 _prepare_video_conditioning): decode the
+        reference video, VAE-encode it, install the latents on the model so
+        every render carries the clean reference tokens."""
+        parse = getattr(self.model, "validation_video_conditioning_entries", None)
+        if not callable(parse):
+            return
+        entries = parse()
+        if not entries:
+            return
+        if len(entries) > 1:
+            raise ValueError(
+                "this build supports one validation reference video; got "
+                f"{len(entries)} validation_ltx2_video_conditioning entries"
+            )
+        if self.vae is None:
+            raise ValueError(
+                "validation_ltx2_video_conditioning needs the video VAE loaded"
+            )
+        path, strength = entries[0]
+        import numpy as np
+
+        from ..data.video import load_video_frames, video_to_array
+
+        class _LocalFS:
+            def abspath(self, p):
+                return p
+
+            def read(self, p):
+                with open(p, "rb") as fh:
+                    return fh.read()
+
+        frames = int(self.config.get("validation_num_video_frames", 9) or 9)
+        raw = load_video_frames(_LocalFS(), path, num_frames=frames)
+        if raw is None:
+            raise ValueError(f"could not decode conditioning video {path!r}")
+        res = int(self.validation.resolution)
+        if raw.shape[1] != res or raw.shape[2] != res:
+            from PIL import Image
+
+            raw = np.stack([
+                np.asarray(Image.fromarray(f).resize((res, res), Image.LANCZOS))
+                for f in raw
+            ])
+        arr = video_to_array(raw)[None]  # (1, T, H, W, 3) in [-1, 1]
+        # same transform as the VAE cache (_vae_encode_fn): the model trains
+        # on vae.encode outputs directly, so the reference latents must ride
+        # the identical convention
+        latents = np.asarray(
+            self.vae.apply(
+                self.vae_params, jnp.asarray(arr, jnp.float32),
+                method=type(self.vae).encode,
+            ),
+            np.float32,
+        )
+        self.model.set_validation_video_conditioning(latents, strength)
+        logger.info(
+            "validation reference video %s -> latents %s (strength %.2f)",
+            path, latents.shape, strength,
+        )
 
     def init_unload_text_encoder(self) -> None:
         """Free host text-encoder memory after all caching (reference trainer.py:2710)."""

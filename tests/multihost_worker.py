@@ -58,6 +58,8 @@ def main() -> int:
                 rec = json.loads(line)
                 if "loss" in rec:
                     losses.append(rec["loss"])
+    from simpletuner_tpu.ops.attention import cp_engagement_count
+
     with open(losses_out, "w") as fh:
         json.dump(
             {
@@ -66,6 +68,10 @@ def main() -> int:
                 "device_count": jax.device_count(),
                 "losses": losses,
                 "final_step": trainer.global_step,
+                # >0 proves ring/ulysses attention actually sharded the
+                # sequence (the dispatcher silently falls back on
+                # indivisible shapes — a parity test must exclude that)
+                "cp_engagements": cp_engagement_count(),
             },
             fh,
         )
