@@ -366,6 +366,48 @@ class LTXVideo2(ModelFoundation):
             inputs["audio_timesteps"] = prepared["timesteps"]
         if "text_attention_mask" in prepared:
             inputs["text_mask"] = prepared["text_attention_mask"]
+
+        # IC-LoRA reference-video conditioning (reference model.py:2048-2102:
+        # a single 5D conditioning latent concatenates as clean tokens with
+        # re-scaled rope coords)
+        ref = prepared.get("control_latents")
+        if ref is not None and ref.ndim == 5:
+            rb, rf, rh, rw, rc = ref.shape
+            if rc != channels:
+                raise ValueError(
+                    "LTX-2 IC-LoRA conditioning latents must match target "
+                    f"latent channels ({rc} vs {channels})"
+                )
+            inputs["ref_tokens"] = ref.reshape(rb, rf * rh * rw, rc)
+            inputs["ref_shape"] = (rf, rh, rw)
+            spatial = getattr(self.config, "ltx2_reference_spatial_scale_factor", None)
+            if spatial is None:
+                # infer from the latent grids (reference
+                # _infer_ltx2_reference_spatial_scale, model.py:1894-1914)
+                if rh == height and rw == width:
+                    spatial = 1
+                elif rh <= 0 or rw <= 0 or height % rh or width % rw:
+                    raise ValueError(
+                        f"LTX-2 reference dims {rh}x{rw} must evenly divide "
+                        f"target {height}x{width}"
+                    )
+                else:
+                    spatial = height // rh
+                    if spatial != width // rw:
+                        raise ValueError(
+                            "LTX-2 reference scale must be uniform, got "
+                            f"{height // rh} vs {width // rw}"
+                        )
+            inputs["ref_spatial_scale"] = int(spatial)
+            inputs["ref_temporal_scale"] = int(
+                getattr(self.config, "ltx2_reference_temporal_scale_factor", 1) or 1
+            )
+            strength = prepared.get("conditioning_strength")
+            if strength is not None:
+                inputs["ref_strength"] = jnp.broadcast_to(
+                    jnp.asarray(strength, jnp.float32).reshape(-1, 1),
+                    (rb, rf * rh * rw),
+                )
         return inputs
 
     def model_predict(self, variables, prepared: Dict[str, jax.Array], rngs=None) -> jax.Array:
@@ -398,10 +440,62 @@ class LTXVideo2(ModelFoundation):
             aux["audio_loss"] = audio_loss
         return loss, aux
 
+    # ---- validation reference-video conditioning (IC-LoRA at render time) --------------
+    def validation_video_conditioning_entries(self):
+        """Parse --validation_ltx2_video_conditioning: JSON list of paths,
+        [path, strength] pairs, or {path/video_path, strength} objects
+        (reference model.py:1161-1195)."""
+        import json as _json
+        import os as _os
+
+        raw = getattr(self.config, "validation_ltx2_video_conditioning", None)
+        if raw in (None, "", [], ()):
+            return None
+        if isinstance(raw, str):
+            raw = _json.loads(raw)
+        if isinstance(raw, dict):
+            raw = [raw]
+        if not isinstance(raw, (list, tuple)):
+            raise ValueError(
+                "validation_ltx2_video_conditioning must be a JSON list of "
+                "paths, [path, strength] pairs, or objects with path/video_path"
+            )
+        resolved = []
+        for entry in raw:
+            strength = 1.0
+            if isinstance(entry, str):
+                path = entry
+            elif isinstance(entry, dict):
+                path = entry.get("path", entry.get("video_path"))
+                strength = float(entry.get("strength", 1.0))
+            elif isinstance(entry, (list, tuple)) and len(entry) == 2:
+                path, strength = entry
+                strength = float(strength)
+            else:
+                raise ValueError(
+                    "each validation_ltx2_video_conditioning entry must be a "
+                    "path, [path, strength] pair, or object with path/video_path"
+                )
+            if not path:
+                raise ValueError(
+                    "validation_ltx2_video_conditioning entry is missing path/video_path"
+                )
+            resolved.append((_os.path.expanduser(str(path)), strength))
+        return resolved
+
+    def set_validation_video_conditioning(self, latents, strength: float) -> None:
+        """Install pre-encoded reference latents (1, F, H, W, C) for renders."""
+        self._validation_ref = (np.asarray(latents, np.float32), float(strength))
+
     def inference_conditioning(self, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         cond = {"text_embeds": batch["text_embeds"]}
         if "audio_latents" in batch:
             cond["audio_latents"] = batch["audio_latents"]
+        ref = getattr(self, "_validation_ref", None)
+        if ref is not None:
+            latents, strength = ref
+            cond["control_latents"] = jnp.asarray(latents)
+            cond["conditioning_strength"] = jnp.full((latents.shape[0],), strength, jnp.float32)
         return cond
 
     def encode_text(self, prompts):

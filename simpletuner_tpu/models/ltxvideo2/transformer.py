@@ -383,6 +383,11 @@ class LTX2Transformer(nn.Module):
         audio_timesteps: Optional[jax.Array] = None,
         text_mask: Optional[jax.Array] = None,
         fps: float = 25.0,
+        ref_tokens: Optional[jax.Array] = None,  # (B, S_ref, in_channels) IC-LoRA
+        ref_shape: Optional[tuple] = None,  # static (frames, height, width) of the ref latents
+        ref_spatial_scale: int = 1,
+        ref_temporal_scale: int = 1,
+        ref_strength: Optional[jax.Array] = None,  # (B, S_ref) in [0, 1]; None = 1
     ):
         cfg = self.config
         dim = cfg.inner_dim
@@ -393,8 +398,48 @@ class LTX2Transformer(nn.Module):
         if audio_timesteps is None:
             audio_timesteps = timesteps if timesteps.ndim == 1 else timesteps[:, :1].squeeze(1)
 
+        # --- IC-LoRA reference tokens (reference model.py:2048-2102: packed
+        # conditioning latents concatenate BEFORE the target tokens; ref
+        # timesteps ride t·(1−strength); ref rope coords are built at the ref
+        # resolution and re-scaled into target pixel space) ------------------------------
+        ref_len = 0
+        scalar_video_t = timesteps if timesteps.ndim == 1 else timesteps[:, 0]
+        if ref_tokens is not None:
+            if ref_shape is None:
+                raise ValueError("ref_tokens requires the static ref_shape (F, H, W)")
+            ref_len = ref_tokens.shape[1]
+            target_t = (
+                jnp.broadcast_to(timesteps[:, None], (batch, video_tokens.shape[1]))
+                if timesteps.ndim == 1 else timesteps
+            )
+            scalar_t = timesteps if timesteps.ndim == 1 else timesteps[:, 0]
+            strength = (
+                jnp.ones((batch, ref_len), jnp.float32) if ref_strength is None
+                else ref_strength.astype(jnp.float32)
+            )
+            # pipeline_ltx2.py:1289: per-token t = t·(1 − conditioning_mask)
+            ref_t = scalar_t[:, None] * (1.0 - strength)
+            timesteps = jnp.concatenate([ref_t.astype(target_t.dtype), target_t], axis=1)
+            video_tokens = jnp.concatenate([ref_tokens, video_tokens], axis=1)
+
         # --- rope tables (static shapes; fp64 tables built in numpy) --------------------
         v_coords = ltx2_video_coords(cfg, num_frames, height, width, fps)
+        if ref_tokens is not None:
+            # _scale_ltx2_reference_coords (reference model.py:1916-1948):
+            # spatial midpoints scale up to the target's pixel frame; the
+            # temporal axis shifts back by (temporal_scale−1)·(first target
+            # patch's temporal end) and clamps at 0
+            r_coords = ltx2_video_coords(cfg, ref_shape[0], ref_shape[1], ref_shape[2], fps)
+            spatial = int(ref_spatial_scale or 1)
+            temporal = int(ref_temporal_scale or 1)
+            if temporal != 1:
+                sf_t = cfg.vae_scale_factors[0]
+                first_end = max(cfg.patch_size_t * sf_t + cfg.causal_offset - sf_t, 0.0) / fps
+                r_coords[:, 0] = np.clip(r_coords[:, 0] - (temporal - 1) * first_end, 0.0, None)
+            if spatial != 1:
+                r_coords[:, 1] *= spatial
+                r_coords[:, 2] *= spatial
+            v_coords = np.concatenate([r_coords, v_coords], axis=0)
         a_coords = ltx2_audio_coords(cfg, audio_tokens.shape[1])
         v_max = (cfg.pos_embed_max_pos, cfg.base_height, cfg.base_width)
         a_max = (cfg.audio_pos_embed_max_pos,)
@@ -429,7 +474,7 @@ class LTX2Transformer(nn.Module):
         temb, embedded_t = _TimestepAdaLN(dim, 6, name="time_embed", **common)(timesteps)
         temb_audio, audio_embedded_t = _TimestepAdaLN(a_dim, 6, name="audio_time_embed", **common)(audio_timesteps)
 
-        scalar_v = timesteps if timesteps.ndim == 1 else timesteps[:, 0]
+        scalar_v = scalar_video_t  # the TARGET sigma (ref tokens may sit at t=0 ahead of it)
         scalar_a = audio_timesteps if audio_timesteps.ndim == 1 else audio_timesteps[:, 0]
         temb_ca, _ = _TimestepAdaLN(dim, 4, name="av_ca_video_scale_shift", **common)(scalar_v)
         temb_ca_gate, _ = _TimestepAdaLN(dim, 1, name="av_ca_video_a2v_gate", **common)(scalar_v)
@@ -464,4 +509,8 @@ class LTX2Transformer(nn.Module):
         a_shift, a_scale = _mod_params(a_table, jnp.concatenate([audio_embedded_t, audio_embedded_t], axis=-1))
         audio = ln(audio).astype(jnp.float32) * (1 + a_scale) + a_shift
         audio_out = LoRADense(cfg.audio_in_channels, name="audio_proj_out", **common, **lora)(audio.astype(self.dtype))
+        if ref_len:
+            # loss/denoising consume target tokens only; the reference tokens
+            # are conditioning (reference model.py:2250 drops them the same way)
+            video_out = video_out[:, ref_len:]
         return video_out.astype(jnp.float32), audio_out.astype(jnp.float32)
