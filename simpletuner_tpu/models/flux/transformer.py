@@ -136,10 +136,12 @@ class DoubleStreamBlock(nn.Module):
                 "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32)
             ) * (cfg.head_dim ** -0.5)
             self.sow("intermediates", "qk_max", jnp.max(logits, axis=(0, 2, 3)))
-        attn = dot_product_attention(
-            q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
+        attn = _ckpt_name(
+            dot_product_attention(
+                q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
+            ),
+            "attn_out_double",
         )
-        attn = _ckpt_name(attn, "attn_out_double")
         batch = img.shape[0]
         attn = attn.reshape(batch, -1, dim)
         txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
@@ -202,6 +204,13 @@ class SingleStreamBlock(nn.Module):
                 "bshd,bthd->bhst", q.astype(jnp.float32), k.astype(jnp.float32)
             ) * (cfg.head_dim ** -0.5)
             self.sow("intermediates", "qk_max", jnp.max(logits, axis=(0, 2, 3)))
+        # NOTE (r5): tagging the kernel residuals INSIDE the flash custom_vjp
+        # (ops/flash_attention residual_tag) to skip the bwd's fwd-kernel
+        # re-run was tried and REVERTED: jax saves the custom_vjp's FULL
+        # residual set (q,k,v,out,lse ≈ +92MB/block measured via
+        # memory_analysis) once any of it is saveable — +3.5G on the 12B
+        # flagship for a ~99 ms win.  The model-level tag below saves only
+        # this transposed output (the block body's consumer).
         attn = _ckpt_name(
             dot_product_attention(
                 q, k, v, q_segment_ids=segment_ids, kv_segment_ids=segment_ids
@@ -333,11 +342,12 @@ class FluxTransformer(nn.Module):
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             elif self.remat_policy == "attn":
-                # save the flash-attention outputs of the 38 single-stream
-                # blocks across the remat boundary: their bwd recompute skips
-                # the O(S^2) kernel (~20% of block flops) for ~27MB/block of
-                # HBM at 1024px.  Double-stream outputs stay rematerialized —
-                # saving all 57 overflows a 16G v5e by ~140MB at 12B-int8.
+                # save the flash kernel residuals (out + compact lse) of the
+                # 38 single-stream blocks across the remat boundary: their bwd
+                # skips the fwd kernel re-run entirely (~2.6 ms/block on the
+                # flagship) for ~28MB/block of HBM at 1024px.  Double-stream
+                # outputs stay rematerialized — saving all 57 overflows a 16G
+                # v5e by ~140MB at 12B-int8.
                 policy = jax.checkpoint_policies.save_only_these_names("attn_out")
             elif self.remat_policy == "attn_all":
                 policy = jax.checkpoint_policies.save_only_these_names(

@@ -66,21 +66,19 @@ def _compute_mask(q_seg: jax.Array, kv_seg_row: jax.Array, block_kv: int) -> jax
 
 
 def _fwd_kernel(
-    q_seg_ref,
-    kv_seg_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    out_ref,
-    lse_ref,
-    acc_ref,
-    m_ref,
-    l_ref,
-    *,
+    *refs,
     sm_scale: float,
     kv_blocks: int,
     block_kv: int,
+    use_mask: bool,
 ):
+    # MXU note: all dots take bf16 (input-dtype) operands with f32
+    # accumulation — explicit f32 operands would drop the MXU to its ~1/8
+    # f32 pipe (the round-4 kernel did exactly that and measured 29% eff)
+    if use_mask:
+        q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref = refs
     kv_index = pl.program_id(3)
 
     @pl.when(kv_index == 0)
@@ -89,27 +87,27 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # (Bq, D)
-    k = k_ref[0].astype(jnp.float32)  # (Bk, D)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # (Bq, Bk)
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # (Bq, Bk) f32
 
-    mask = _compute_mask(q_seg_ref[0], kv_seg_ref[0, :1], block_kv)
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    if use_mask:
+        mask = _compute_mask(q_seg_ref[0], kv_seg_ref[0, :1], block_kv)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
     m_prev = m_ref[:]  # (Bq, 128) lane-replicated
     l_prev = l_ref[:]
     m_cur = jnp.max(s, axis=1)[:, None]  # (Bq, 1)
     m_next = jnp.maximum(m_prev, m_cur)  # (Bq, 128)
     p = jnp.exp(s - _lane_broadcast(m_next, s.shape[1]))
-    p = jnp.where(mask, p, 0.0)
+    if use_mask:
+        p = jnp.where(mask, p, 0.0)
     alpha = jnp.exp(m_prev - m_next)  # (Bq, 128)
     l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
 
-    v = v_ref[0].astype(jnp.float32)  # (Bk, D)
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dim = acc_ref.shape[1]
     acc_ref[:] = acc_ref[:] * _lane_broadcast(alpha, dim) + pv
@@ -128,8 +126,8 @@ def _flash_forward(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    q_seg: jax.Array,
-    kv_seg: jax.Array,
+    q_seg: Optional[jax.Array],
+    kv_seg: Optional[jax.Array],
     sm_scale: float,
     block_q: int,
     block_kv: int,
@@ -138,20 +136,28 @@ def _flash_forward(
     batch, heads, sq, dim = q.shape
     sk = k.shape[2]
     grid = (batch, heads, sq // block_q, sk // block_kv)
-
-    # lane/sublane replicated segment id planes
-    q_seg_w = jnp.broadcast_to(q_seg[:, :, None], (batch, sq, _LANES))
-    kv_seg_w = jnp.broadcast_to(kv_seg[:, None, :], (batch, _SUBLANES, sk))
+    use_mask = q_seg is not None
 
     kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, kv_blocks=grid[3], block_kv=block_kv
+        _fwd_kernel, sm_scale=sm_scale, kv_blocks=grid[3], block_kv=block_kv,
+        use_mask=use_mask,
     )
+    seg_operands = []
+    seg_specs = []
+    if use_mask:
+        # lane/sublane replicated segment id planes
+        seg_operands = [
+            jnp.broadcast_to(q_seg[:, :, None], (batch, sq, _LANES)),
+            jnp.broadcast_to(kv_seg[:, None, :], (batch, _SUBLANES, sk)),
+        ]
+        seg_specs = [
+            pl.BlockSpec((1, block_q, _LANES), lambda b, h, i, j: (b, i, 0)),
+            pl.BlockSpec((1, _SUBLANES, block_kv), lambda b, h, i, j: (b, 0, j)),
+        ]
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, _LANES), lambda b, h, i, j: (b, i, 0)),
-            pl.BlockSpec((1, _SUBLANES, block_kv), lambda b, h, i, j: (b, 0, j)),
+        in_specs=seg_specs + [
             pl.BlockSpec((1, block_q, dim), lambda b, h, i, j: (b * heads + h, i, 0)),
             pl.BlockSpec((1, block_kv, dim), lambda b, h, i, j: (b * heads + h, j, 0)),
             pl.BlockSpec((1, block_kv, dim), lambda b, h, i, j: (b * heads + h, j, 0)),
@@ -174,8 +180,7 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(
-        q_seg_w,
-        kv_seg_w,
+        *seg_operands,
         q.reshape(batch * heads, sq, dim),
         k.reshape(batch * heads, sk, dim),
         v.reshape(batch * heads, sk, dim),
@@ -190,41 +195,40 @@ def _flash_forward(
 
 
 def _bwd_dq_kernel(
-    q_seg_ref,
-    kv_seg_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    do_ref,
-    lse_ref,
-    delta_ref,
-    dq_ref,
-    dq_acc_ref,
-    *,
+    *refs,
     sm_scale: float,
     kv_blocks: int,
     block_kv: int,
+    use_mask: bool,
 ):
+    if use_mask:
+        q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc_ref = refs
     kv_index = pl.program_id(3)
 
     @pl.when(kv_index == 0)
     def _init():
         dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
-    mask = _compute_mask(q_seg_ref[0], kv_seg_ref[0, :1], block_kv)
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    if use_mask:
+        mask = _compute_mask(q_seg_ref[0], kv_seg_ref[0, :1], block_kv)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     lse = _lane_broadcast(lse_ref[0], s.shape[1])
-    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (Bq, Bk)
-    do = do_ref[0].astype(jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)  # (Bq, Bk)
+    if use_mask:
+        p = jnp.where(mask, p, 0.0)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     delta = _lane_broadcast(delta_ref[0], s.shape[1])
     ds = p * (dp - delta)
     dq_acc_ref[:] += sm_scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(kv_index == kv_blocks - 1)
@@ -233,23 +237,16 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_seg_ref,
-    kv_seg_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    do_ref,
-    lse_ref,
-    delta_ref,
-    dk_ref,
-    dv_ref,
-    dk_acc_ref,
-    dv_acc_ref,
-    *,
+    *refs,
     sm_scale: float,
     q_blocks: int,
     block_kv: int,
+    use_mask: bool,
 ):
+    if use_mask:
+        q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc_ref, dv_acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc_ref, dv_acc_ref = refs
     q_index = pl.program_id(3)
 
     @pl.when(q_index == 0)
@@ -257,25 +254,30 @@ def _bwd_dkv_kernel(
         dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
-    mask = _compute_mask(q_seg_ref[0], kv_seg_ref[0, :1], block_kv)
-    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    if use_mask:
+        mask = _compute_mask(q_seg_ref[0], kv_seg_ref[0, :1], block_kv)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     lse = _lane_broadcast(lse_ref[0], s.shape[1])
-    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (Bq, Bk)
-    do = do_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse)  # (Bq, Bk)
+    if use_mask:
+        p = jnp.where(mask, p, 0.0)
+    p_lo = p.astype(do_ref.dtype)
     # dV += P^T dO
     dv_acc_ref[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_lo, do_ref[0], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     delta = _lane_broadcast(delta_ref[0], s.shape[1])
     ds = p * (dp - delta)  # (Bq, Bk)
     # dK += scale * dS^T Q
     dk_acc_ref[:] += sm_scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(q_index == q_blocks - 1)
@@ -301,12 +303,17 @@ def _flash_backward(
     batch, heads, sq, dim = q.shape
     sk = k.shape[2]
     bh = batch * heads
+    use_mask = q_seg is not None
 
     delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (B,H,Sq)
     delta_w = jnp.broadcast_to(delta.reshape(bh, sq)[:, :, None], (bh, sq, _LANES))
 
-    q_seg_w = jnp.broadcast_to(q_seg[:, :, None], (batch, sq, _LANES))
-    kv_seg_w = jnp.broadcast_to(kv_seg[:, None, :], (batch, _SUBLANES, sk))
+    seg_operands = []
+    if use_mask:
+        seg_operands = [
+            jnp.broadcast_to(q_seg[:, :, None], (batch, sq, _LANES)),
+            jnp.broadcast_to(kv_seg[:, None, :], (batch, _SUBLANES, sk)),
+        ]
 
     qf = q.reshape(bh, sq, dim)
     kf = k.reshape(bh, sk, dim)
@@ -319,13 +326,18 @@ def _flash_backward(
     def _kix(b, h, i, j):
         return (b * heads + h, j, 0)
 
+    seg_specs_dq = [
+        pl.BlockSpec((1, block_q, _LANES), lambda b, h, i, j: (b, i, 0)),
+        pl.BlockSpec((1, _SUBLANES, block_kv), lambda b, h, i, j: (b, 0, j)),
+    ] if use_mask else []
     grid_dq = (batch, heads, sq // block_q, sk // block_kv)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, kv_blocks=grid_dq[3], block_kv=block_kv),
+        functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, kv_blocks=grid_dq[3],
+            block_kv=block_kv, use_mask=use_mask,
+        ),
         grid=grid_dq,
-        in_specs=[
-            pl.BlockSpec((1, block_q, _LANES), lambda b, h, i, j: (b, i, 0)),
-            pl.BlockSpec((1, _SUBLANES, block_kv), lambda b, h, i, j: (b, 0, j)),
+        in_specs=seg_specs_dq + [
             pl.BlockSpec((1, block_q, dim), _qix),
             pl.BlockSpec((1, block_kv, dim), _kix),
             pl.BlockSpec((1, block_kv, dim), _kix),
@@ -340,7 +352,7 @@ def _flash_backward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_seg_w, kv_seg_w, qf, kf, vf, dof, lse, delta_w)
+    )(*seg_operands, qf, kf, vf, dof, lse, delta_w)
 
     # dkv: kv blocks as the third (parallel) axis, q innermost for accumulation
     def _qix2(b, h, j, i):
@@ -349,13 +361,18 @@ def _flash_backward(
     def _kix2(b, h, j, i):
         return (b * heads + h, j, 0)
 
+    seg_specs_dkv = [
+        pl.BlockSpec((1, block_q, _LANES), lambda b, h, j, i: (b, i, 0)),
+        pl.BlockSpec((1, _SUBLANES, block_kv), lambda b, h, j, i: (b, 0, j)),
+    ] if use_mask else []
     grid_dkv = (batch, heads, sk // block_kv, sq // block_q)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, q_blocks=grid_dkv[3], block_kv=block_kv),
+        functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, q_blocks=grid_dkv[3],
+            block_kv=block_kv, use_mask=use_mask,
+        ),
         grid=grid_dkv,
-        in_specs=[
-            pl.BlockSpec((1, block_q, _LANES), lambda b, h, j, i: (b, i, 0)),
-            pl.BlockSpec((1, _SUBLANES, block_kv), lambda b, h, j, i: (b, 0, j)),
+        in_specs=seg_specs_dkv + [
             pl.BlockSpec((1, block_q, dim), _qix2),
             pl.BlockSpec((1, block_kv, dim), _kix2),
             pl.BlockSpec((1, block_kv, dim), _kix2),
@@ -379,7 +396,7 @@ def _flash_backward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_seg_w, kv_seg_w, qf, kf, vf, dof, lse, delta_w)
+    )(*seg_operands, qf, kf, vf, dof, lse, delta_w)
 
     dq = dq.reshape(batch, heads, sq, dim)
     dk = dk.reshape(batch, heads, sk, dim)
@@ -392,19 +409,41 @@ def _flash_backward(
 # ---------------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_attention_core(q, k, v, q_seg, kv_seg, sm_scale, block_q, block_kv, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_core(q, k, v, q_seg, kv_seg, sm_scale, block_q, block_kv, interpret,
+                          residual_tag):
     out, _ = _flash_forward(q, k, v, q_seg, kv_seg, sm_scale, block_q, block_kv, interpret)
     return out
 
 
-def _core_fwd(q, k, v, q_seg, kv_seg, sm_scale, block_q, block_kv, interpret):
+def _core_fwd(q, k, v, q_seg, kv_seg, sm_scale, block_q, block_kv, interpret, residual_tag):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _flash_forward(q, k, v, q_seg, kv_seg, sm_scale, block_q, block_kv, interpret)
-    return out, (q, k, v, q_seg, kv_seg, out, lse)
+    # the backward needs (out, lse): without making them visible to the remat
+    # policy, every rematted block re-runs the FORWARD kernel inside the
+    # backward pass just to regenerate them (~2.6 ms x 57 blocks on the 12B
+    # flagship).  Tag them here — inside the custom_vjp fwd — so
+    # save_only_these_names("<tag>", "<tag>_lse") skips that recompute.
+    # Memory notes (learned from a 2.6G flagship OOM): (1) the kernel's two
+    # outputs share one tuple allocation, so saving the RAW out pins the full
+    # lane-replicated f32 lse (54MB/block) — save a transposed copy instead
+    # (the exact (B,S,H,D) form the model consumes, so XLA CSEs it with the
+    # downstream use); (2) lse saves one lane (128x smaller) behind an
+    # optimization_barrier so the slice materializes as its own buffer.
+    lse_compact = jax.lax.optimization_barrier(lse[:, :, :1])
+    out_res = out
+    if residual_tag:
+        out_res = checkpoint_name(jnp.swapaxes(out, 1, 2), residual_tag)
+        lse_compact = checkpoint_name(lse_compact, residual_tag + "_lse")
+        out = jnp.swapaxes(out_res, 1, 2)
+    return out, (q, k, v, q_seg, kv_seg, out_res, lse_compact)
 
 
-def _core_bwd(sm_scale, block_q, block_kv, interpret, residuals, do):
-    q, k, v, q_seg, kv_seg, out, lse = residuals
+def _core_bwd(sm_scale, block_q, block_kv, interpret, residual_tag, residuals, do):
+    q, k, v, q_seg, kv_seg, out_res, lse_compact = residuals
+    out = jnp.swapaxes(out_res, 1, 2) if residual_tag else out_res
+    lse = jnp.broadcast_to(lse_compact, lse_compact.shape[:2] + (_LANES,))
     dq, dk, dv = _flash_backward(
         q, k, v, q_seg, kv_seg, out, lse, do, sm_scale, block_q, block_kv, interpret
     )
@@ -424,26 +463,36 @@ def flash_attention(
     block_q: int = 512,
     block_kv: int = 512,
     interpret: bool = False,
+    residual_tag: Optional[str] = None,
 ) -> jax.Array:
     """Flash attention over ``(batch, heads, seq, head_dim)`` tensors.
 
     Sequences are padded to block multiples internally; padded tokens get
     ``SEGMENT_PAD_ID`` and contribute nothing.  Differentiable via the Pallas
-    backward kernels.
+    backward kernels.  ``residual_tag`` names the (out, lse) residuals for
+    ``jax.checkpoint`` policies (save "<tag>"+"<tag>_lse" to skip the forward
+    kernel re-run inside rematted backward passes).
     """
     batch, heads, sq, dim = q.shape
     sk = k.shape[2]
     if sm_scale is None:
         sm_scale = dim ** -0.5
-    if q_segment_ids is None:
-        q_segment_ids = jnp.zeros((batch, sq), jnp.int32)
-    if kv_segment_ids is None:
-        kv_segment_ids = jnp.zeros((batch, sk), jnp.int32)
 
     block_q = min(block_q, _round_up(sq, _LANES))
     block_kv = min(block_kv, _round_up(sk, _LANES))
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_kv)
+    # the unmasked fast path (no segment ids, no padding) drops the mask
+    # compute and its operands from all four kernels entirely
+    needs_mask = (
+        q_segment_ids is not None or kv_segment_ids is not None
+        or sq_pad != sq or sk_pad != sk
+    )
+    if needs_mask:
+        if q_segment_ids is None:
+            q_segment_ids = jnp.zeros((batch, sq), jnp.int32)
+        if kv_segment_ids is None:
+            kv_segment_ids = jnp.zeros((batch, sk), jnp.int32)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
         q_segment_ids = jnp.pad(
@@ -460,12 +509,13 @@ def flash_attention(
         q,
         k,
         v,
-        q_segment_ids.astype(jnp.int32),
-        kv_segment_ids.astype(jnp.int32),
+        q_segment_ids.astype(jnp.int32) if needs_mask else None,
+        kv_segment_ids.astype(jnp.int32) if needs_mask else None,
         sm_scale,
         block_q,
         block_kv,
         interpret,
+        residual_tag,
     )
     if sq_pad != sq:
         out = out[:, :, :sq, :]

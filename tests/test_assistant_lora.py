@@ -29,6 +29,18 @@ def test_merge_equals_adapter_forward(tmp_path):
     model = Flux(cfg, arch=FluxConfig.tiny())
     batch = model.example_batch(batch_size=1, resolution=32)
     variables = model.init_params(jax.random.PRNGKey(0), batch)
+    # flux is AdaLN-ZERO: at raw init every gate is 0 and adapters cannot
+    # reach the output (the comparison would be vacuous) — perturb the base
+    # like pretrained weights would
+    pl, ptreedef = jax.tree_util.tree_flatten(variables["params"])
+    pkeys = jax.random.split(jax.random.PRNGKey(5), len(pl))
+    variables = {
+        **variables,
+        "params": jax.tree_util.tree_unflatten(
+            ptreedef,
+            [p + 0.05 * jax.random.normal(k, p.shape, p.dtype) for p, k in zip(pl, pkeys)],
+        ),
+    }
 
     # give the adapter non-trivial weights
     leaves, treedef = jax.tree_util.tree_flatten(variables["lora"])
@@ -40,6 +52,9 @@ def test_merge_equals_adapter_forward(tmp_path):
     with_adapter = np.asarray(
         model.model_predict({**variables, "lora": lora}, prepared)
     )
+    base_only = np.asarray(model.model_predict(variables, prepared))
+    # the adapter must actually matter, or the equality below proves nothing
+    assert float(np.abs(with_adapter - base_only).max()) > 1e-3
 
     # export -> reload -> merge into base, run with zero adapters
     path = str(tmp_path / "assistant.safetensors")

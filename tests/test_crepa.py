@@ -396,6 +396,7 @@ def _trainer_config(tmp_path, **extra):
     })
 
 
+@pytest.mark.e2e
 def test_trainer_e2e_crepa_backbone(tmp_path):
     from simpletuner_tpu.training.trainer import Trainer
 
@@ -413,6 +414,7 @@ def test_trainer_e2e_crepa_backbone(tmp_path):
     assert "crepa_cutoff" in trainer._align_hosts
 
 
+@pytest.mark.e2e
 def test_trainer_e2e_crepa_encoder_tiny_teacher(tmp_path):
     from simpletuner_tpu.training.trainer import Trainer
 
@@ -429,6 +431,7 @@ def test_trainer_e2e_crepa_encoder_tiny_teacher(tmp_path):
     assert "crepa_vae" in trainer._state.frozen
 
 
+@pytest.mark.e2e
 def test_trainer_e2e_urepa_in_loop_scheduled(tmp_path):
     """U-REPA on a UNet with scheduled weight + in-loop tiny encoder."""
     from simpletuner_tpu.training.trainer import Trainer

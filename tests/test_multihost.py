@@ -266,7 +266,7 @@ def _run_cp(tmp_path, n_procs: int) -> dict:
         env["XLA_FORCE_DEVICES"] = "8"
         subprocess.run(
             [sys.executable, WORKER, config_path, out],
-            env=env, check=True, timeout=900, capture_output=True, text=True,
+            env=env, check=True, timeout=1800, capture_output=True, text=True,
         )
         with open(out) as fh:
             return json.load(fh)
@@ -288,7 +288,7 @@ def _run_cp(tmp_path, n_procs: int) -> dict:
         )
     for proc in procs:
         try:
-            stdout, _ = proc.communicate(timeout=900)
+            stdout, _ = proc.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for p in procs:
                 p.kill()

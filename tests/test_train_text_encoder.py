@@ -216,6 +216,7 @@ def _te_lora_setup(family, captions, **over):
     return model, cfg, batch, state, tx, schedule, te_lora
 
 
+@pytest.mark.e2e
 def test_sdxl_te_lora_trains_e2e():
     """SDXL dual-CLIP TE LoRA: adapters join the optimizer, captions encode
     in-step through the merged TEs, lora_B moves after a step, the frozen TE
@@ -244,6 +245,7 @@ def test_sdxl_te_lora_trains_e2e():
     assert max(jax.tree_util.tree_leaves(deltas)) == 0.0, "frozen TE base moved"
 
 
+@pytest.mark.e2e
 def test_sd3_te_lora_trains_with_frozen_t5():
     """SD3: CLIP-L/G adapters train while T5 embeds ride the batch from the
     frozen host encoder (reference: 'The third text encoder is not trained')."""
@@ -262,6 +264,7 @@ def test_sd3_te_lora_trains_with_frozen_t5():
     assert b_norm > 0, "lora_B stayed zero: no gradient reached the TE adapters"
 
 
+@pytest.mark.e2e
 def test_sd1x_te_lora_trains_e2e():
     model, cfg, batch, state, tx, schedule, te_init = _te_lora_setup(
         "sd1x", ["a sketch"])

@@ -172,6 +172,7 @@ def test_exporters_cover_every_registry_family():
     "heartmula", "omnigen", "wan_s2v", "mageflow", "z_image", "sd2x",
     "kolors", "deepfloyd",
 ])
+@pytest.mark.e2e
 def test_full_pipeline_round_trip_all_families(family, tmp_path):
     """save_full_pipeline writes a directory whose safetensors re-import
     bitwise through the family's own importer (exporters are exact inverses
