@@ -24,6 +24,9 @@ class TrainingConfig:
 
     def __init__(self, values: Optional[Dict[str, Any]] = None) -> None:
         object.__setattr__(self, "_values", dict(REGISTRY.defaults()))
+        object.__setattr__(
+            self, "_provided", {normalize_key(k) for k in (values or {})}
+        )
         if values:
             for key, value in values.items():
                 self._values[normalize_key(key)] = value
@@ -50,6 +53,11 @@ class TrainingConfig:
 
     def get(self, name: str, default: Any = None) -> Any:
         return self._values.get(normalize_key(name), default)
+
+    def was_provided(self, name: str) -> bool:
+        """True when the USER set this key (vs a registry default) — lets
+        family stage presets defer to explicit user choices."""
+        return normalize_key(name) in object.__getattribute__(self, "_provided")
 
     def to_dict(self) -> Dict[str, Any]:
         return dict(self._values)

@@ -201,7 +201,7 @@ UNIMPLEMENTED: Dict[str, str] = {
     "ltx_protect_first_frame": "",  # wired (LTXVideo.prepare_batch sigma-0 frame 0)
     "ltx_train_mode": "LTX trains the standard flow objective",
     "wan_force_2_1_time_embedding": "wan flavours pick the time embedding",
-    "wan_validation_load_other_stage": "single-stage wan validation only",
+    "wan_validation_load_other_stage": "",  # wired (wan.validation_stage_plan boundary split)
     "deepfloyd_validation_pipeline_mode": "",  # wired (deepfloyd.validation_multistage_render mode gate)
     "deepfloyd_validation_stage1_model": "",  # wired (deepfloyd._load_stage(1))
     "deepfloyd_validation_stage2_model": "",  # wired (deepfloyd._load_stage(2))
