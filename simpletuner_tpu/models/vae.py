@@ -5,7 +5,7 @@ TPU-native stand-in for the reference's diffusers ``AutoencoderKL`` dependency
 the VAE cache at helpers/caching/vae.py).  Encoder/decoder with GroupNorm+SiLU
 resnet blocks and a mid-attention block; channel layout is NHWC for TPU conv
 efficiency.  Weight import from diffusers checkpoints maps onto these module
-names (see ``simpletuner_tpu/utils/weight_io.py``).
+names (see ``simpletuner_tpu/models/vae_import.py``).
 """
 
 from __future__ import annotations
