@@ -295,7 +295,7 @@ _VARIANTS = [
      {"crepa_block_index": 8, "crepa_lambda": 0.5, "crepa_encoder_name": "dinov2-base"}),
     ("flux.scheduled-sampling", "flux", "Flux LoRA with scheduled-sampling rollout",
      {"scheduled_sampling_max_steps": 3}),
-    ("flux.te-lora", "sdxl", "SDXL LoRA + text-encoder LoRA",
+    ("sdxl.te-lora", "sdxl", "SDXL LoRA + text-encoder LoRA",
      {"train_text_encoder": True, "text_encoder_lr": 5e-5}),
     ("sd1x.slider", "sd1x", "SD1.x slider LoRA (+/- concept strength)",
      {"slider_positive_prompt": "a smiling person",
