@@ -75,6 +75,13 @@ def main() -> int:
             },
             fh,
         )
+    # rendezvous BEFORE interpreter exit: post-train finalize work (orbax
+    # merge, exports, model card) is process-0-heavy; without this the fast
+    # process hits jax.distributed's 5-minute Shutdown barrier while process
+    # 0 is still writing (observed under the ~15-min-step CP runs)
+    from simpletuner_tpu.parallel.distributed import host_barrier
+
+    host_barrier("worker_complete")
     return 0
 
 
