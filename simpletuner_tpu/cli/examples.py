@@ -193,7 +193,7 @@ _VARIANTS = [
      "LongCat-Image edit-conditioning LoKr", {**_LOKR, "model_flavour": "edit"}),
     ("kandinsky5-image-t2i.lycoris-lokr", "kandinsky5_image", "Kandinsky-5 image LoKr", _LOKR),
     ("flux2-klein-i2i.lycoris-lokr", "flux2",
-     "FLUX.2 Klein image-to-image LoKr", {**_LOKR, "model_flavour": "klein-9b"}),
+     "FLUX.2 Klein image-to-image LoKr", {**_LOKR, "model_flavour": "klein"}),
     # controlnet recipes (reference *.peft-controlnet-lora)
     ("flux.controlnet-lora", "flux", "Flux ControlNet LoRA", _CTRL),
     ("sd3.controlnet-lora", "sd3", "SD3 ControlNet LoRA", _CTRL),
@@ -206,10 +206,10 @@ _VARIANTS = [
     ("wan-1.3b.tread", "wan", "Wan 1.3B LoRA + TREAD", _TREAD),
     ("wan-2.2-i2v-high.tread", "wan",
      "Wan 2.2 I2V (high-noise expert) LoRA + TREAD",
-     {**_TREAD, "model_flavour": "i2v-a14b-high"}),
+     {**_TREAD, "model_flavour": "i2v-14b-2.2-high"}),
     ("wan-2.2-i2v-low.tread", "wan",
      "Wan 2.2 I2V (low-noise expert) LoRA + TREAD",
-     {**_TREAD, "model_flavour": "i2v-a14b-low"}),
+     {**_TREAD, "model_flavour": "i2v-14b-2.2-low"}),
     # memory recipes: reference +ramtorch/+16G map onto int8 base + remat
     ("longcat-video.16g", "longcat_video",
      "LongCat-Video LoRA on one 16G chip (int8 base, full remat — the "
@@ -226,7 +226,7 @@ _VARIANTS = [
      {**_INT8, "gradient_checkpointing": True}),
     ("wan2.2-ti2v-5b.16g", "wan",
      "Wan 2.2 TI2V 5B LoRA on 16G", {**_INT8, "gradient_checkpointing": True,
-                                     "model_flavour": "ti2v-5b"}),
+                                     "model_flavour": "ti2v-5b-2.2"}),
     # multi-chip recipes: reference 8xh100+cp-fa3 -> context mesh axis
     ("ltxvideo2-1080p.cp", "ltxvideo2",
      "LTX-2 1080p LoRA across 8 chips (fsdp x context mesh; reference "
@@ -235,7 +235,7 @@ _VARIANTS = [
      "LTX-2 720p LoRA across 8 chips (fsdp x context)", _CP2),
     ("wan2.1-i2v-14b.cp", "wan",
      "Wan 2.1 I2V 14B across 8 chips (fsdp x context)",
-     {**_CP2, "model_flavour": "i2v-14b"}),
+     {**_CP2, "model_flavour": "i2v-14b-480p"}),
     ("wan2.1-t2v-14b.cp", "wan",
      "Wan 2.1 T2V 14B across 8 chips (fsdp x context)",
      {**_CP2, "model_flavour": "t2v-14b"}),
@@ -271,7 +271,7 @@ _VARIANTS = [
      "DeepFloyd IF stage-II SR LoRA @256px",
      {"model_flavour": "ii-m-450m", "resolution": 256}),
     ("hunyuanvideo-t2v.lora", "hunyuanvideo",
-     "HunyuanVideo t2v LoRA", {"model_flavour": "t2v"}),
+     "HunyuanVideo t2v LoRA", {"model_flavour": "t2v-480p"}),
     ("sd1x-dreamshaper.lora", "sd1x",
      "SD1.x fine-tune from a community checkpoint",
      {"pretrained_model_name_or_path": "Lykon/dreamshaper-8"}),

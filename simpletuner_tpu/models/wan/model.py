@@ -97,10 +97,16 @@ class Wan(ModelFoundation):
         else:
             self.arch = WanConfig.b1_3()
         if self.is_i2v and arch is None:
-            # I2V input: noisy latents ++ first-frame condition ++ 4-ch mask
+            # I2V input: noisy latents ++ first-frame condition ++ 4-ch mask;
+            # the prediction head stays at the base latent width (diffusers
+            # Wan I2V: in 36, out 16)
             import dataclasses as _dc
 
-            self.arch = _dc.replace(self.arch, in_channels=self.arch.in_channels * 2 + 4)
+            self.arch = _dc.replace(
+                self.arch,
+                in_channels=self.arch.in_channels * 2 + 4,
+                out_channels=self.arch.out_channels or self.arch.in_channels,
+            )
 
     @property
     def is_i2v(self) -> bool:

@@ -55,7 +55,10 @@ class WanConfig:
 
     @classmethod
     def tiny(cls) -> "WanConfig":
-        return cls(hidden_size=64, depth=2, num_heads=2, head_dim=32,
+        # in_channels matches VideoVAEConfig.tiny's 4 latent channels — the
+        # i2v output head resolves out_channels from the base latent width,
+        # so an inconsistent tiny pair mispredicts channel counts
+        return cls(in_channels=4, hidden_size=64, depth=2, num_heads=2, head_dim=32,
                    text_dim=32, axes_dim=(12, 10, 10))
 
 

@@ -52,7 +52,9 @@ class TestLoKrTraining:
     def setup(self):
         model = make_model()
         batch = model.example_batch(batch_size=2, resolution=32)
-        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        from test_train_step import _open_adaln_gates
+
+        variables = _open_adaln_gates(model.init_params(jax.random.PRNGKey(0), batch))
         return model, batch, variables
 
     def test_lokr_params_created(self, setup):

@@ -22,7 +22,9 @@ def test_slider_scale_flips_adapter():
     )
     model = Flux(cfg, arch=FluxConfig.tiny())
     batch = model.example_batch(batch_size=2, resolution=32)
-    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    from test_train_step import _open_adaln_gates
+
+    variables = _open_adaln_gates(model.init_params(jax.random.PRNGKey(0), batch))
     schedule = get_lr_schedule(cfg, 10)
     tx = get_optimizer(cfg, schedule)
     state = create_train_state(model, variables, tx)

@@ -18,6 +18,20 @@ from simpletuner_tpu.training.train_state import (
 
 pytestmark = pytest.mark.slow
 
+
+def _open_adaln_gates(variables, seed=9, scale=0.05):
+    """Flux is AdaLN-ZERO: at raw init every gate is exactly 0, so adapters in
+    gated branches get exactly zero gradient (constant loss).  Perturb the base
+    params like pretrained weights would so adapter training is observable.
+    (The pre-round-5 green runs of these tests were an artifact of a corrupted
+    XLA compile cache producing drifting math — see tests/conftest.py.)"""
+    import jax as _jax
+
+    leaves, treedef = _jax.tree_util.tree_flatten(variables["params"])
+    keys = _jax.random.split(_jax.random.PRNGKey(seed), len(leaves))
+    leaves = [l + scale * _jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)]
+    return dict(variables, params=_jax.tree_util.tree_unflatten(treedef, leaves))
+
 def _tiny_setup(model_type="lora", use_ema=False, **extra):
     cfg = TrainingConfig(
         {
@@ -32,7 +46,7 @@ def _tiny_setup(model_type="lora", use_ema=False, **extra):
     )
     model = Flux(cfg, arch=FluxConfig.tiny())
     batch = model.example_batch(batch_size=8, resolution=32)
-    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    variables = _open_adaln_gates(model.init_params(jax.random.PRNGKey(0), batch))
     schedule = get_lr_schedule(cfg, 100)
     tx = get_optimizer(cfg, schedule)
     ema_cfg = EMAConfig() if use_ema else None
@@ -116,7 +130,7 @@ def test_grad_accumulation():
     )
     model = Flux(cfg, arch=FluxConfig.tiny())
     batch = model.example_batch(batch_size=8, resolution=32)
-    variables = model.init_params(jax.random.PRNGKey(0), batch)
+    variables = _open_adaln_gates(model.init_params(jax.random.PRNGKey(0), batch))
     schedule = get_lr_schedule(cfg, 100)
     tx = get_optimizer(cfg, schedule)
     state = create_train_state(model, variables, tx)

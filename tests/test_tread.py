@@ -68,7 +68,9 @@ class TestFluxTREAD:
     def test_routed_train_forward_and_grads(self):
         model = self._model()
         batch = model.example_batch(batch_size=2, resolution=32)
-        variables = model.init_params(jax.random.PRNGKey(0), batch)
+        from test_train_step import _open_adaln_gates
+
+        variables = _open_adaln_gates(model.init_params(jax.random.PRNGKey(0), batch))
 
         def loss(lora):
             merged = {**variables, "lora": lora}
